@@ -1,0 +1,107 @@
+"""SparkSession factory tuned for the disco_spark engine.
+
+The reference engine (discoproject/disco) has no logical optimizer and
+executes user pipelines verbatim (SURVEY.md §4). We instead lean on
+Catalyst + AQE for everything it subsumes; this module centralizes the
+session configuration so every entry point (tests, bench, driver) gets
+the same scale-oriented defaults:
+
+- AQE on (runtime coalescing, skew-join splitting) — replaces disco's
+  static ``nr_reduces`` knob (reference: lib/disco/worker/classic/worker.py:227-296).
+- Arrow on for every Python<->JVM boundary (pandas UDFs are the only
+  sanctioned Python hot path).
+- shuffle.partitions sized for local[32] test runs; on a real cluster
+  AQE's coalescing makes the initial number mostly a ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "disco_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    In local mode we mirror the driver's harness (local[$SPARK_GRAFT_CPUS]);
+    on a cluster the master is injected by spark-submit and this factory
+    only contributes SQL-level settings, all of which are cluster-safe.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # Catalyst/AQE: let the optimizer re-plan at runtime. At 100 TB the
+        # skew-join and partition-coalescing rules matter more than any
+        # static partition count we could pick here.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # Arrow for all pandas UDF / toPandas traffic.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast threshold: dims (region/nation/supplier/part heads)
+        # must broadcast; 64 MB is safe for 128 GiB executors.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as long ns and convert in load_tables (values are
+        # µs-precision, so the conversion is lossless).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Read every testdata table under ``sf_dir`` and register temp views.
+
+    Returns {name: DataFrame}. Missing tables are skipped so callers can
+    run against partial datasets.
+    """
+    # The driver may hand us a session built without our factory; the
+    # events table stores TIMESTAMP(NANOS) which Spark rejects unless this
+    # runtime SQL conf is set (values are µs-precision; see get_spark).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # nanosAsLong read the ns-precision column as raw int64;
+                # restore a proper (µs) TimestampType column.
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    if not out:
+        raise FileNotFoundError(
+            f"no testdata tables found under {sf_dir!r} "
+            f"(expected <table>.parquet for {', '.join(TABLES)})"
+        )
+    return out

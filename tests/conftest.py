@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from disco_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("disco_spark_tests")
+    yield s
+    s.stop()

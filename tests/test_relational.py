@@ -1,0 +1,36 @@
+"""Oracle-match tests for the relational suite (SURVEY §2.3/2.5 parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from disco_spark import registry
+from disco_spark.testing import compare_query
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+RELATIONAL = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_count_by_priority",
+    "broadcast_dim_join",
+    "topk_orders",
+    "global_sort_orders",
+    "distinct_segments",
+    "intersect_customers",
+    "except_customers",
+    "union_all_keys",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "theta_join_nation_pairs",
+    "range_histogram_totalprice",
+    "group_all_stats",
+    "window_top_order_per_customer",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_relational_oracle(spark, name):
+    compare_query(spark, name, SF_SMOKE)
