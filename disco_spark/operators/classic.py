@@ -1,0 +1,225 @@
+"""Classic MapReduce compat layer: ``DiscoJob(map=..., reduce=...)``
+lowered onto DataFrame operations, exactly as SURVEY.md §3.1 maps the
+reference lifecycle (lib/disco/job.py Job.run → jobpack → pipeline):
+
+    map / map_init / combiner  →  mapInPandas   (one pass, streaming)
+    partition(key, n, params)  →  repartition(n, key) when default
+                                  (JVM hash shuffle, no Python); custom
+                                  partitioners compute a label column in
+                                  a pandas UDF, then repartition(n, label)
+    sort=True                  →  sortWithinPartitions(key)  (per-group
+                                  byte order; reference unix sort
+                                  LC_ALL=C ≡ unsigned byte compare on
+                                  BinaryType keys — lib/disco/util.py:319-388)
+    reduce / reduce_init       →  mapInPandas over the shuffled stream
+                                  (a reduce task consumes its whole
+                                  label group, matching
+                                  lib/disco/worker/classic/worker.py:373-395)
+
+Reference contracts mirrored (not copied):
+- map returns an iterable of (k, v)        func.py:20-37
+- combiner(key, val, buf, done, params)    func.py:48-71; flush policy is
+  the worker's (classic/worker.py:346-354) — we flush every
+  COMBINER_FLUSH_EVERY records to bound memory.
+- reduce(iter, out, params) or reduce2(iter, params) -> iterable
+                                           func.py:73-114
+
+Scale notes: both phases stream Arrow batches — no label group is ever
+materialized on the driver; the only shuffle is the one the reference
+also does (map→reduce). With the default partitioner the shuffle key is
+the record key, so Catalyst plans a plain hash exchange and map-side
+work stays in one python worker pass (map+combiner fused).
+"""
+
+from __future__ import annotations
+
+import inspect
+from collections.abc import Callable, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from disco_spark.functions.library import kvify
+
+OUT_BATCH = 10_000
+COMBINER_FLUSH_EVERY = 100_000
+
+
+class _Out:
+    """reduce's ``out.add(k, v)`` collector (reference func.py:73-91)."""
+
+    __slots__ = ("rows",)
+
+    def __init__(self):
+        self.rows: list[tuple] = []
+
+    def add(self, k, v):
+        self.rows.append((k, v))
+
+
+def _rows_of(pdf: pd.DataFrame) -> Iterator[tuple]:
+    return zip(*(pdf[c] for c in pdf.columns)) if len(pdf.columns) > 1 else (
+        (v,) for v in pdf[pdf.columns[0]]
+    )
+
+
+def _rebatch(pairs: Iterable[tuple], columns=("key", "value")) -> Iterator[pd.DataFrame]:
+    buf: list[tuple] = []
+    for p in pairs:
+        buf.append(p)
+        if len(buf) >= OUT_BATCH:
+            yield pd.DataFrame(buf, columns=list(columns))
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=list(columns))
+
+
+class DiscoJob:
+    """Classic-API job over DataFrames.
+
+    ``input`` rows become map entries: a single-column row passes the bare
+    value, a (key, value) row passes the pair, anything else passes the
+    row tuple (reference readers produce exactly these shapes;
+    disco.util.kvify pads bare values — lib/disco/util.py:112-113).
+
+    ``map_output`` / ``reduce_output`` are Spark DDL schema strings for
+    the emitted (key, value) pairs — the compat layer is typed so results
+    stay columnar (Parquet/Tungsten) instead of pickled blobs.
+    """
+
+    def __init__(
+        self,
+        *,
+        map: Callable | None = None,
+        map_init: Callable | None = None,
+        combiner: Callable | None = None,
+        reduce: Callable | None = None,
+        reduce_init: Callable | None = None,
+        partition: Callable | None = None,
+        partitions: int | None = None,
+        sort: bool = False,
+        params=None,
+        map_output: str = "key string, value bigint",
+        reduce_output: str = "key string, value bigint",
+    ):
+        self.map = map
+        self.map_init = map_init
+        self.combiner = combiner
+        self.reduce = reduce
+        self.reduce_init = reduce_init
+        self.partition = partition
+        self.partitions = partitions
+        self.sort = sort
+        self.params = params
+        self.map_output = map_output
+        self.reduce_output = reduce_output
+
+    # -- map + combiner (fused, one python worker pass) ------------------
+    def _map_stage(self, df: DataFrame) -> DataFrame:
+        user_map, user_init = self.map, self.map_init
+        user_combiner, params = self.combiner, self.params
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            inited = False
+            buf: dict = {}
+            pending = 0
+
+            def mapped():
+                nonlocal inited, pending
+                for pdf in batches:
+                    rows = _rows_of(pdf)
+                    if not inited:
+                        rows = iter(list(rows))  # entries survive init skip
+                        if user_init is not None:
+                            user_init(rows, params)
+                        inited = True
+                    for row in rows:
+                        entry = row[0] if len(row) == 1 else tuple(row)
+                        for out in user_map(entry, params):
+                            yield kvify(out)
+
+            if user_combiner is None:
+                yield from _rebatch(mapped())
+                return
+
+            def combined():
+                nonlocal pending
+                for k, v in mapped():
+                    user_combiner(k, v, buf, False, params)
+                    pending += 1
+                    if pending >= COMBINER_FLUSH_EVERY:
+                        yield from (user_combiner(None, None, buf, True, params) or ())
+                        buf.clear()
+                        pending = 0
+                yield from (user_combiner(None, None, buf, True, params) or ())
+
+            yield from _rebatch(combined())
+
+        return df.mapInPandas(run, schema=self.map_output)
+
+    # -- shuffle ----------------------------------------------------------
+    def _shuffle(self, df: DataFrame) -> DataFrame:
+        n = self.partitions
+        if self.partition is None:
+            # default_partition co-locates equal keys; Spark's JVM hash
+            # exchange provides the same guarantee with zero Python cost.
+            return df.repartition(n, "key") if n else df.repartition("key")
+        user_part, params, nparts = self.partition, self.params, n or 32
+
+        @F.pandas_udf("int")
+        def label_of(keys: pd.Series) -> pd.Series:
+            return keys.map(lambda k: int(user_part(k, nparts, params)))
+
+        labeled = df.withColumn("__label", label_of(F.col("key")))
+        return labeled.repartition(nparts, "__label").drop("__label")
+
+    # -- reduce -----------------------------------------------------------
+    def _reduce_stage(self, df: DataFrame) -> DataFrame:
+        user_reduce, user_init, params = self.reduce, self.reduce_init, self.params
+        # reduce2 variant (iter, params) returns an iterable of pairs
+        # (reference func.py:93-114); reduce (iter, out, params) uses out.add.
+        is_reduce2 = len(inspect.signature(user_reduce).parameters) == 2
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def kvstream():
+                first = True
+                for pdf in batches:
+                    rows = _rows_of(pdf)
+                    if first:
+                        rows = iter(list(rows))
+                        if user_init is not None:
+                            user_init(rows, params)
+                        first = False
+                    yield from rows
+
+            stream = kvstream()
+            if is_reduce2:
+                yield from _rebatch(kvify(p) for p in user_reduce(stream, params))
+            else:
+                out = _Out()
+                user_reduce(stream, out, params)
+                yield from _rebatch(out.rows)
+
+        return df.mapInPandas(run, schema=self.reduce_output)
+
+    def run(self, input: DataFrame) -> DataFrame:
+        """Execute the job plan lazily; returns the result DataFrame
+        (the reference's ``job.wait()`` + ``result_iterator`` collapse to
+        ordinary DataFrame actions — SURVEY §3.1 steps 7-8).
+        """
+        df = input
+        if self.map is not None:
+            df = self._map_stage(df)
+        if self.reduce is not None:
+            df = self._shuffle(df)
+            if self.sort:
+                df = df.sortWithinPartitions("key")
+            df = self._reduce_stage(df)
+        return df
+
+
+def disco_job(**kwargs) -> DiscoJob:
+    """Convenience constructor mirroring ``disco.job.Job`` keyword style."""
+    return DiscoJob(**kwargs)

@@ -1,1 +1,166 @@
-"""placeholder — filled in during round 1."""
+"""Registered queries that exercise the classic MapReduce compat layer
+(DiscoJob) end-to-end, with DuckDB oracles — the reference's canonical
+user programs re-run on Spark:
+
+- classic_wordcount   -> reference README.md:17-30, tests/test_50k.py:5-15
+- classic_grep        -> reference examples/util/grep.py:11-21
+- classic_sort_reduce -> reference tests/test_sort.py:9-28 (sorted-stream
+                         reduce + kvgroup)
+- classic_innerjoin   -> reference examples/util/simple_innerjoin.py:6-27
+                         (sort-merge join as a classic job)
+- classic_partition_histogram -> custom partitioner parity
+                         (func.py:39-46) + sum_reduce
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.functions.library import kvgroup, sum_combiner, sum_reduce
+from disco_spark.operators.classic import DiscoJob
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+
+def _wc_map(entry, params):
+    for word in entry.split():
+        yield word, 1
+
+
+@query(
+    "classic_wordcount",
+    oracle="""
+    SELECT tok AS key, COUNT(*) AS value
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+)
+def classic_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    job = DiscoJob(
+        map=_wc_map,
+        combiner=sum_combiner,
+        reduce=sum_reduce,
+        partitions=8,
+        map_output="key string, value bigint",
+        reduce_output="key string, value bigint",
+    )
+    return job.run(t["documents"].select("text"))
+
+
+def _grep_map(entry, params):
+    import re
+
+    doc_id, text = entry
+    if re.search(params, text):
+        yield doc_id, text
+
+
+@query(
+    "classic_grep",
+    oracle="""
+    SELECT doc_id AS key, text AS value FROM documents
+    WHERE regexp_matches(text, 'data')
+    """,
+)
+def classic_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    job = DiscoJob(map=_grep_map, params="data", map_output="key bigint, value string")
+    return job.run(t["documents"].select("doc_id", "text"))
+
+
+def _seg_map(entry, params):
+    yield entry, 1
+
+
+def _count_sorted_groups(iter, out, params):
+    # consumes the byte-sorted stream; kvgroup only works because the
+    # compat layer delivered keys grouped (sort=True contract,
+    # reference lib/disco/worker/classic/worker.py:397-404)
+    for key, vals in kvgroup(iter):
+        out.add(key, sum(vals))
+
+
+@query(
+    "classic_sort_reduce",
+    oracle="SELECT c_mktsegment AS key, COUNT(*) AS value FROM customer GROUP BY c_mktsegment",
+)
+def classic_sort_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    job = DiscoJob(
+        map=_seg_map,
+        reduce=_count_sorted_groups,
+        sort=True,
+        partitions=4,
+        map_output="key string, value bigint",
+        reduce_output="key string, value bigint",
+    )
+    return job.run(t["customer"].select("c_mktsegment"))
+
+
+def _join_reduce(iter, out, params):
+    for _custkey, vals in kvgroup(iter):
+        name, n_orders = None, 0
+        for v in vals:
+            if v.startswith("C:"):
+                name = v[2:]
+            else:
+                n_orders += 1
+        if name is not None:
+            out.add(name, n_orders)
+
+
+@query(
+    "classic_innerjoin",
+    oracle="""
+    SELECT c_name AS key, COUNT(o_orderkey) AS value
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_name
+    """,
+)
+def classic_innerjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    left = t["customer"].select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.concat(F.lit("C:"), F.col("c_name")).alias("value"),
+    )
+    right = t["orders"].select(
+        F.col("o_custkey").cast("string").alias("key"), F.lit("O").alias("value")
+    )
+    job = DiscoJob(
+        reduce=_join_reduce,
+        sort=True,
+        partitions=8,
+        reduce_output="key string, value bigint",
+    )
+    return job.run(left.unionAll(right))
+
+
+def _bucket_map(entry, params):
+    yield int(entry // 50000), 1
+
+
+def _mod_partition(key, n, params):
+    return int(key) % n
+
+
+@query(
+    "classic_partition_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS key, COUNT(*) AS value
+    FROM orders GROUP BY 1
+    """,
+)
+def classic_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    job = DiscoJob(
+        map=_bucket_map,
+        partition=_mod_partition,
+        reduce=sum_reduce,
+        partitions=4,
+        map_output="key bigint, value bigint",
+        reduce_output="key bigint, value bigint",
+    )
+    return job.run(t["orders"].select("o_totalprice"))
