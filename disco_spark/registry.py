@@ -47,5 +47,6 @@ def load_all() -> None:
     from disco_spark.similarity import ann  # noqa: F401
     from disco_spark.index import discodb  # noqa: F401
     from disco_spark.operators import classic_demo  # noqa: F401
+    from disco_spark.plans import pipeline_demo  # noqa: F401
     from disco_spark.streaming import windows  # noqa: F401
     from disco_spark.multimodal import binary_ops  # noqa: F401
