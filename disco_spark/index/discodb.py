@@ -1,1 +1,204 @@
-"""placeholder — filled in during round 1."""
+"""DiscoDB parity: inverted index + CNF boolean queries, Spark-first.
+
+The reference's DiscoDB is an immutable mmap'd multimap ``key -> values``
+built as a job output stream and queried with CNF boolean expressions
+over keys (surface: lib/disco/schemes/scheme_discodb.py:5-52;
+query strings doc/howto/discodb.rst:33-57; lifecycle SURVEY §3.3).
+
+Spark design (SURVEY §4 "custom work" item 2):
+- the index is a plain (key, value) DataFrame; persisted form is a
+  bucketed+sorted Parquet table (``save_index``) so equality lookups
+  prune buckets and per-key scans are sorted runs.
+- ``Q`` parses the reference query language — ``&`` AND, ``|`` OR,
+  ``~`` NOT, parentheses, bare literals — into an AST compiled to
+  DataFrame set algebra over *value sets*: a literal selects the value
+  set of its key; AND=intersect, OR=union, NOT=complement against the
+  index's full value set (discodb query semantics: values whose key
+  sets satisfy the clause).
+- every operation is a semi-join/aggregate — no driver-side iteration,
+  so a 100 TB index queries the same way a 1 GB one does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Q: CNF query language (parser for the reference's query strings,
+# e.g. 'this | word', 'a & (b | c) & ~d' — doc/howto/discodb.rst:38-42)
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Lit:
+    term: str
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class And:
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Or:
+    left: object
+    right: object
+
+
+class Q:
+    """Parsed boolean key-query. ``Q.parse('a & (b | ~c)')``."""
+
+    def __init__(self, ast):
+        self.ast = ast
+
+    @staticmethod
+    def parse(text: str) -> "Q":
+        tokens = Q._lex(text)
+        ast, rest = Q._parse_or(tokens)
+        if rest:
+            raise ValueError(f"trailing tokens in query: {rest!r}")
+        return Q(ast)
+
+    # `urlscan` in the reference decodes queries embedded in discodb://
+    # URL fragments (scheme_discodb.py:13-26); we accept the same
+    # /-separated-clause form.
+    @staticmethod
+    def urlscan(fragment: str) -> "Q":
+        clauses = [c for c in fragment.split("/") if c]
+        text = " & ".join(f"({c})" for c in clauses)
+        return Q.parse(text)
+
+    @staticmethod
+    def _lex(text: str) -> list[str]:
+        out, term = [], []
+        for ch in text:
+            if ch in "&|~()":
+                if term:
+                    out.append("".join(term).strip())
+                    term = []
+                out.append(ch)
+            else:
+                term.append(ch)
+        if term:
+            out.append("".join(term).strip())
+        return [t for t in out if t]
+
+    @staticmethod
+    def _parse_or(toks):
+        left, toks = Q._parse_and(toks)
+        while toks and toks[0] == "|":
+            right, toks = Q._parse_and(toks[1:])
+            left = Or(left, right)
+        return left, toks
+
+    @staticmethod
+    def _parse_and(toks):
+        left, toks = Q._parse_unary(toks)
+        while toks and toks[0] == "&":
+            right, toks = Q._parse_unary(toks[1:])
+            left = And(left, right)
+        return left, toks
+
+    @staticmethod
+    def _parse_unary(toks):
+        if not toks:
+            raise ValueError("empty query")
+        if toks[0] == "~":
+            child, toks = Q._parse_unary(toks[1:])
+            return Not(child), toks
+        if toks[0] == "(":
+            inner, toks = Q._parse_or(toks[1:])
+            if not toks or toks[0] != ")":
+                raise ValueError("unbalanced parenthesis")
+            return inner, toks[1:]
+        if toks[0] in ("&", "|", ")"):
+            raise ValueError(f"unexpected token {toks[0]!r}")
+        return Lit(toks[0]), toks[1:]
+
+
+# --------------------------------------------------------------------------
+# Index
+# --------------------------------------------------------------------------
+class InvertedIndex:
+    """A (key, value) multimap as a DataFrame, with DiscoDB's query ops."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df.select(F.col("key"), F.col("value"))
+
+    # -- construction -------------------------------------------------
+    @staticmethod
+    def from_tokens(df: DataFrame, text_col: str, id_col: str) -> "InvertedIndex":
+        """Build token->doc index (the wordcount_ddb.py:10-22 pattern)."""
+        toks = df.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("key"),
+            F.col(id_col).alias("value"),
+        ).filter(F.col("key") != "")
+        return InvertedIndex(toks.distinct())
+
+    # -- persistence: bucketed+sorted table = the immutable mmap file ----
+    def save(self, spark: SparkSession, table: str, buckets: int = 32) -> None:
+        (
+            self.df.write.mode("overwrite")
+            .bucketBy(buckets, "key")
+            .sortBy("key")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    @staticmethod
+    def load(spark: SparkSession, table: str) -> "InvertedIndex":
+        return InvertedIndex(spark.table(table))
+
+    # -- enumeration ops (scheme_discodb.py:20-25 method dispatch) -------
+    def keys(self) -> DataFrame:
+        return self.df.select("key").distinct()
+
+    def values(self) -> DataFrame:
+        return self.df.select("value")
+
+    def items(self) -> DataFrame:
+        return self.df
+
+    def unique_values(self) -> DataFrame:
+        return self.df.select("value").distinct()
+
+    # -- boolean query ---------------------------------------------------
+    def query(self, q: "Q | str") -> DataFrame:
+        """Values whose key sets satisfy the CNF clause."""
+        if isinstance(q, str):
+            q = Q.parse(q)
+        return self._eval(q.ast)
+
+    def _key_values(self, term: str) -> DataFrame:
+        # equality predicate pushes to the parquet scan / bucket pruning
+        return self.df.filter(F.col("key") == term).select("value").distinct()
+
+    def _eval(self, node) -> DataFrame:
+        if isinstance(node, Lit):
+            return self._key_values(node.term)
+        if isinstance(node, And):
+            return self._eval(node.left).intersect(self._eval(node.right))
+        if isinstance(node, Or):
+            return self._eval(node.left).union(self._eval(node.right)).distinct()
+        if isinstance(node, Not):
+            return self.unique_values().exceptAll(self._eval(node.child))
+        raise TypeError(f"bad AST node {node!r}")
+
+    def metaquery(self, q: "Q | str") -> DataFrame:
+        """Query, then expand resulting values as keys (the reference's
+        variable expansion over key->keys metadata, query_ddb.py:13-19):
+        a self semi-join of the index."""
+        hits = self.query(q)
+        return (
+            self.df.join(hits.withColumnRenamed("value", "key"), on="key", how="left_semi")
+            .select("value")
+            .distinct()
+        )

