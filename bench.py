@@ -26,11 +26,16 @@ HEADLINE = [
     "topk_orders",
     "global_sort_orders",
     "window_top_order_per_customer",
-    # appended as modules land:
-    "wordcount",
+    "classic_wordcount",
+    "pipeline_node_label_condense",
+    "discodb_query_and",
+    "text_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    # appended as modules land:
     "events_tumbling_window",
 ]
 

@@ -1,1 +1,333 @@
-"""placeholder — filled in during round 1."""
+"""Deduplication operators for training-data pipelines (beyond-reference
+surface; driver north star): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the point of each algorithm at 100 TB):
+- exact: one hash-shuffle on a 32-byte key; the groupBy carries only
+  (hash, doc_id), never the text.
+- minhash_lsh: per-doc signatures are a single groupBy over exploded
+  shingles (map-side partial min); candidate generation joins on
+  (band_idx, band_key) so the self-join is band-bucketed, never all-pairs.
+- ngram_jaccard: pairs only materialize for docs sharing >= 1 shingle
+  (inverted-shingle join), not the n^2 cross product.
+- simhash: signature is computed in one Arrow-batched pandas UDF
+  (numpy bit ops), output is 8 bytes/doc; banding the top bits gives
+  the same join-bucketed candidate pattern as minhash.
+- embedding cosine: blocked on the `label` column (IVF-style coarse
+  quantizer) so the pair space is per-block, not global.
+
+All md5-based hashing matches DuckDB bit-for-bit, so every operator has
+a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+def _toks() -> Column:
+    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS rep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content hash; representative = min id."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias(
+                "content_hash"
+            ),
+            "doc_id",
+        )
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles (shared by minhash + jaccard)
+# --------------------------------------------------------------------------
+def shingle_df(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle)."""
+    toks = _toks()
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    shingles AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+            WHERE len(toks) >= 3)
+    )
+""".format(toks=_TOKS_SQL)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+N_HASHES = 6
+BAND_SIZE = 2  # 3 bands of 2 -> candidates need one identical band
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh0..mhN): each mh_i = min over shingles of
+    md5('s<i> ' || shingle) — md5 under distinct salts is the classic
+    k-independent-ish hash family, and is reproducible in any engine."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i} "), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5(concat('s{i} ', shingle))) AS mh{i}" for i in range(N_HASHES))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(concat(mh0, mh1)) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(concat(mh2, mh3)) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(concat(mh4, mh5)) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures -> banded LSH -> candidate duplicate pairs."""
+    t = load_tables(spark, sf_dir)
+    sig = minhash_signatures(shingle_df(t["documents"]))
+    bands = None
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_key")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.toDF("doc_a", "band_idx", "band_key")
+    b = bands.toDF("doc_b", "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard similarity pairs
+# --------------------------------------------------------------------------
+JACCARD_MIN = 0.05
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over 3-gram shingle sets, inverted-index join (pairs
+    exist only for docs sharing a shingle — never the n^2 cross space)."""
+    t = load_tables(spark, sf_dir)
+    sh = shingle_df(t["documents"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c")), 6
+    )
+    return (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (60-bit, md5-derived) — Arrow-batched pandas UDF fast path
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 60
+
+
+def _simhash_of(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    hv = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks),
+        dtype=np.int64,
+        count=len(toks),
+    )
+    bits = (hv[:, None] >> np.arange(SIMHASH_BITS)) & 1  # (n_tokens, 60)
+    votes = np.where(bits == 1, 1, -1).sum(axis=0)
+    sig = int(((votes > 0).astype(np.int64) << np.arange(SIMHASH_BITS)).sum())
+    return sig
+
+
+def simhash_udf() -> "F.udf":
+    """Arrow-batched SimHash UDF (built lazily: pandas_udf registration
+    needs an active SparkSession)."""
+
+    @F.pandas_udf("bigint")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_simhash_of)
+
+    return _udf
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document. The signature UDF is Arrow-batched
+    and numpy-vectorized over the bit dimension; output is 8 bytes/doc,
+    so downstream near-dup search joins on signature bands exactly like
+    minhash (see tests for the hamming-distance pairing)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+
+
+def simhash_pairs(docs_with_sig: DataFrame, max_hamming: int = 3, band_bits: int = 20) -> DataFrame:
+    """Near-dup pairs: band on the top `band_bits` bits (join-bucketed),
+    then exact hamming filter via bit_count(xor) — both JVM built-ins."""
+    a = docs_with_sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        F.shiftright("simhash", SIMHASH_BITS - band_bits).alias("band"),
+    )
+    b = docs_with_sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        F.shiftright("simhash", SIMHASH_BITS - band_bits).alias("band"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (blocked on the label column = IVF coarse cells)
+# --------------------------------------------------------------------------
+COS_MIN = 0.40
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double (JVM
+    higher-order functions; no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COS_MIN}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (the label column is
+    the coarse quantizer: pair space is per-block, not global n^2)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cos_sim") >= COS_MIN)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -1,1 +1,167 @@
-"""placeholder — filled in during round 1."""
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata structs, processed by Arrow-batched pandas UDFs over
+``mapInPandas`` (beyond-reference surface; driver north star).
+
+The real codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+the decode step is STUBBED: ``real_decode`` raises NotImplementedError,
+and ``fake_decode`` produces a deterministic byte-derived "image" so the
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — is real and tested end-to-end. Swapping in a real codec touches
+exactly one function.
+
+Scale notes: payloads never leave the executor (no collect); each
+mapInPandas batch holds ~maxRecordsPerBatch rows of binary — for real
+media set spark.sql.execution.arrow.maxRecordsPerBatch low (e.g. 64)
+so a batch of 4K-frame images fits executor memory; feature extraction
+emits fixed-width rows so downstream joins/aggs are columnar again.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+MEDIA_SCHEMA = (
+    "media_id bigint, media_type string, payload binary, "
+    "meta struct<width:int, height:int, format:string>"
+)
+
+
+def make_media_table(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic media table from documents: the payload
+    is the md5 digest bytes of the text (16 opaque bytes standing in for
+    an encoded image)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.unhex(F.md5(F.col("text"))).alias("payload"),
+        F.struct(
+            F.lit(4).alias("width"), F.lit(4).alias("height"), F.lit("fake8").alias("format")
+        ).alias("meta"),
+    )
+
+
+def real_decode(payload: bytes, fmt: str) -> np.ndarray:
+    """The codec seam. Wire PIL/libvips/ffmpeg here on a cluster image."""
+    raise NotImplementedError(
+        "image/audio codecs are not available in this container; "
+        "use fake_decode for plumbing tests"
+    )
+
+
+def fake_decode(payload: bytes, fmt: str) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes as a uint8 raster."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_media(media: DataFrame, decode=fake_decode) -> DataFrame:
+    """binary payload -> pixel rows: (media_id, pixels, width, height).
+
+    The UDF signature and batch shape are exactly what a real decoder
+    needs; only `decode` changes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = [
+                decode(p, m["format"]).astype("int32").tolist()
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "pixels": pixels,
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id bigint, pixels array<int>, width int, height int"
+    )
+
+
+def extract_features(decoded: DataFrame) -> DataFrame:
+    """Per-media pixel statistics (the 'embedding' stand-in): pure
+    column expressions over the decoded arrays — JVM-side."""
+    px = F.col("pixels")
+    as_double = F.transform(px, lambda x: x.cast("double"))
+    return decoded.select(
+        "media_id",
+        F.size(px).alias("n_px"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x) / F.size(px), 6
+        ).alias("mean_px"),
+        F.array_min(px).alias("min_px"),
+        F.array_max(px).alias("max_px"),
+    )
+
+
+def resize(decoded: DataFrame, factor: int) -> DataFrame:
+    """Stub resize: keep every `factor`-th pixel (a real implementation
+    swaps in cv2/PIL inside decode_media's pass instead)."""
+    return decoded.select(
+        "media_id",
+        F.filter(
+            F.transform(F.col("pixels"), lambda x, i: F.when(i % factor == 0, x)),
+            lambda x: x.isNotNull(),
+        ).alias("pixels"),
+        (F.col("width") / factor).cast("int").alias("width"),
+        "height",
+    )
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 4, every: int = 2) -> DataFrame:
+    """Video-style frame sampling: treat the payload as concatenated
+    fixed-size frames, emit every `every`-th frame (1->N explode inside
+    one Arrow pass)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_fi, out_frame = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = [
+                    p[i : i + frame_bytes] for i in range(0, len(p), frame_bytes)
+                ]
+                for fi in range(0, len(frames), every):
+                    out_id.append(mid)
+                    out_fi.append(fi)
+                    out_frame.append(frames[fi])
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_fi, "frame": out_frame}
+            )
+
+    return media.mapInPandas(run, schema="media_id bigint, frame_idx int, frame binary")
+
+
+@query(
+    "multimodal_pixel_stats",
+    oracle="""
+    WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT media_id,
+             [('0x' || substr(hx, i * 2 - 1, 2))::INT FOR i IN generate_series(1, 16)] AS bytes
+      FROM h
+    )
+    SELECT media_id,
+           len(bytes) AS n_px,
+           ROUND(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 6) AS mean_px,
+           list_min(bytes) AS min_px,
+           list_max(bytes) AS max_px
+    FROM b
+    """,
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline: synthesize binary media -> Arrow decode
+    pass -> columnar feature extraction. The oracle recomputes the same
+    byte statistics from the md5 hex directly."""
+    t = load_tables(spark, sf_dir)
+    return extract_features(decode_media(make_media_table(t["documents"])))

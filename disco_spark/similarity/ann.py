@@ -1,1 +1,132 @@
-"""placeholder — filled in during round 1."""
+"""Similarity search over embedding columns (beyond-reference surface;
+driver north star): brute-force cosine top-k as the exactness baseline,
+and an IVF-style bucketed variant as the scale path.
+
+Scale design:
+- brute force: the query set is broadcast (it's small by construction);
+  the scan side computes cosine via JVM higher-order functions and each
+  partition keeps only its local top-k before the final merge
+  (window rank under AQE -> partial TopK), so shuffle traffic is
+  O(queries * k), not O(rows).
+- IVF: a coarse quantizer (here: per-label centroids, i.e. the natural
+  cluster ids of the data) maps every vector to a cell; a query probes
+  only its nearest `nprobe` cells. At 100 TB the cells are the
+  partition/bucket key, so a probe is a partition-pruned scan, not a
+  full pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from disco_spark.dedup.dedup import cosine
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+N_QUERIES = 5
+TOP_K = 5
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N query vectors —
+    the correctness baseline every ANN variant is measured against."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style bucketed ANN (scale path; verified by recall-vs-bruteforce test)
+# --------------------------------------------------------------------------
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """Per-cell centroids: element-wise mean of embeddings per label
+    (posexplode + groupBy keeps this a pure shuffle-agg; at scale this
+    is the one-time 'train' pass of the coarse quantizer)."""
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+    )
+    return dims.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+        ).alias("pairs")
+    ).select(
+        "label", F.transform(F.col("pairs"), lambda p: p["mean_val"]).alias("centroid")
+    )
+
+
+def ann_ivf_search(
+    e: DataFrame, queries: DataFrame, k: int = TOP_K, nprobe: int = 2
+) -> DataFrame:
+    """Probe the `nprobe` nearest cells per query, exact-rank inside them.
+
+    queries: (query_id, q_emb). Returns (query_id, neighbor_id, cos_sim).
+    """
+    cents = ivf_centroids(e)
+    # rank cells per query by centroid cosine; keep nprobe cells
+    qc = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", cosine(F.col("q_emb"), F.col("centroid")))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    probe = (
+        qc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "label")
+    )
+    # partition-pruned scan of the probed cells only
+    scored = (
+        e.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+@query("ann_ivf_topk")  # no SQL oracle: iterative/probed plan; recall test in tests/
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ann_ivf_search(e, q, k=TOP_K, nprobe=3)

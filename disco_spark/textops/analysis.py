@@ -1,1 +1,185 @@
-"""placeholder — filled in during round 1."""
+"""Text-analysis operators for training-data pipelines (beyond-reference
+surface; driver north star): token counting, quality scoring, language
+ID, document fingerprinting. Everything here is built-in-function Spark
+(whole-stage codegen; zero Python UDFs) — at 100 TB these run as a
+single scan with no shuffle.
+
+The only reference analog is the wordcount/grep family
+(README.md:17-30, examples/util/grep.py) — covered in classic_demo;
+these operators extend the same one-pass-scan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+# shared tokenization: non-empty runs after splitting on whitespace —
+# identical semantics in Spark (split + filter) and DuckDB
+# (regexp_split_to_array + list_filter), verified in tests.
+def _toks(col: str = "text") -> Column:
+    return F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+# language-ID stopword profiles (tiny n-gram/stopword heuristic; order of
+# comparison = fixed precedence en > de > fr > es on ties)
+_PROFILES = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "les", "une", "et", "est", "dans"],
+    "es": ["el", "los", "una", "y", "es", "que"],
+}
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def _hits_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words_re,
+           length(text) AS n_chars,
+           ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / len(toks), 6) AS avg_token_len
+    FROM d
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens (the
+    BPE-ish lower bound) + char length + mean token length."""
+    t = load_tables(spark, sf_dir)
+    toks = _toks()
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).alias("n_words_re"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           ROUND(CAST({_hits_sql(_PROFILES["en"])} AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio,
+           ROUND(0.4 * (CAST({_hits_sql(_PROFILES["en"])} AS DOUBLE) / len(toks))
+               + 0.4 * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.2 * LEAST(CAST(length(text) AS DOUBLE) / 500, 1.0), 6) AS quality
+    FROM d
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + alphabetic ratio + length prior,
+    the standard cheap pre-filters before expensive LLM-data cleaning."""
+    t = load_tables(spark, sf_dir)
+    toks = _toks()
+    stop_ratio = _hits(toks, _PROFILES["en"]).cast("double") / F.size(toks)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    length_prior = F.least(F.length("text").cast("double") / 500, F.lit(1.0))
+    return t["documents"].select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * length_prior, 6).alias("quality"),
+    )
+
+
+def _langid_cases_sql() -> str:
+    h = {lang: _hits_sql(words) for lang, words in _PROFILES.items()}
+    return f"""
+      CASE WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} AND {h['en']} >= {h['es']} THEN 'en'
+           WHEN {h['de']} >= {h['fr']} AND {h['de']} >= {h['es']} THEN 'de'
+           WHEN {h['fr']} >= {h['es']} THEN 'fr'
+           ELSE 'es' END
+    """
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id, lang, {_langid_cases_sql()} AS lang_pred FROM d
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with fixed precedence on ties."""
+    t = load_tables(spark, sf_dir)
+    toks = _toks()
+    h = {lang: _hits(toks, words) for lang, words in _PROFILES.items()}
+    pred = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en")
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when(h["fr"] >= h["es"], "fr")
+        .otherwise("es")
+    )
+    return t["documents"].select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, min(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS fp_shingle_min
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_norm,
+           sh.fp_shingle_min
+    FROM d LEFT JOIN sh USING (doc_id)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus a
+    winnowing-style minimum over 3-token shingle hashes (the building
+    block minhash dedup reuses)."""
+    t = load_tables(spark, sf_dir)
+    toks = _toks()
+    shingle_min = F.when(
+        F.size(toks) >= 3,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    )
+                ),
+            )
+        ),
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp_norm"),
+        shingle_min.alias("fp_shingle_min"),
+    )

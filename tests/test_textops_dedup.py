@@ -1,0 +1,94 @@
+"""Text analysis + dedup: oracle matches on real testdata, plus
+synthetic near-duplicate goldens proving the detectors actually detect."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from disco_spark import registry
+from disco_spark.dedup.dedup import (
+    minhash_signatures,
+    shingle_df,
+    simhash_pairs,
+    simhash_udf,
+)
+from disco_spark.testing import compare_query
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+TEXT = ["text_token_stats", "text_quality_score", "text_lang_id", "text_fingerprint"]
+DEDUP = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+]
+
+
+@pytest.mark.parametrize("name", TEXT + DEDUP)
+def test_oracle(spark, name):
+    compare_query(spark, name, SF_SMOKE)
+
+
+@pytest.fixture()
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),         # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_dup_docs):
+    sig = minhash_signatures(shingle_df(near_dup_docs))
+    sigs = {r.doc_id: [r[f"mh{i}"] for i in range(6)] for r in sig.collect()}
+    assert sigs[1] == sigs[2]  # identical docs -> identical signatures
+    shared_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    shared_14 = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert shared_13 > shared_14  # near dup shares more minhashes than unrelated
+    assert shared_14 == 0
+
+
+def test_simhash_hamming_separates(spark, near_dup_docs):
+    df = near_dup_docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df, max_hamming=60, band_bits=0).collect()}
+    assert pairs[(1, 2)] == 0  # identical
+    assert pairs[(1, 3)] < pairs[(1, 4)]  # near dup closer than unrelated
+
+
+def test_exact_dedup_groups(spark, near_dup_docs):
+    near_dup_docs.createOrReplaceTempView("documents")
+    out = (
+        near_dup_docs.select(
+            F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("h"),
+            "doc_id",
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep"))
+        .collect()
+    )
+    by_n = sorted(r.n for r in out)
+    assert by_n == [1, 1, 2]  # docs 1+2 collapse
+
+
+def test_jaccard_math(spark, near_dup_docs):
+    sh = shingle_df(near_dup_docs)
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .count()
+        .collect()
+    )
+    pairs = {(r.doc_a, r.doc_b): r["count"] for r in common}
+    assert (1, 2) in pairs  # exact dup shares all shingles
+    assert (1, 3) in pairs  # near dup shares some
+    assert (1, 4) not in pairs  # unrelated shares none
