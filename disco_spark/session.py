@@ -96,7 +96,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
                 # restore a proper (µs) TimestampType column.
                 from pyspark.sql import functions as F
 
-                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                # integer division: epoch-ns exceeds double's 53-bit
+                # mantissa, so float division would corrupt microseconds
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             df.createOrReplaceTempView(name)
             out[name] = df
     if not out:

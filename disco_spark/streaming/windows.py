@@ -1,1 +1,199 @@
-"""placeholder — filled in during round 1."""
+"""Streaming surface over the events table (beyond-reference: the
+reference is strictly batch — SURVEY §2.8; its closest construct,
+concurrent pipeline stages, is explicitly mapped to Structured
+Streaming micro-batches).
+
+Operators: tumbling / sliding / session windows, watermark late-data
+handling, stateful dedup. Each windowed aggregation is registered both
+as a batch query (with a DuckDB oracle — streaming results must
+converge to the batch answer, which is exactly what the oracle checks)
+and exercised as a REAL readStream→writeStream run:
+``streaming_tumbling_window`` executes Structured Streaming with an
+availableNow trigger into a memory sink inside the query call.
+
+Scale notes: event-time windows + watermarks bound state (state store
+holds only open windows); dropDuplicatesWithinWatermark bounds the
+dedup state the same way. shuffle partitions size the state store
+parallelism — at 100 TB of events/day you'd set
+spark.sql.shuffle.partitions to O(cores) and checkpoint to object store.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+_TUMBLING_ORACLE = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _tumbling_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("events_tumbling_window", oracle=_TUMBLING_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return _tumbling_agg(t["events"])
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH grid AS (
+      SELECT *, unnest([time_bucket(INTERVAL '30 minutes', ts),
+                        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      FROM events
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM grid
+    WHERE ts < ws + INTERVAL '1 hour'   -- window [ws, ws+1h) containing ts
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min: each event lands in 2 windows."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL '10 minutes' AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 10-minute inactivity gap per user.
+    (Spark defines session end = last event + gap; the oracle mirrors
+    the same gaps-and-islands semantics.)"""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_dedup_by_key",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_users
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of stateful streaming dedup (dropDuplicates on key
+    columns; the streaming run uses dropDuplicatesWithinWatermark to
+    bound state — exercised in tests)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    *,
+    output_mode: str = "complete",
+    watermark: tuple[str, str] | None = ("ts", "1 hour"),
+) -> DataFrame:
+    """Execute a REAL Structured Streaming job over events.parquet:
+    readStream -> transform -> memory sink, availableNow trigger (process
+    everything, then stop). Returns the sink contents as a DataFrame."""
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # file stream sources need a directory: stream the sf dir, glob-filtered
+    # to the events file (on a cluster this is the landing directory new
+    # event files drop into).
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":  # ns-precision parquet (see session.py)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if watermark is not None:
+        stream = stream.withWatermark(*watermark)
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query("streaming_tumbling_window", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation executed as an actual streaming query
+    (readStream + watermark + availableNow); its result must equal the
+    batch/oracle answer — the streaming-converges-to-batch guarantee."""
+    return run_stream_to_memory(spark, sf_dir, _tumbling_agg)
