@@ -1,0 +1,123 @@
+"""Source readers: the reference's URL-scheme/line-reader surface
+(SURVEY §2.1) re-expressed on Spark datasources.
+
+| reference                                   | here                        |
+|---------------------------------------------|-----------------------------|
+| scheme_file / scheme_http line readers      | read_lines (spark.read.text)|
+| gzip_line_reader (task_io.py:11-27)         | read_lines — Spark decodes  |
+|                                             | .gz transparently by codec  |
+| re_reader (task_io.py:251-317)              | re_reader / re_reader_df    |
+| netstring reader/writer (task_io.py:184-249)| read_netstring/write_netstring |
+| scheme_raw (scheme_raw.py:1-10)             | read_raw                    |
+| csv test fixtures (tests/test_query.py)     | read_csv_named              |
+| DDFS chunk ingest (ddfs.py:121-159)         | chunked_write               |
+| result_iterator (core.py:383-420)           | result_iterator             |
+
+hdfs/s3 scheme parity is Spark-native (hdfs:// and s3a:// URIs on any
+reader here); redis-style sinks are foreachPartition writers — both out
+of local-test scope, documented for cluster use.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Text lines, one row per line; .gz/.bz2 paths decompress natively
+    (the gzip_line_reader equivalent)."""
+    return spark.read.text(path).withColumnRenamed("value", "line")
+
+
+def re_reader_df(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """The reference re_reader: yield every regex match as a record
+    (one row per match, 1->N)."""
+    return df.select(
+        F.explode(F.regexp_extract_all(F.col(col), F.lit(pattern), 0)).alias("match")
+    )
+
+
+def read_raw(spark: SparkSession, urls: list[str]) -> DataFrame:
+    """raw:// inputs — the URL body IS the record (scheme_raw.py:1-10)."""
+    rows = []
+    for u in urls:
+        body = u[len("raw://"):] if u.startswith("raw://") else u
+        rows.append((body,))
+    return spark.createDataFrame(rows, "value string")
+
+
+def read_csv_named(spark: SparkSession, path: str, **options) -> DataFrame:
+    """CSV with the reference test-fixture convention (first row may be a
+    table name — handled by plain header options here)."""
+    return spark.read.options(header=True, inferSchema=True, **options).csv(path)
+
+
+# --------------------------------------------------------------------------
+# netstring compat (reference task_io.py:184-249: '<len> <data>,' frames;
+# we keep the classic netstring wire form 'len:data,')
+# --------------------------------------------------------------------------
+def write_netstring(df: DataFrame, path: str, col: str = "value") -> None:
+    """Write one netstring frame per row into part files (binary sink,
+    one file per partition — the plain_output_stream analog)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                f"{len(s.encode())}:".encode() + s.encode() + b","
+                for s in pdf[col].astype(str)
+            ]
+            yield pd.DataFrame({"frame": [b"".join(frames)]})
+
+    frames = df.mapInPandas(encode, schema="frame binary")
+    # text/binary part files: reuse parquet for the frame blobs' container
+    frames.write.mode("overwrite").parquet(path)
+
+
+def read_netstring(spark: SparkSession, path: str) -> DataFrame:
+    """Parse netstring frames back to rows (streaming parser per blob)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["frame"]:
+                buf = bytes(blob)
+                i = 0
+                while i < len(buf):
+                    j = buf.index(b":", i)
+                    n = int(buf[i:j])
+                    out.append(buf[j + 1 : j + 1 + n].decode())
+                    i = j + 1 + n + 1  # skip trailing comma
+            yield pd.DataFrame({"value": out})
+
+    return spark.read.parquet(path).mapInPandas(decode, schema="value string")
+
+
+# --------------------------------------------------------------------------
+# chunked ingest + client-side iteration
+# --------------------------------------------------------------------------
+def chunked_write(
+    df: DataFrame, path: str, *, target_mb: int = 64, sample_rows: int = 1000
+) -> None:
+    """DDFS chunk analog (CHUNK_SIZE=64MB, fileutils.py:14): bound output
+    file sizes via maxRecordsPerFile estimated from a row-size sample.
+    On a cluster this is how ingest produces uniformly-sized parquet."""
+    sample = df.limit(sample_rows).toPandas()
+    row_bytes = max(1, int(sample.memory_usage(deep=True).sum() / max(len(sample), 1)))
+    # parquet compresses ~3-5x vs in-memory pandas; stay conservative
+    rows_per_file = max(1000, (target_mb * 1024 * 1024 * 3) // row_bytes)
+    df.write.option("maxRecordsPerFile", rows_per_file).mode("overwrite").parquet(path)
+
+
+def result_iterator(df: DataFrame):
+    """Client-side streaming over results without materializing them on
+    the driver (reference core.py:383-420). Rows stream partition by
+    partition."""
+    for row in df.toLocalIterator():
+        yield tuple(row)

@@ -1,0 +1,118 @@
+"""Sources, catalog (DDFS tag analog), and external-program operator."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from disco_spark import registry
+from disco_spark.operators.external import pipe_table, pipe_with_metrics
+from disco_spark.sources.catalog import TagCatalog
+from disco_spark.sources.readers import (
+    chunked_write,
+    read_lines,
+    read_netstring,
+    read_raw,
+    result_iterator,
+    re_reader_df,
+    write_netstring,
+)
+from disco_spark.testing import compare_query
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+@pytest.mark.parametrize(
+    "name", ["source_re_reader", "source_raw_literals", "external_pipe_upper"]
+)
+def test_source_oracle(spark, name):
+    compare_query(spark, name, SF_SMOKE)
+
+
+def test_read_lines_and_gzip(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "plain.txt"
+    p.write_text("one\ntwo\nthree\n")
+    gz = tmp_path / "zipped.txt.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("four\nfive\n")
+    plain = {r.line for r in read_lines(spark, str(p)).collect()}
+    zipped = {r.line for r in read_lines(spark, str(gz)).collect()}
+    assert plain == {"one", "two", "three"}
+    assert zipped == {"four", "five"}  # transparent gzip decode
+
+
+def test_re_reader_multiple_matches(spark):
+    df = spark.createDataFrame([("a1 b22 c333",)], "s string")
+    out = [r.match for r in re_reader_df(df, "s", r"[0-9]+").collect()]
+    assert sorted(out) == ["1", "22", "333"]
+
+
+def test_raw_scheme(spark):
+    vals = {r.value for r in read_raw(spark, ["raw://x", "plain"]).collect()}
+    assert vals == {"x", "plain"}
+
+
+def test_netstring_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("hello",), ("wor,ld",), ("",), ("tab\tchar",)], "value string")
+    path = str(tmp_path / "ns")
+    write_netstring(df, path)
+    back = {r.value for r in read_netstring(spark, path).collect()}
+    assert back == {"hello", "wor,ld", "", "tab\tchar"}
+
+
+def test_chunked_write_bounds_file_count(spark, tmp_path):
+    df = spark.range(100_000).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+    path = str(tmp_path / "chunks")
+    chunked_write(df.repartition(1), path, target_mb=1)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) >= 2  # 1MB target forces a split
+    assert spark.read.parquet(path).count() == 100_000
+
+
+def test_result_iterator_streams(spark):
+    df = spark.range(10).select(F.col("id"))
+    assert sorted(v for (v,) in result_iterator(df)) == list(range(10))
+
+
+def test_tag_catalog_crud_and_walk(spark):
+    cat = TagCatalog(spark)
+    for t in ("t_a", "t_b", "t_parent", "t_grand"):
+        cat.delete(t)
+    cat.push("t_a", spark.createDataFrame([(1,)], "v bigint"))
+    cat.push("t_b", spark.createDataFrame([(2,)], "v bigint"))
+    cat.push("t_a", spark.createDataFrame([(3,)], "v bigint"))  # append = add blob
+    try:
+        assert sorted(r.v for r in cat.get("t_a").collect()) == [1, 3]
+        cat.link("t_parent", ["t_a", "t_b"])
+        assert sorted(r.v for r in cat.get("t_parent").collect()) == [1, 2, 3]
+        cat.link("t_grand", ["t_parent"])
+        assert cat.walk("t_grand") == ["t_grand", "t_parent", "t_a", "t_b"]
+        cat.setattr("t_a", "owner", "pipeline-7")
+        assert cat.getattr("t_a", "owner") == "pipeline-7"
+        cat.delattr("t_a", "owner")
+        assert cat.getattr("t_a", "owner") is None
+        assert "t_a" in cat.findtags("t_")
+    finally:
+        for t in ("t_grand", "t_parent", "t_a", "t_b"):
+            cat.delete(t)
+
+
+def test_pipe_with_metrics_oob(spark):
+    df = spark.createDataFrame([("x",), ("y",), ("z",)], "s string")
+    out, acc = pipe_with_metrics(df, "tr 'a-z' 'A-Z'", "s string")
+    got = {r.s for r in out.collect()}
+    assert got == {"X", "Y", "Z"}
+    assert acc.value == 3  # OOB counter observed on the driver
+
+
+def test_pipe_awk_multiline(spark):
+    """1->N from the external program (like reference external map)."""
+    df = spark.createDataFrame([("a b",), ("c",)], "s string")
+    out = pipe_table(df, "awk '{for(i=1;i<=NF;i++) print $i}'", "tok string")
+    assert sorted(r.tok for r in out.collect()) == ["a", "b", "c"]
