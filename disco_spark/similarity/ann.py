@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from disco_spark.dedup.dedup import cosine
+from disco_spark.dedup.dedup import cosine, dot, norm
 from disco_spark.registry import query
 from disco_spark.session import load_tables
 
@@ -51,13 +51,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the first N query vectors —
     the correctness baseline every ANN variant is measured against."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"]
+    # per-row norms before the pair join (cosine() inside the join would
+    # re-walk both arrays per pair); dot/(nq·ne) keeps the exact
+    # arithmetic of cosine(q_emb, embedding), so values are bit-stable.
+    e = t["embeddings"].withColumn("nrm", norm(F.col("embedding")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            ),
+        )
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -106,13 +116,20 @@ def ann_ivf_search(
     probe = (
         qc.withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_emb", "label")
+        .select("query_id", "q_emb", norm(F.col("q_emb")).alias("q_nrm"), "label")
     )
-    # partition-pruned scan of the probed cells only
+    # partition-pruned scan of the probed cells only; norms precomputed
+    # per row, not per pair
     scored = (
-        e.join(F.broadcast(probe), "label")
+        e.withColumn("nrm", norm(F.col("embedding")))
+        .join(F.broadcast(probe), "label")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

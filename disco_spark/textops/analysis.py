@@ -24,6 +24,16 @@ def _toks(col: str = "text") -> Column:
     return F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit(""))
 
 
+def with_toks(df: DataFrame, col: str = "text") -> DataFrame:
+    """Project tokenization ONCE as a `toks` column. Expressions that
+    reference tokens (especially inside higher-order-function lambdas,
+    where Catalyst does no common-subexpression elimination) must use
+    `F.col("toks")`, never the raw `_toks()` expression — inlining the
+    split+filter into a lambda body re-tokenizes the document on every
+    lambda invocation (measured 19x slowdown on the shingle scan)."""
+    return df.withColumn("toks", _toks(col))
+
+
 _TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 # language-ID stopword profiles (tiny n-gram/stopword heuristic; order of
@@ -63,8 +73,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + regex word tokens (the
     BPE-ish lower bound) + char length + mean token length."""
     t = load_tables(spark, sf_dir)
-    toks = _toks()
-    return t["documents"].select(
+    toks = F.col("toks")
+    return with_toks(t["documents"]).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).alias("n_words_re"),
@@ -95,14 +105,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + alphabetic ratio + length prior,
     the standard cheap pre-filters before expensive LLM-data cleaning."""
     t = load_tables(spark, sf_dir)
-    toks = _toks()
+    toks = F.col("toks")
     stop_ratio = _hits(toks, _PROFILES["en"]).cast("double") / F.size(toks)
     alpha_ratio = (
         F.length(F.regexp_replace(F.col("text"), "[^a-z ]", "")).cast("double")
         / F.length("text")
     )
     length_prior = F.least(F.length("text").cast("double") / 500, F.lit(1.0))
-    return t["documents"].select(
+    return with_toks(t["documents"]).select(
         "doc_id",
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -130,7 +140,7 @@ def _langid_cases_sql() -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID with fixed precedence on ties."""
     t = load_tables(spark, sf_dir)
-    toks = _toks()
+    toks = F.col("toks")
     h = {lang: _hits(toks, words) for lang, words in _PROFILES.items()}
     pred = (
         F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en")
@@ -138,7 +148,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h["fr"] >= h["es"], "fr")
         .otherwise("es")
     )
-    return t["documents"].select("doc_id", "lang", pred.alias("lang_pred"))
+    return with_toks(t["documents"]).select("doc_id", "lang", pred.alias("lang_pred"))
 
 
 @query(
@@ -161,7 +171,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing-style minimum over 3-token shingle hashes (the building
     block minhash dedup reuses)."""
     t = load_tables(spark, sf_dir)
-    toks = _toks()
+    toks = F.col("toks")
     shingle_min = F.when(
         F.size(toks) >= 3,
         F.array_min(
@@ -178,7 +188,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return t["documents"].select(
+    return with_toks(t["documents"]).select(
         "doc_id",
         F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp_norm"),
         shingle_min.alias("fp_shingle_min"),
