@@ -22,6 +22,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "join_count_by_priority",
     "topk_orders",
     "global_sort_orders",

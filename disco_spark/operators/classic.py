@@ -223,3 +223,58 @@ class DiscoJob:
 def disco_job(**kwargs) -> DiscoJob:
     """Convenience constructor mirroring ``disco.job.Job`` keyword style."""
     return DiscoJob(**kwargs)
+
+
+class JobChain(dict):
+    """Dependency-ordered multi-job execution, mirroring the reference's
+    ``JobChain`` (lib/disco/job.py:155-190: a dict {job: inputs} where an
+    input may be another job, run with ``.run().wait()``).
+
+    Here inputs are DataFrames or other ``DiscoJob`` keys of the same
+    chain; multiple inputs are unioned (the reference concatenates input
+    URL lists). An intermediate consumed by more than one downstream job
+    is ``persist()``-ed so the chain computes it once — the Spark analog
+    of each reference job materializing results to DDFS.
+
+        chain = JobChain({
+            j1: [df_a],
+            j2: [df_b],
+            j3: [j1, j2],
+        })
+        result = chain.run()[j3]   # DataFrame of the sink job
+    """
+
+    def run(self) -> dict[DiscoJob, DataFrame]:
+        results: dict[DiscoJob, DataFrame] = {}
+        fanout: dict[DiscoJob, int] = {}
+        for inputs in self.values():
+            for dep in inputs:
+                if isinstance(dep, DiscoJob):
+                    fanout[dep] = fanout.get(dep, 0) + 1
+
+        def resolve(job: DiscoJob, seen: tuple) -> DataFrame:
+            if job in results:
+                return results[job]
+            if job in seen:
+                raise ValueError("cycle in JobChain")
+            dfs = [
+                resolve(d, seen + (job,)) if isinstance(d, DiscoJob) else d
+                for d in self[job]
+            ]
+            df = dfs[0]
+            for other in dfs[1:]:
+                df = df.unionAll(other)
+            out = job.run(df)
+            if fanout.get(job, 0) > 1:
+                out = out.persist()
+            results[job] = out
+            return out
+
+        for job in self:
+            resolve(job, ())
+        return results
+
+    def wait(self) -> dict[DiscoJob, DataFrame]:
+        """Reference API parity: run() is already lazy-DataFrame cheap;
+        wait() just returns the same mapping."""
+        return self.run()

@@ -164,3 +164,46 @@ def classic_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce_output="key bigint, value bigint",
     )
     return job.run(t["orders"].select("o_totalprice"))
+
+
+def _filter_common_reduce(iter, out, params):
+    for k, vs in kvgroup(iter):
+        total = sum(vs)
+        if total >= params:
+            out.add(k, total)
+
+
+@query(
+    "classic_chain_common_words",
+    oracle="""
+    SELECT tok AS key, COUNT(*) AS value
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    HAVING COUNT(*) >= 100
+    """,
+)
+def classic_chain_common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JobChain parity (reference lib/disco/job.py:155-190): job 1 is the
+    wordcount, job 2 consumes job 1's results and keeps common words —
+    the chained-jobs pattern of reference tests/test_chain.py."""
+    from disco_spark.operators.classic import JobChain
+
+    t = load_tables(spark, sf_dir)
+    j1 = DiscoJob(
+        map=_wc_map,
+        combiner=sum_combiner,
+        reduce=sum_reduce,
+        partitions=8,
+        map_output="key string, value bigint",
+        reduce_output="key string, value bigint",
+    )
+    j2 = DiscoJob(
+        reduce=_filter_common_reduce,
+        sort=True,
+        partitions=8,
+        params=100,
+        reduce_output="key string, value bigint",
+    )
+    chain = JobChain({j1: [t["documents"].select("text")], j2: [j1]})
+    return chain.run()[j2]

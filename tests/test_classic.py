@@ -28,6 +28,7 @@ CLASSIC = [
     "classic_sort_reduce",
     "classic_innerjoin",
     "classic_partition_histogram",
+    "classic_chain_common_words",
 ]
 
 
@@ -124,3 +125,54 @@ def test_reduce2_iterable_variant(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "key string, value bigint")
     out = DiscoJob(reduce=sum_reduce, partitions=2).run(df).collect()
     assert {(r.key, r.value) for r in out} == {("a", 3), ("b", 5)}
+
+
+def test_jobchain_shared_intermediate(spark):
+    """A job consumed by two downstream jobs is computed once (persisted)
+    and both consumers see its output."""
+    from disco_spark.operators.classic import DiscoJob, JobChain
+    from disco_spark.functions.library import sum_reduce, kvgroup
+
+    src = spark.createDataFrame(
+        [("a b a",), ("b b c",)], "text string"
+    )
+
+    def wc_map(entry, params):
+        for w in entry.split():
+            yield w, 1
+
+    def keep_ge2(iter, out, params):
+        for k, vs in kvgroup(iter):
+            n = sum(vs)
+            if n >= 2:
+                out.add(k, n)
+
+    def keep_lt2(iter, out, params):
+        for k, vs in kvgroup(iter):
+            n = sum(vs)
+            if n < 2:
+                out.add(k, n)
+
+    j1 = DiscoJob(map=wc_map, reduce=sum_reduce, partitions=4,
+                  map_output="key string, value bigint",
+                  reduce_output="key string, value bigint")
+    j2 = DiscoJob(reduce=keep_ge2, sort=True, partitions=2,
+                  reduce_output="key string, value bigint")
+    j3 = DiscoJob(reduce=keep_lt2, sort=True, partitions=2,
+                  reduce_output="key string, value bigint")
+    chain = JobChain({j1: [src], j2: [j1], j3: [j1]})
+    res = chain.run()
+    assert dict(res[j2].collect()) == {"a": 2, "b": 3}
+    assert dict(res[j3].collect()) == {"c": 1}
+    assert res[j1].is_cached  # shared intermediate persisted once
+
+
+def test_jobchain_cycle_detected(spark):
+    from disco_spark.operators.classic import DiscoJob, JobChain
+    import pytest as _pytest
+
+    j1 = DiscoJob(map=lambda e, p: [(e, 1)], map_output="key string, value bigint")
+    j2 = DiscoJob(map=lambda e, p: [(e, 1)], map_output="key string, value bigint")
+    chain = JobChain({j1: [j2], j2: [j1]})
+    with _pytest.raises(ValueError, match="cycle"):
+        chain.run()

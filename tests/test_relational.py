@@ -12,6 +12,9 @@ registry.load_all()
 
 RELATIONAL = [
     "q1_pricing_summary",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "q3_shipping_priority",
     "q5_local_supplier",
     "join_count_by_priority",
