@@ -89,3 +89,13 @@ def discodb_metaquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = InvertedIndex(edges_rn.unionAll(edges_nc))
     return idx.metaquery("ASIA")
+
+
+@query(
+    "discodb_items",
+    oracle=_TOKS_CTE + "SELECT key, value FROM toks",
+)
+def discodb_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index enumeration — the reference's items() method dispatch
+    (scheme_discodb.py:20-25)."""
+    return _token_index(spark, sf_dir).items()

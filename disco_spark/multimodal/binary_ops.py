@@ -165,3 +165,20 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte statistics from the md5 hex directly."""
     t = load_tables(spark, sf_dir)
     return extract_features(decode_media(make_media_table(t["documents"])))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
+    SELECT media_id, fi AS frame_idx,
+           unhex(substr(hx, fi * 8 + 1, 8)) AS frame
+    FROM m, (SELECT CAST(unnest([0, 2]) AS INT) AS fi)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing end-to-end: 16-byte payload = four
+    4-byte 'frames', keep every 2nd (indices 0 and 2). The oracle slices
+    the same bytes with substring."""
+    t = load_tables(spark, sf_dir)
+    return frame_sample(make_media_table(t["documents"]), frame_bytes=4, every=2)

@@ -197,3 +197,63 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (readStream + watermark + availableNow); its result must equal the
     batch/oracle answer — the streaming-converges-to-batch guarantee."""
     return run_stream_to_memory(spark, sf_dir, _tumbling_agg)
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+# --------------------------------------------------------------------------
+_TOTALS_OUT = "user_id bigint, n_events bigint, value_micro_sum bigint"
+_TOTALS_STATE = "n bigint, micro bigint"
+
+
+def _user_totals_fn(key, pdfs, state):
+    """Running per-user totals held in the state store. Value sums use
+    integer micro-units (floor(value*1e6)) so accumulation is exact and
+    order-independent — double addition would be shuffle-order-dependent
+    and break cross-engine hash matching."""
+    import numpy as np
+    import pandas as pd
+
+    n, micro = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        micro += int(np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum())
+    state.update((int(n), int(micro)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_micro_sum": [micro]}
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): the Spark
+    analog of a custom stateful pipeline stage. State lives in the state
+    store per user_id; each micro-batch updates and emits the running
+    totals."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        _TOTALS_OUT,
+        _TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS value_micro_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator run for real (readStream +
+    applyInPandasWithState + availableNow): after draining the source the
+    per-user running totals equal the batch GROUP BY — the oracle checks
+    exactly that. (availableNow over one source file = one micro-batch;
+    'update' mode emits each group's final state once.)"""
+    return run_stream_to_memory(
+        spark, sf_dir, stateful_user_totals, output_mode="update", watermark=None
+    )

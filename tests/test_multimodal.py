@@ -24,6 +24,10 @@ def test_pixel_stats_oracle(spark):
     compare_query(spark, "multimodal_pixel_stats", SF_SMOKE)
 
 
+def test_frame_sample_oracle(spark):
+    compare_query(spark, "multimodal_frame_sample", SF_SMOKE)
+
+
 @pytest.fixture()
 def media(spark):
     docs = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], "doc_id bigint, text string")

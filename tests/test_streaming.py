@@ -19,6 +19,7 @@ WINDOWED = [
     "events_session_window",
     "events_dedup_by_key",
     "streaming_tumbling_window",  # real readStream run, same oracle
+    "streaming_stateful_user_totals",  # applyInPandasWithState run
 ]
 
 
