@@ -99,3 +99,12 @@ def discodb_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full index enumeration — the reference's items() method dispatch
     (scheme_discodb.py:20-25)."""
     return _token_index(spark, sf_dir).items()
+
+
+@query(
+    "discodb_unique_values",
+    oracle=_TOKS_CTE + "SELECT DISTINCT value FROM toks",
+)
+def discodb_unique_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique_values() enumeration (scheme_discodb.py:20-25)."""
+    return _token_index(spark, sf_dir).unique_values()

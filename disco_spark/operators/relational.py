@@ -588,3 +588,25 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .select("c_custkey", "c_name", "n_name", "revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup: multi-level aggregate in one pass (free Catalyst capability the
+# reference lacks entirely — SURVEY §2.3 notes no grouping sets anywhere;
+# exposed because a 100 TB pipeline wants the 1-scan rollup, not 3 scans).
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_orders_by_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )

@@ -18,6 +18,7 @@ DISCODB = [
     "discodb_unique_keys",
     "discodb_metaquery",
     "discodb_items",
+    "discodb_unique_values",
 ]
 
 

@@ -30,6 +30,7 @@ RELATIONAL = [
     "theta_join_nation_pairs",
     "range_histogram_totalprice",
     "group_all_stats",
+    "rollup_orders_by_status_priority",
     "window_top_order_per_customer",
 ]
 
