@@ -1,0 +1,72 @@
+"""Skew-mitigation operators: salted join and salted two-phase
+aggregation.
+
+AQE's skew-join splitting (on in `session.py`) handles most skew at
+runtime; these explicit forms exist for the cases AQE can't touch —
+skew inside a Python compat stage (DiscoJob custom partitioner), or a
+key so hot one reducer would otherwise own >> its share even after AQE
+splits (the reference had the same problem with hot labels and no
+remedy at all; SURVEY §2.4).
+
+Semantics are preserved exactly: salting only refines the partitioning,
+every (key,) group is still complete after the final combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `large` has hot keys: spread each key over
+    `n_salts` shuffle partitions; replicate `small` once per salt.
+
+    The large side's salt is derived from a hash of the whole row
+    (xxhash64 over all columns), so a hot key's rows scatter uniformly
+    and deterministically — no rand(), so re-computation under task
+    retry yields the same placement. Shuffle volume: large side
+    unchanged, small side × n_salts (use for small-but-not-broadcastable
+    right sides).
+    """
+    salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts))
+    l_salted = large.withColumn("__salt", salt_l.cast("int"))
+    s_salted = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        l_salted.join(s_salted, [on, "__salt"], how)
+        .drop("__salt")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    finals: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys: partial agg on
+    (keys + salt), final combine on keys.
+
+    `aggs` are the partial aggregate expressions (must be algebraic —
+    sum/count/min/max — each aliased); `finals` re-combine the partial
+    columns (referencing the aliases) into the result. Catalyst already
+    does partial+final hash aggregation; this form additionally splits a
+    single hot key's PARTIAL state across n_salts tasks, which matters
+    when one key dominates a partition even pre-shuffle.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt.cast("int"))
+        .groupBy(*keys, "__salt")
+        .agg(*aggs)
+    )
+    return partial.groupBy(*keys).agg(*finals)
