@@ -257,3 +257,74 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return run_stream_to_memory(
         spark, sf_dir, stateful_user_totals, output_mode="update", watermark=None
     )
+
+
+# --------------------------------------------------------------------------
+# event-sequence analytics (funnel / retention) — the batch analytics a
+# training-data/event pipeline runs next to the streaming surface
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel_view_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_viewers,
+           COUNT(CASE WHEN last_purchase > first_view THEN 1 END) AS n_converted
+    FROM per_user WHERE first_view IS NOT NULL
+    """,
+)
+def events_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (view -> later purchase) in ONE scan: per-user
+    conditional min/max, then a global count — no self-join of the
+    events table (the naive funnel join is quadratic in events-per-user;
+    this shape stays linear and shuffles only user_id grains)."""
+    t = load_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    return per_user.filter(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count(F.when(F.col("last_purchase") > F.col("first_view"), 1)).alias("n_converted"),
+    )
+
+
+@query(
+    "events_daily_retention",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT CAST(a.d AS TIMESTAMP) AS day,
+           COUNT(*) AS n_active,
+           COUNT(b.user_id) AS n_retained
+    FROM days a LEFT JOIN days b
+      ON a.user_id = b.user_id AND b.d = a.d + INTERVAL '1 day'
+    GROUP BY a.d
+    """,
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: distinct (user, day) grains self-joined one
+    day apart. The self-join is keyed on user_id — co-partitioned, no
+    broadcast needed; the distinct pre-aggregation shrinks the join
+    input to active-user grains first."""
+    t = load_tables(spark, sf_dir)
+    days = t["events"].select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    a, b = days.alias("a"), days.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.d") == F.col("a.d") + F.expr("INTERVAL 1 DAY")),
+            "left",
+        )
+        .groupBy(F.col("a.d").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.col("b.user_id")).alias("n_retained"),
+        )
+    )

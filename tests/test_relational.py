@@ -15,6 +15,9 @@ RELATIONAL = [
     "q4_order_priority",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_parts_supplier_count",
+    "q19_disjunctive_revenue",
     "q3_shipping_priority",
     "q5_local_supplier",
     "join_count_by_priority",

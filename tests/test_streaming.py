@@ -20,6 +20,8 @@ WINDOWED = [
     "events_dedup_by_key",
     "streaming_tumbling_window",  # real readStream run, same oracle
     "streaming_stateful_user_totals",  # applyInPandasWithState run
+    "events_funnel_view_purchase",
+    "events_daily_retention",
 ]
 
 
