@@ -118,3 +118,39 @@ def test_custom_input_hook_reorders_labels(spark):
 def test_unknown_grouping_rejected():
     with pytest.raises(ValueError, match="unknown grouping"):
         Pipeline([("group_bogus", Stage("s"))])
+
+
+# ---------------------------------------------------------------------------
+# 12-stage pipeline stress (reference tests/test_pipe.py:40-55: 12 stages
+# over group_(node_)label with golden counts at the end)
+# ---------------------------------------------------------------------------
+def test_twelve_stage_pipeline_preserves_totals(spark):
+    from disco_spark.plans.pipeline import GROUP_NODE_LABEL
+
+    def _emit_pass(interface, state, label, inp):
+        out = interface.output(label)
+        for k, v in inp:
+            out.add(k, v)
+
+    def _condense_sum(interface, state, label, inp):
+        acc = {}
+        for k, v in inp:
+            acc[k] = acc.get(k, 0) + (v or 0)
+        out = interface.output(label)
+        for k, v in acc.items():
+            out.add(k, v)
+
+    n, keys = 20_000, 40
+    df = spark.range(n).select(
+        (F.col("id") % keys).cast("string").alias("key"), F.lit(1).alias("value")
+    )
+    stages = []
+    for i in range(6):
+        stages.append((SPLIT, Stage(f"pass{i}", process=_emit_pass, combine=True)))
+        grouping = GROUP_NODE_LABEL if i % 2 == 0 else GROUP_LABEL
+        stages.append((grouping, Stage(f"condense{i}", process=_condense_sum, combine=True)))
+    out = Pipeline(stages, label_partitions=8).run(df)
+    rows = {r["key"]: r["value"] for r in out.collect()}
+    assert len(rows) == keys
+    assert all(v == n // keys for v in rows.values()), rows
+    assert sum(rows.values()) == n
