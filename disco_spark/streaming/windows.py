@@ -328,3 +328,39 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("b.user_id")).alias("n_retained"),
         )
     )
+
+
+@query(
+    "streaming_static_join_value_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT)) AS value_micro_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_join_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join run for real: the events stream joins the
+    static customer dim (broadcast per micro-batch — the streaming
+    enrichment pattern), then aggregates per segment. Totals accumulate
+    in integer micro-units for order-independence (see
+    streaming_stateful_user_totals)."""
+    t = load_tables(spark, sf_dir)
+    static_dim = t["customer"].select("c_custkey", "c_mktsegment")
+
+    def enrich_and_agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(F.broadcast(static_dim), stream.user_id == static_dim.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 1000000).cast("bigint")).alias(
+                    "value_micro_sum"
+                ),
+            )
+        )
+
+    return run_stream_to_memory(
+        spark, sf_dir, enrich_and_agg, output_mode="complete", watermark=None
+    )

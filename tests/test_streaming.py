@@ -21,6 +21,7 @@ WINDOWED = [
     "streaming_tumbling_window",  # real readStream run, same oracle
     "streaming_stateful_user_totals",  # applyInPandasWithState run
     "events_funnel_view_purchase",
+    "streaming_static_join_value_by_segment",  # real stream-static join run
     "events_daily_retention",
 ]
 
