@@ -121,3 +121,36 @@ def result_iterator(df: DataFrame):
     partition."""
     for row in df.toLocalIterator():
         yield tuple(row)
+
+
+# --------------------------------------------------------------------------
+# generic partition-parallel sink (the scheme_redis analog, SURVEY §2.1:
+# reference scheme_redis.py:1-84 reads via key scan and WRITES via a
+# per-record client — here the per-partition writer pattern every
+# key-value / queue connector uses)
+# --------------------------------------------------------------------------
+def sink_foreach_partition(df: DataFrame, writer_factory) -> int:
+    """Write each partition through a connection built ON THE EXECUTOR.
+
+    ``writer_factory()`` runs once per partition (executor-side) and
+    returns ``(write_fn, close_fn)`` — e.g. a redis pipeline, a JDBC
+    batch, a Kafka producer. Rows stream through ``write_fn(row)``;
+    ``close_fn()`` flushes. Returns the number of rows written (via a
+    driver-side accumulator), so callers can assert delivery.
+
+    Scale: one connection per partition (not per row, not per driver);
+    no data ever moves to the driver.
+    """
+    acc = df.sparkSession.sparkContext.accumulator(0)
+
+    def run(it):
+        write, close = writer_factory()
+        try:
+            for row in it:
+                write(row)
+                acc.add(1)
+        finally:
+            close()
+
+    df.foreachPartition(run)
+    return acc.value

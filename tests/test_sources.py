@@ -116,3 +116,31 @@ def test_pipe_awk_multiline(spark):
     df = spark.createDataFrame([("a b",), ("c",)], "s string")
     out = pipe_table(df, "awk '{for(i=1;i<=NF;i++) print $i}'", "tok string")
     assert sorted(r.tok for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_sink_foreach_partition_delivers_all_rows(spark, tmp_path):
+    """Connector-sink pattern: executor-side writer per partition; every
+    row delivered exactly once (file-backed fake store)."""
+    import glob
+    import os
+    import uuid
+
+    from disco_spark.sources.readers import sink_foreach_partition
+
+    out_dir = str(tmp_path / "fake_store")
+    os.makedirs(out_dir, exist_ok=True)
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(6)
+
+    def writer_factory():
+        path = os.path.join(out_dir, f"{uuid.uuid4().hex}.txt")
+        fh = open(path, "w")
+        return (lambda row: fh.write(f"{row['id']},{row['v']}\n")), fh.close
+
+    n = sink_foreach_partition(df, writer_factory)
+    assert n == 1000
+    rows = set()
+    for f in glob.glob(os.path.join(out_dir, "*.txt")):
+        for line in open(f):
+            i, v = line.strip().split(",")
+            rows.add((int(i), int(v)))
+    assert rows == {(i, i * 2) for i in range(1000)}
