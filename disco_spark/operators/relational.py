@@ -705,3 +705,33 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles per group (beyond-reference: the reference
+# has no percentile machinery; users would fold in a sorted reduce).
+# percentile_disc returns an actual data value, so results are bit-exact
+# across engines (no interpolation arithmetic).
+# ---------------------------------------------------------------------------
+@query(
+    "percentiles_totalprice_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p50,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p90,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentiles_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p50,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p90,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p99
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
