@@ -100,6 +100,7 @@ class DiscoJob:
         partition: Callable | None = None,
         partitions: int | None = None,
         sort: bool = False,
+        save: str | None = None,
         params=None,
         map_output: str = "key string, value bigint",
         reduce_output: str = "key string, value bigint",
@@ -112,6 +113,7 @@ class DiscoJob:
         self.partition = partition
         self.partitions = partitions
         self.sort = sort
+        self.save = save
         self.params = params
         self.map_output = map_output
         self.reduce_output = reduce_output
@@ -217,6 +219,14 @@ class DiscoJob:
             if self.sort:
                 df = df.sortWithinPartitions("key")
             df = self._reduce_stage(df)
+        if self.save:
+            # save=True in the reference persists results under a
+            # `disco:results:<job>` DDFS tag (job_coordinator.erl:370-407);
+            # here `save='tag'` publishes to the tag catalog.
+            from disco_spark.sources.catalog import TagCatalog
+
+            TagCatalog(df.sparkSession).push(self.save, df, mode="overwrite")
+            return df.sparkSession.table(self.save)
         return df
 
 

@@ -1,0 +1,81 @@
+"""Iterative k-means over the embeddings table — the reference's
+client-driven iterative-job pattern (examples/datamining/
+kclustering.py:60-120: each iteration is a full MapReduce job resubmitted
+by the client loop; estimate step = nearest-center map, maximize step =
+per-center mean reduce) rebuilt as a DataFrame loop with `persist()`
+(SURVEY §2.8 maps these client loops to exactly this shape).
+
+Scale design: each iteration is one scan + one groupBy(center) shuffle of
+(cluster_id, partial sums) — centers travel to executors as a broadcast
+literal array, never the data to the driver (only the k centroid rows
+collect, which is O(k·dim)). Deterministic: init = first k vectors by
+vec_id, fixed iteration count, double arithmetic in a fixed reduction
+shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+
+def _nearest(centers: list[list[float]]):
+    """Column expr: index of the nearest center (squared L2) for the
+    `embedding` column; centers inlined as array literals (broadcast by
+    the plan, tiny)."""
+    emb = F.col("embedding")
+
+    def sqdist(c: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(emb, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[sqdist(c) for c in centers])
+    return F.array_position(dists, F.array_min(dists)) - 1
+
+
+def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
+    """Lloyd's algorithm; returns (vec_id, cluster) assignments.
+
+    The estimate step is pure column expressions (whole-stage codegen);
+    the maximize step is posexplode + groupBy(cluster, pos) mean — one
+    shuffle of k·dim partial aggregates per iteration.
+    """
+    e = e.select("vec_id", "embedding").persist()
+    centers = [
+        [float(x) for x in r["embedding"]]
+        for r in e.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = e.withColumn("cluster", _nearest(centers))
+        new_rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centers = [
+            [by_cluster[c][p] for p in sorted(by_cluster[c])]
+            if c in by_cluster
+            else centers[c]  # empty cluster keeps its center
+            for c in range(k)
+        ]
+    out = e.withColumn("cluster", _nearest(centers)).select("vec_id", "cluster")
+    e.unpersist()
+    return out
+
+
+@query("kmeans_embedding_clusters")  # iterative; no SQL oracle — numpy
+# cross-check lives in tests/test_kmeans.py
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return kmeans_assign(t["embeddings"], k=8, iters=3)

@@ -176,3 +176,29 @@ def test_jobchain_cycle_detected(spark):
     chain = JobChain({j1: [j2], j2: [j1]})
     with _pytest.raises(ValueError, match="cycle"):
         chain.run()
+
+
+def test_job_save_publishes_tag(spark):
+    """save='tag' persists results to the catalog (reference save_results:
+    job_coordinator.erl:370-407 -> disco:results:<job> tag)."""
+    from disco_spark.operators.classic import DiscoJob
+    from disco_spark.functions.library import sum_reduce
+    from disco_spark.sources.catalog import TagCatalog
+
+    def wc_map(entry, params):
+        for w in entry.split():
+            yield w, 1
+
+    src = spark.createDataFrame([("x y x",)], "text string")
+    job = DiscoJob(map=wc_map, reduce=sum_reduce, partitions=2,
+                   save="results_wc_save_test",
+                   map_output="key string, value bigint",
+                   reduce_output="key string, value bigint")
+    try:
+        out = job.run(src)
+        assert dict(out.collect()) == {"x": 2, "y": 1}
+        cat = TagCatalog(spark)
+        assert cat.exists("results_wc_save_test")
+        assert dict(cat.get("results_wc_save_test").collect()) == {"x": 2, "y": 1}
+    finally:
+        TagCatalog(spark).delete("results_wc_save_test")

@@ -1,0 +1,54 @@
+"""Iterative k-means: Spark assignments must equal a numpy reference
+run of the same deterministic algorithm (init = first k by vec_id,
+fixed iterations, mean update)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from disco_spark import registry
+from disco_spark.session import load_tables
+from disco_spark.similarity.kmeans import kmeans_assign
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+K, ITERS = 4, 3
+
+
+def _numpy_kmeans(X, ids, k, iters):
+    order = np.argsort(ids)
+    centers = X[order[:k]].astype(np.float64)
+    for _ in range(iters):
+        d = ((X[:, None, :].astype(np.float64) - centers[None]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            if (assign == c).any():
+                centers[c] = X[assign == c].astype(np.float64).mean(axis=0)
+    d = ((X[:, None, :].astype(np.float64) - centers[None]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float32)
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(e, k=K, iters=ITERS).collect()
+    }
+    expect = dict(zip(ids.tolist(), _numpy_kmeans(X, ids, K, ITERS).tolist()))
+    mismatch = {i for i in expect if got[i] != expect[i]}
+    # boundary ties could in principle differ; demand exact agreement —
+    # the arithmetic is identical double math in both paths
+    assert not mismatch, f"{len(mismatch)} mismatched assignments"
+
+
+def test_kmeans_registered_query_shape(spark):
+    df = registry.QUERIES["kmeans_embedding_clusters"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 500  # one assignment per vector at sf0.001? see below
+    assert set(df.columns) == {"vec_id", "cluster"}
+    assert all(0 <= r["cluster"] < 8 for r in rows)
