@@ -53,3 +53,4 @@ def load_all() -> None:
     from disco_spark.sources import demo  # noqa: F401
     from disco_spark.operators import asof  # noqa: F401
     from disco_spark.similarity import kmeans  # noqa: F401
+    from disco_spark.similarity import pagerank  # noqa: F401

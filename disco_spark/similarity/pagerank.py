@@ -1,0 +1,80 @@
+"""PageRank as a DataFrame loop — the reference's client-driven
+iterative job (examples/datamining/page_rank.py: each iteration a
+MapReduce job emitting rank/out_degree contributions, resubmitted by the
+client until convergence) rebuilt per SURVEY §2.8's mapping of client
+loops onto persisted DataFrame iterations.
+
+Scale design: ranks and edges are co-partitioned on src across
+iterations (one `repartition` up front, reused by every join), so each
+iteration is one co-located join + one groupBy(dst) shuffle of (dst,
+contribution) — the minimal movement PageRank admits. Nothing collects
+to the driver; dangling mass is redistributed via a scalar agg (O(1)
+rows to the driver per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 5, damping: float = 0.85, partitions: int = 32
+) -> DataFrame:
+    """(src, dst) edges -> (node, rank). Fixed iteration count,
+    deterministic double arithmetic (contributions aggregated per dst
+    with Spark's partial/final sum over a fixed partitioning).
+    """
+    edges = edges.select("src", "dst").distinct().repartition(partitions, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+
+    for _ in range(iters):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
+        )
+        # dangling nodes (no out-edges) leak mass; redistribute uniformly
+        linked_mass = contribs.agg(F.sum("recv")).first()[0] or 0.0
+        dangling = (1.0 - linked_mass) / n
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(dangling))
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.persist()
+    return ranks
+
+
+@query("pagerank_supplier_part")  # iterative; no SQL oracle — numpy
+# power-iteration cross-check in tests/test_pagerank.py
+def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite supplier->part graph from lineitem
+    (distinct (l_suppkey, l_partkey) edges, reversed edges added so the
+    chain is ergodic), ranks rounded for cross-run stability."""
+    t = load_tables(spark, sf_dir)
+    fwd = t["lineitem"].select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    back = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ranks = pagerank(fwd.unionAll(back), iters=3)
+    return ranks.select("node", F.round(F.col("rank"), 9).alias("rank"))
