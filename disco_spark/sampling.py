@@ -1,0 +1,87 @@
+"""Deterministic sampling & dataset splitting for training-data
+pipelines (beyond-reference surface; driver north star).
+
+RNG-based sampling (`df.sample`) is irreproducible across engines,
+partitionings, and retries. These operators derive the decision from a
+hash of a stable key instead: the same row lands in the same
+sample/split everywhere, forever — which is what a 100 TB training
+pipeline needs (resumable ingest, auditable splits, no sampling drift
+between runs), and what makes an exact DuckDB oracle possible.
+
+Bucket = first 8 hex chars of md5(key) as an integer, mod `buckets`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): md5-derived, engine-portable
+    (DuckDB: ('0x' || substr(md5(k), 1, 8))::BIGINT % buckets)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % buckets
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by key hash (stable under
+    re-partitioning, retries, and engine changes)."""
+    return df.filter(hash_bucket(F.col(key)) < int(fraction * BUCKETS))
+
+
+def train_val_test_split(
+    df: DataFrame, key: str, val: float = 0.1, test: float = 0.1
+) -> DataFrame:
+    """Add a `split` column: 'test' | 'val' | 'train' by hash range —
+    disjoint, exhaustive, stable."""
+    b = hash_bucket(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(b < int(test * BUCKETS), "test")
+        .when(b < int((test + val) * BUCKETS), "val")
+        .otherwise("train"),
+    )
+
+
+def _bucket_sql(key: str, buckets: int = BUCKETS) -> str:
+    return f"(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {buckets})"
+
+
+@query(
+    "sample_documents_10pct",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_bucket_sql("doc_id")} < {int(0.10 * BUCKETS)}
+    """,
+)
+def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return deterministic_sample(t["documents"], "doc_id", 0.10).select("doc_id", "lang")
+
+
+@query(
+    "split_documents_counts",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN {_bucket_sql("doc_id")} < {int(0.1 * BUCKETS)} THEN 'test'
+                  WHEN {_bucket_sql("doc_id")} < {int(0.2 * BUCKETS)} THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n FROM s GROUP BY split
+    """,
+)
+def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        train_val_test_split(t["documents"], "doc_id", val=0.1, test=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
