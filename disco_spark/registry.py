@@ -55,3 +55,4 @@ def load_all() -> None:
     from disco_spark.similarity import kmeans  # noqa: F401
     from disco_spark.similarity import pagerank  # noqa: F401
     from disco_spark import sampling  # noqa: F401
+    from disco_spark.functions import udaf  # noqa: F401

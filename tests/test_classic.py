@@ -29,6 +29,7 @@ CLASSIC = [
     "classic_innerjoin",
     "classic_partition_histogram",
     "classic_chain_common_words",
+    "udaf_weighted_avg_price",
 ]
 
 
