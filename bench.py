@@ -39,6 +39,13 @@ HEADLINE = [
     "ann_cosine_topk",
     # appended as modules land:
     "events_tumbling_window",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q16_parts_supplier_count",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "asof_purchase_after_view",
+    "events_funnel_view_purchase",
 ]
 
 

@@ -1,0 +1,458 @@
+"""TPC-H-adapted decision-support shapes, batch 2 (SURVEY §2.5 parity).
+
+The reference expresses every one of these access patterns as hand-written
+map/partition/reduce pipelines (tests/test_query.py:11-57 hash join,
+examples/util/simple_innerjoin.py, lib/disco/util.py:319-388 external
+sort); here each is a declarative DataFrame plan so Catalyst picks
+broadcast-vs-shuffle, pushes filters to the scan, and AQE handles skew.
+The schema lacks partsupp/commit-receipt-dates/shipmode, so Q2/Q9/Q11/
+Q20-class queries are adapted to the columns that exist (noted per query).
+
+Scale notes (100 TB thinking):
+- every "scalar subquery" (Q11 threshold, Q15 max, Q17 per-part avg,
+  Q22 avg balance) is computed as a tiny aggregate DataFrame and
+  broadcast — no driver collect, no second scan of the fact table
+  beyond what the semantics require.
+- min/max-within-group (Q2, Q15) is agg + broadcast self-join rather
+  than a window over the whole set: the grouped aggregate shrinks the
+  data *before* the shuffle that distributes the extrema.
+- distinct (l_partkey, l_suppkey) in Q2 happens before joining dims so
+  the dedup shuffle moves two int columns, not the whole row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.operators.relational import dsum
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: minimum-within-correlated-group. No partsupp table exists, so
+# the "min supplycost supplier per part" becomes "min acctbal supplier among
+# the suppliers that actually shipped the part" (derived from lineitem).
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+      FROM part
+        JOIN ps ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_type = 'LARGE' AND p_size <= 10
+    )
+    SELECT c.p_partkey, c.p_name, c.s_name, c.s_acctbal
+    FROM cand c
+      JOIN (SELECT p_partkey AS mk, MIN(s_acctbal) AS mbal
+            FROM cand GROUP BY p_partkey) m
+        ON c.p_partkey = m.mk AND c.s_acctbal = m.mbal
+    """,
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    part = t["part"].filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+    cand = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("s_acctbal").alias("mbal"))
+    return cand.join(
+        F.broadcast(mins),
+        (cand.p_partkey == mins.mk) & (cand.s_acctbal == mins.mbal),
+    ).select("p_partkey", "p_name", "s_name", "s_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations by year. Two independent
+# nation lookups (supplier side, customer side) on the same broadcast dim.
+# ---------------------------------------------------------------------------
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share of one nation's suppliers within a region, by
+# year. The share is a ratio of two decimal-exact sums (conditional
+# numerator), computed in one aggregate pass.
+# ---------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_5'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                AS DECIMAL(20,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+           AS DOUBLE) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("c_rk") == F.col("r_regionkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+        .cast("decimal(20,6)")
+    ).cast("double")
+    den = F.sum(vol.cast("decimal(20,6)")).cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((num / den).cast("double").alias("mkt_share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-type profit by nation and year. No partsupp, so the
+# cost term uses p_retailprice instead of ps_supplycost.
+# ---------------------------------------------------------------------------
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%widget%"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit, "sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important parts — per-part value HAVING > fraction of the
+# grand total. The total is recomputed from base rows with the same
+# decimal accumulation (never re-summing the per-group doubles, which
+# would reintroduce order dependence), then broadcast as a 1-row join.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    val AS (SELECT l_partkey AS partkey,
+                   CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS value
+            FROM base GROUP BY 1),
+    tot AS (SELECT CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) * 0.001 AS threshold
+            FROM base)
+    SELECT partkey, value FROM val, tot WHERE value > threshold
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
+    )
+    val = base.groupBy(F.col("l_partkey").alias("partkey")).agg(dsum(F.col("v"), "value"))
+    tot = base.agg((dsum(F.col("v"), "t") * F.lit(0.001)).alias("threshold"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution — the canonical left outer
+# join + double aggregation (per-customer count, then histogram of counts).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    co = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier by quarterly revenue — grouped revenue, then a
+# broadcast 1-row max joined back (ties kept, matching the spec's view
+# formulation).
+# ---------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: small-quantity-order revenue — correlated per-part average
+# quantity as a broadcast agg join (parts table is the small side even at
+# 100 TB of lineitem).
+# ---------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN (SELECT l_partkey AS pk,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS avgq
+            FROM lineitem GROUP BY 1) a ON a.pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avgq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    avgq = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (dsum(F.col("l_quantity"), "s") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avgq")
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#23")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avgq), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avgq"))
+        .agg((dsum(F.col("l_extendedprice"), "s") / F.lit(7.0)).cast("double").alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume orders — HAVING on a grouped sum, then joined
+# back to the order/customer detail.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(20,6))) > 300
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # Aggregate lineitem alone first (smallest shuffle: two columns keyed
+    # by orderkey), filter to the rare heavy orders, THEN join detail.
+    heavy = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        heavy.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: prospect customers — above-average balance (broadcast scalar)
+# with no RECENT orders (anti join; every customer in this dataset has at
+# least one historical order, so the spec's "no orders at all" would be
+# vacuously empty), counted per nation.
+# ---------------------------------------------------------------------------
+@query(
+    "q22_prospect_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+                  / COUNT(*) AS DOUBLE) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name AS nation, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg((dsum(F.col("c_acctbal"), "s") / F.count(F.lit(1))).cast("double").alias("ab"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )

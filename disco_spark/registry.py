@@ -42,6 +42,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from disco_spark.operators import relational  # noqa: F401
+    from disco_spark.operators import relational2  # noqa: F401
     from disco_spark.textops import analysis  # noqa: F401
     from disco_spark.dedup import dedup  # noqa: F401
     from disco_spark.similarity import ann  # noqa: F401

@@ -18,6 +18,16 @@ RELATIONAL = [
     "q14_promo_revenue",
     "q16_parts_supplier_count",
     "q19_disjunctive_revenue",
+    "q2_min_acctbal_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_prospect_customers",
     "q3_shipping_priority",
     "q5_local_supplier",
     "join_count_by_priority",
