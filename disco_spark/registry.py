@@ -50,6 +50,7 @@ def load_all() -> None:
     from disco_spark.operators import classic_demo  # noqa: F401
     from disco_spark.plans import pipeline_demo  # noqa: F401
     from disco_spark.streaming import windows  # noqa: F401
+    from disco_spark.streaming import sinks  # noqa: F401
     from disco_spark.multimodal import binary_ops  # noqa: F401
     from disco_spark.sources import demo  # noqa: F401
     from disco_spark.operators import asof  # noqa: F401

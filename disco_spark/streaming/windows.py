@@ -165,6 +165,10 @@ def run_stream_to_memory(
     """Execute a REAL Structured Streaming job over events.parquet:
     readStream -> transform -> memory sink, availableNow trigger (process
     everything, then stop). Returns the sink contents as a DataFrame."""
+    # events.parquet is TIMESTAMP(NANOS); a vanilla (driver) session can't
+    # read it without this runtime conf (session.py invariant) — don't rely
+    # on an earlier query having called load_tables in the same session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file stream sources need a directory: stream the sf dir, glob-filtered
     # to the events file (on a cluster this is the landing directory new

@@ -65,3 +65,70 @@ def test_streaming_dedup_within_watermark(spark):
         .collect()[0][0]
     )
     assert got == batch
+
+
+def test_foreachbatch_sink_oracle(spark):
+    compare_query(spark, "streaming_foreachbatch_user_totals", SF_SMOKE)
+
+
+def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch id overwrites its directory instead of
+    appending — the failure-replay guarantee the sink pattern exists for."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    out = str(tmp_path / "sink")
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F2.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"batch={batch_id}"))
+        )
+
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    write_batch(df, 0)
+    write_batch(df, 0)  # replay
+    assert spark.read.parquet(os.path.join(out, "batch=0")).count() == 10
+
+
+def test_rate_source_generates_monotonic_rows(spark):
+    """The built-in rate source (load generator): schema is
+    (timestamp, value) with values 0..n-1, one sequence per run."""
+    import tempfile
+    import uuid
+
+    sink = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and spark.table(sink).count() < 100:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table(sink)
+    assert dict(rows.dtypes) == {"timestamp": "timestamp", "value": "bigint"}
+    vals = sorted(r.value for r in rows.collect())
+    assert len(vals) >= 100 and vals[:3] == [0, 1, 2]
+
+
+def test_tws_user_totals_if_supported(spark):
+    """transformWithStateInPandas needs protobuf (absent in this
+    container); when available the TWS totals must match the oracle."""
+    from disco_spark.streaming.sinks import HAVE_TWS
+
+    if not HAVE_TWS:
+        pytest.skip("google.protobuf not installed; TWS gated off")
+    compare_query(spark, "streaming_tws_user_totals", SF_SMOKE)
