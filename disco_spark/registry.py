@@ -55,6 +55,7 @@ def load_all() -> None:
     from disco_spark.sources import demo  # noqa: F401
     from disco_spark.operators import asof  # noqa: F401
     from disco_spark.similarity import kmeans  # noqa: F401
+    from disco_spark.similarity import pq  # noqa: F401
     from disco_spark.similarity import pagerank  # noqa: F401
     from disco_spark import sampling  # noqa: F401
     from disco_spark.functions import udaf  # noqa: F401

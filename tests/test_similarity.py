@@ -67,3 +67,76 @@ def test_ann_ivf_high_recall_on_clustered(spark, clustered):
     got = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.95, f"IVF recall on clustered data: {recall}"
+
+
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """PQ encode + ADC shortlist + exact rerank must recover most of the
+    exact top-k (approximate op — this recall gate replaces a SQL oracle,
+    same policy as ann_ivf_topk)."""
+    from collections import defaultdict
+
+    pq_rows = registry.QUERIES["ann_pq_topk"](spark, SF_SMOKE).collect()
+    bf_rows = registry.QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()
+    got, want = defaultdict(set), defaultdict(set)
+    for r in pq_rows:
+        got[r.query_id].add(r.neighbor_id)
+    for r in bf_rows:
+        want[r.query_id].add(r.neighbor_id)
+    recalls = [len(got[q] & want[q]) / len(want[q]) for q in want]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"PQ recall@5: {recalls}"
+
+
+def test_pq_codes_are_compact_and_deterministic(spark):
+    """Encoding is the 100-TB pass: codes must be within [0, ksub) and
+    stable across runs (deterministic train + encode)."""
+    from disco_spark.session import load_tables
+    from disco_spark.similarity.pq import K_SUB, M_SUBSPACES, pq_encode, pq_train
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    books = pq_train(e)
+    assert books.shape == (M_SUBSPACES, K_SUB, 64 // M_SUBSPACES)
+    codes1 = {r.vec_id: tuple(r.codes) for r in pq_encode(e, books).collect()}
+    codes2 = {r.vec_id: tuple(r.codes) for r in pq_encode(e, books).collect()}
+    assert codes1 == codes2
+    assert all(
+        len(c) == M_SUBSPACES and all(0 <= x < K_SUB for x in c)
+        for c in codes1.values()
+    )
+
+
+def test_brp_lsh_crosscheck(spark):
+    """spark.ml BucketedRandomProjectionLSH as an independent ANN
+    implementation: on L2-normalized vectors, euclidean NN == cosine NN,
+    so its approxNearestNeighbors should largely agree with our exact
+    top-k. Cross-checks our operators against Spark's own LSH."""
+    from collections import defaultdict
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    from disco_spark.session import load_tables
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    vecs = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        e.select("vec_id", array_to_vector(F.col("embedding")).alias("raw"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
+    )
+    model = lsh.fit(vecs)
+    queries = vecs.filter(F.col("vec_id") < 5).collect()
+
+    bf_rows = registry.QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()
+    want = defaultdict(set)
+    for r in bf_rows:
+        want[r.query_id].add(r.neighbor_id)
+
+    recalls = []
+    for qrow in queries:
+        nn = model.approxNearestNeighbors(
+            vecs.filter(F.col("vec_id") != qrow.vec_id), qrow.features, 5
+        ).collect()
+        got = {r.vec_id for r in nn}
+        recalls.append(len(got & want[qrow.vec_id]) / 5)
+    assert sum(recalls) / len(recalls) >= 0.8, f"BRP-LSH vs exact: {recalls}"
