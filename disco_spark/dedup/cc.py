@@ -1,0 +1,132 @@
+"""Near-duplicate clustering: connected components over the similarity
+graph, assigning every document a canonical cluster id.
+
+The missing piece between pairwise dedup (minhash/jaccard/simhash emit
+PAIRS) and an actual training-data dedup pass (which must pick ONE
+representative per transitive group: if A~B and B~C, then A,B,C are one
+cluster even when A~C was never scored). The reference's closest analog
+is the iterative-job pattern its datamining examples use
+(examples/datamining/kclustering.py client loop).
+
+Spark mapping — min-label propagation as a DataFrame loop:
+each iteration joins the (symmetrized) edge list with current labels,
+takes the per-node min over neighbor labels, and stops when no label
+changed. Iterations = graph diameter; near-dup clusters are shallow
+(diameter 2-4), so this converges in a handful of rounds. Each round is
+one shuffle keyed by node id; labels persist() between rounds and the
+loop re-checkpoints lineage so plans stay flat. At 100 TB you'd switch
+the inner step to the large-star/small-star optimization (same loop
+skeleton, fewer rounds on skewed degree distributions).
+
+The oracle is exact: DuckDB recursive CTE enumerating reachable labels,
+min per node — SQL-expressible because components here are tiny (the
+driver's documents table tops out at component size 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from disco_spark.dedup.dedup import _SHINGLES_SQL, JACCARD_MIN
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(src, dst) pairs -> (node, comp) with comp = min node id reachable.
+
+    Deterministic min-label propagation; every iteration is
+    join + groupBy-min (one shuffle on node id)."""
+    sym = edges.select(
+        F.col("src").cast("bigint").alias("node"), F.col("dst").cast("bigint").alias("nbr")
+    ).union(
+        edges.select(
+            F.col("dst").cast("bigint").alias("node"), F.col("src").cast("bigint").alias("nbr")
+        )
+    )
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select("node").distinct().withColumn("comp", F.col("node"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint truncates the growing lineage so iteration N's
+        # plan doesn't replay iterations 1..N-1
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "node")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id FROM cc
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM cc)
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's canonical cluster id: connected components over
+    n-gram-Jaccard near-dup pairs (transitive closure), singletons map to
+    themselves. Downstream dedup keeps rows WHERE doc_id = cluster_id."""
+    from disco_spark.dedup.dedup import dedup_ngram_jaccard
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    docs = t["documents"].select("doc_id")
+    singletons = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return comp.unionByName(singletons)

@@ -45,6 +45,7 @@ def load_all() -> None:
     from disco_spark.operators import relational2  # noqa: F401
     from disco_spark.textops import analysis  # noqa: F401
     from disco_spark.dedup import dedup  # noqa: F401
+    from disco_spark.dedup import cc  # noqa: F401
     from disco_spark.similarity import ann  # noqa: F401
     from disco_spark.index import discodb_demo  # noqa: F401
     from disco_spark.operators import classic_demo  # noqa: F401

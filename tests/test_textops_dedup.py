@@ -25,6 +25,7 @@ DEDUP = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_cluster_canonical",
 ]
 
 
@@ -92,3 +93,16 @@ def test_jaccard_math(spark, near_dup_docs):
     assert (1, 2) in pairs  # exact dup shares all shingles
     assert (1, 3) in pairs  # near dup shares some
     assert (1, 4) not in pairs  # unrelated shares none
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Path graph 1-2-3-4 collapses to comp=1; isolated edge 10-11 to 10;
+    propagation must cross the full chain (transitive closure, not just
+    direct pairs)."""
+    from disco_spark.dedup.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
