@@ -193,3 +193,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp_norm"),
         shingle_min.alias("fp_shingle_min"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS grams
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS dup_word_ratio,
+           ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+             AS dup_3gram_ratio
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: fraction of
+    duplicate words and duplicate 3-grams per document (high values flag
+    boilerplate/spam for training-data filtering). Pure array functions
+    in one scan — no explode, no shuffle, no Python."""
+    t = load_tables(spark, sf_dir)
+    d = with_toks(t["documents"]).filter(F.size("toks") >= 3)
+    # grams as a real column: HOF lambdas get no CSE (see with_toks note)
+    d = d.withColumn(
+        "grams",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        ),
+    )
+    ratio = lambda col: F.round(  # noqa: E731
+        1.0 - F.size(F.array_distinct(F.col(col))).cast("double") / F.size(F.col(col)), 6
+    )
+    return d.select(
+        "doc_id",
+        ratio("toks").alias("dup_word_ratio"),
+        ratio("grams").alias("dup_3gram_ratio"),
+    )
+
+
+@query(
+    "corpus_source_stats",
+    oracle=f"""
+    WITH t AS (SELECT source, lang, len({_TOKS_SQL}) AS n_toks, n_chars FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           SUM(n_toks) AS total_tokens,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS avg_chars
+    FROM t GROUP BY source
+    """,
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (docs, language spread, token volume):
+    the first dashboard any data pipeline runs over a new crawl dump.
+    One scan + one shuffle on the source key."""
+    t = load_tables(spark, sf_dir)
+    d = with_toks(t["documents"]).select(
+        "source", "lang", F.size("toks").alias("n_toks"), "n_chars"
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.sum(F.col("n_chars").cast("decimal(20,6)")).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_chars"),
+    )
