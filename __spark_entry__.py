@@ -21,8 +21,13 @@ registry.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["q3_shipping_priority"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    corpus_curation_pipeline composes the engine's signature surfaces in
+    one plan: quality scoring (pure codegen), transitive near-dup
+    clustering (iterative connected components), deterministic hash
+    split, final rollup."""
+    return registry.QUERIES["corpus_curation_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -46,6 +46,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "asof_purchase_after_view",
     "events_funnel_view_purchase",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -1,0 +1,85 @@
+"""End-to-end corpus curation: the flagship composition query.
+
+A real training-data pass chains the individual operators this repo
+provides: quality-score filter -> transitive near-dup removal (keep one
+canonical doc per cluster) -> deterministic train/val/test split ->
+per-split per-language accounting. Each stage is a registered operator
+elsewhere (textops/analysis.py, dedup/cc.py, sampling.py); this query
+proves they compose into one Catalyst plan.
+
+Scale shape: one documents scan feeds quality + tokenization; the
+cluster map comes from the Jaccard-pair connected components (shuffles
+on doc_id, the natural key); the final rollup is a small groupBy. No
+Python anywhere; the only iterative part (component propagation) is
+bounded by near-dup cluster diameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.dedup.cc import dedup_cluster_canonical
+from disco_spark.registry import ORACLES, query
+from disco_spark.sampling import _bucket_sql, train_val_test_split
+from disco_spark.session import load_tables
+from disco_spark.textops.analysis import _TOKS_SQL, text_quality_score
+
+QUALITY_MIN = 0.5
+
+# the oracle composes the registered oracles of the stages it chains:
+# quality (text_quality_score) + cluster map (dedup_cluster_canonical)
+# + hash split (sampling). Stage oracles are registered before this
+# module loads (registry.load_all imports dedup/textops first).
+# NOTE: outer WITH must NOT be RECURSIVE — DuckDB fails to resolve the
+# nested recursive CTE's names if the enclosing WITH carries RECURSIVE
+# (the inner oracle brings its own WITH RECURSIVE and works as a plain
+# sub-CTE body).
+_CURATION_ORACLE = f"""
+    WITH
+    quality AS ({ORACLES["text_quality_score"]}),
+    cluster AS ({ORACLES["dedup_cluster_canonical"]}),
+    curated AS (
+      SELECT d.doc_id, d.lang, len({_TOKS_SQL}) AS n_toks
+      FROM documents d
+        JOIN quality q ON q.doc_id = d.doc_id
+        JOIN cluster c ON c.doc_id = d.doc_id
+      WHERE q.quality >= {QUALITY_MIN} AND c.cluster_id = d.doc_id
+    )
+    SELECT CASE WHEN {_bucket_sql("doc_id")} < 1000 THEN 'test'
+                WHEN {_bucket_sql("doc_id")} < 2000 THEN 'val'
+                ELSE 'train' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS total_tokens
+    FROM curated
+    GROUP BY 1, 2
+"""
+
+
+@query("corpus_curation_pipeline", oracle=_CURATION_ORACLE)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality-filter -> keep cluster canonicals -> split -> account."""
+    t = load_tables(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    cluster = dedup_cluster_canonical(spark, sf_dir)
+    from disco_spark.textops.analysis import with_toks
+
+    docs = with_toks(t["documents"]).select(
+        "doc_id", "lang", F.size("toks").alias("n_toks")
+    )
+    curated = (
+        docs.join(quality, "doc_id")
+        .join(cluster, "doc_id")
+        .filter(
+            (F.col("quality") >= QUALITY_MIN) & (F.col("cluster_id") == F.col("doc_id"))
+        )
+    )
+    return (
+        train_val_test_split(curated, "doc_id", val=0.1, test=0.1)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )

@@ -60,3 +60,4 @@ def load_all() -> None:
     from disco_spark.similarity import pagerank  # noqa: F401
     from disco_spark import sampling  # noqa: F401
     from disco_spark.functions import udaf  # noqa: F401
+    from disco_spark.plans import curation  # noqa: F401  (last: composes other oracles)

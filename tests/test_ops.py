@@ -41,3 +41,32 @@ def test_kill_job_cancels_running_group(spark):
 def test_job_progress_shape(spark):
     snap = job_progress(spark)
     assert set(snap) == {"active_jobs", "active_stages"}
+
+
+def test_concurrent_jobs_fair_pools(spark):
+    """Reference parity for async submit + waitmany (tests/test_async.py,
+    test_waitmany.py): N logical jobs submitted from N driver threads,
+    each in its own FAIR scheduler pool, all completing with correct
+    results. Spark's scheduler interleaves them; the pool property is
+    thread-local so each job's stages land in its own pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    def one_job(i: int) -> int:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"pool_{i}")
+        try:
+            return (
+                spark.range(0, 20_000)
+                .withColumn("g", F.col("id") % 7)
+                .groupBy("g")
+                .count()
+                .count()
+            )
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(one_job, range(4)))
+    assert results == [7, 7, 7, 7]

@@ -26,6 +26,7 @@ DEDUP = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_canonical",
+    "corpus_curation_pipeline",
 ]
 
 
