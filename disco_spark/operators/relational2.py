@@ -456,3 +456,235 @@ def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: late-shipment accounting by priority class. The schema has no
+# shipmode/commit-date, so "late" is adapted to ship-lag > 60 days after
+# the order date, classed into URGENT-ish vs other priorities.
+# ---------------------------------------------------------------------------
+@query(
+    "q12_late_shipments",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 END)
+             AS late_count,
+           COUNT(*) AS total_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            )
+            .otherwise("low")
+            .alias("priority_class")
+        )
+        .agg(
+            F.count(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                )
+            ).alias("late_count"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers who shipped an above-average share of a part class —
+# nested semi-join chain (part filter -> per-(supp,part) quantity vs the
+# part's average -> distinct suppliers -> supplier detail).
+# ---------------------------------------------------------------------------
+@query(
+    "q20_heavy_suppliers",
+    oracle="""
+    WITH target_parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty
+      FROM lineitem JOIN target_parts ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    part_avg AS (
+      SELECT l_partkey AS pk,
+             CAST(CAST(SUM(CAST(qty AS DECIMAL(20,6))) AS DOUBLE)
+                  / COUNT(*) AS DOUBLE) AS avg_qty
+      FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+      JOIN part_avg ON pk = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty > 1.5 * avg_qty
+    """,
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    target = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity"), "qty"))
+    )
+    # per-part average of the per-supplier sums; decimal re-accumulation of
+    # the already-exact doubles keeps both engines identical
+    part_avg = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum(F.col("qty"), "s") / F.count(F.lit(1))).cast("double").alias("avg_qty")
+    )
+    return (
+        shipped.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: multi-EXISTS — customers with a returned ('R') lineitem on one
+# order AND no returned lineitems on any later order (semi + anti join on
+# correlated subqueries, the reference's hardest hand-written pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "q21_return_then_clean_customers",
+    oracle="""
+    WITH returned_orders AS (
+      SELECT DISTINCT o_custkey, o_orderdate
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+    ),
+    first_return AS (
+      SELECT o_custkey AS ck, MIN(o_orderdate) AS first_ret
+      FROM returned_orders GROUP BY 1
+    ),
+    later_return AS (
+      SELECT r.o_custkey AS ck2
+      FROM returned_orders r JOIN first_return f ON r.o_custkey = f.ck
+      WHERE r.o_orderdate > f.first_ret
+    )
+    SELECT c_custkey, c_name
+    FROM customer
+      JOIN first_return ON c_custkey = ck
+    WHERE c_custkey NOT IN (SELECT ck2 FROM later_return)
+    """,
+)
+def q21_return_then_clean_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    returned = (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .select("o_custkey", "o_orderdate")
+        .distinct()
+    )
+    first_ret = returned.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.min("o_orderdate").alias("first_ret")
+    )
+    later = (
+        returned.join(first_ret, returned.o_custkey == first_ret.ck)
+        .filter(F.col("o_orderdate") > F.col("first_ret"))
+        .select(F.col("o_custkey").alias("ck2"))
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .join(first_ret, F.col("c_custkey") == F.col("ck"), "left_semi")
+        .join(later, F.col("c_custkey") == F.col("ck2"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function extensions (beyond-reference §2.5: the reference has no
+# window operator at all — users re-sorted inside reduce). Frames are
+# explicit ROWS with a unique orderBy so both engines agree on peers.
+# ---------------------------------------------------------------------------
+@query(
+    "window_cumulative_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS cum_revenue
+    FROM orders
+    """,
+)
+def window_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_revenue"),
+    )
+
+
+@query(
+    "window_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+    """,
+)
+def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+
+
+@query(
+    "window_price_decile",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+    """,
+)
+def window_price_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile: a single-partition window — fine for ranked export
+    of an aggregated result, NOT for a raw fact table (at 100 TB use
+    range partitioning + per-partition offsets instead)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey", F.ntile(10).over(w).alias("decile")
+    )

@@ -28,6 +28,12 @@ RELATIONAL = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q22_prospect_customers",
+    "q12_late_shipments",
+    "q20_heavy_suppliers",
+    "q21_return_then_clean_customers",
+    "window_cumulative_revenue",
+    "window_order_gap_days",
+    "window_price_decile",
     "q3_shipping_priority",
     "q5_local_supplier",
     "join_count_by_priority",
