@@ -34,11 +34,44 @@ from disco_spark.registry import query
 from disco_spark.session import load_tables
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+DRIVER_EDGE_THRESHOLD = 2_000_000
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, driver_threshold: int = DRIVER_EDGE_THRESHOLD
+) -> DataFrame:
     """(src, dst) pairs -> (node, comp) with comp = min node id reachable.
 
-    Deterministic min-label propagation; every iteration is
-    join + groupBy-min (one shuffle on node id)."""
+    Hybrid strategy, sized by the EDGE count (near-dup pairs are a tiny
+    fraction of the corpus — the pair generators already pruned the n²
+    space): below ``driver_threshold`` edges, classic union-find on the
+    driver (a 2M-edge graph is ~32 MB and finishes in milliseconds —
+    iterating Spark jobs for that wastes whole seconds of scheduling);
+    above it, deterministic distributed min-label propagation where every
+    iteration is join + groupBy-min (one shuffle on node id). Both paths
+    produce identical labels."""
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.select("src", "dst").collect():
+            ra, rb = find(int(r.src)), find(int(r.dst))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, "node bigint, comp bigint")
+    return _cc_label_propagation(edges, max_iter)
+
+
+def _cc_label_propagation(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Distributed min-label propagation (the > threshold path)."""
     sym = edges.select(
         F.col("src").cast("bigint").alias("node"), F.col("dst").cast("bigint").alias("nbr")
     ).union(
@@ -56,26 +89,24 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # carry old + new comp through ONE join so change detection needs
+        # no second join against the previous labels; localCheckpoint
+        # truncates the growing lineage so iteration N's plan doesn't
+        # replay iterations 1..N-1
+        stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("old_comp"),
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
                     "comp"
                 ),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # localCheckpoint truncates the growing lineage so iteration N's
-        # plan doesn't replay iterations 1..N-1
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "node")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
+            .localCheckpoint(eager=True)
         )
+        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.select("node", "comp")
         if changed == 0:
             break
     sym.unpersist()

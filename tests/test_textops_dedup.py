@@ -105,5 +105,13 @@ def test_connected_components_chain_and_islands(spark):
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     got = {r.node: r.comp for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == want
+    # distributed path must produce identical labels (force it by setting
+    # the driver threshold below the edge count)
+    got_dist = {
+        r.node: r.comp
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_dist == want
