@@ -44,6 +44,7 @@ def load_all() -> None:
     from disco_spark.operators import relational  # noqa: F401
     from disco_spark.operators import relational2  # noqa: F401
     from disco_spark.textops import analysis  # noqa: F401
+    from disco_spark.textops import vocab  # noqa: F401
     from disco_spark.dedup import dedup  # noqa: F401
     from disco_spark.dedup import cc  # noqa: F401
     from disco_spark.similarity import ann  # noqa: F401

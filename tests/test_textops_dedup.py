@@ -18,7 +18,16 @@ from tests.conftest import SF_SMOKE
 
 registry.load_all()
 
-TEXT = ["text_token_stats", "text_quality_score", "text_lang_id", "text_fingerprint", "text_repetition_ratio", "corpus_source_stats"]
+TEXT = [
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition_ratio",
+    "corpus_source_stats",
+    "vocab_top_bigrams",
+    "contamination_test_vs_train",
+]
 DEDUP = [
     "dedup_exact",
     "dedup_minhash_lsh",
