@@ -51,6 +51,10 @@ def connected_components(
     iteration is join + groupBy-min (one shuffle on node id). Both paths
     produce identical labels."""
     spark = edges.sparkSession
+    # the edge list is typically an expensive pair-join plan; persist it
+    # so the threshold count() and the subsequent collect()/propagation
+    # don't run that plan twice
+    edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         parent: dict[int, int] = {}
@@ -65,9 +69,12 @@ def connected_components(
             ra, rb = find(int(r.src)), find(int(r.dst))
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
+        edges.unpersist()
         rows = [(n, find(n)) for n in parent]
         return spark.createDataFrame(rows, "node bigint, comp bigint")
-    return _cc_label_propagation(edges, max_iter)
+    out = _cc_label_propagation(edges, max_iter)
+    edges.unpersist()
+    return out
 
 
 def _cc_label_propagation(edges: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -147,17 +154,23 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document's canonical cluster id: connected components over
     n-gram-Jaccard near-dup pairs (transitive closure), singletons map to
     themselves. Downstream dedup keeps rows WHERE doc_id = cluster_id."""
-    from disco_spark.dedup.dedup import dedup_ngram_jaccard
-
     t = load_tables(spark, sf_dir)
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+    return cluster_map(t["documents"])
+
+
+def cluster_map(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for every document of any documents DataFrame
+    (tokenized or not) — the composable core of dedup_cluster_canonical,
+    shared by the curation pipeline."""
+    from disco_spark.dedup.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
-    docs = t["documents"].select("doc_id")
-    singletons = docs.join(comp, "doc_id", "left_anti").select(
+    singletons = docs.select("doc_id").join(comp, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
     return comp.unionByName(singletons)

@@ -78,7 +78,8 @@ def shingle_df(docs: DataFrame, k: int = 3) -> DataFrame:
     `toks` is projected ONCE before the transform lambda — inlining the
     split+filter expression into the lambda body re-tokenizes the text
     per shingle position (no CSE inside higher-order functions; 19x
-    slower measured)."""
+    slower measured). If the input already carries a `toks` column it is
+    reused — composition queries tokenize ONCE and share the scan."""
     toks = F.col("toks")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
@@ -86,9 +87,9 @@ def shingle_df(docs: DataFrame, k: int = 3) -> DataFrame:
             " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
         ),
     )
+    base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
     return (
-        docs.withColumn("toks", _toks())
-        .filter(F.size(toks) >= k)
+        base.filter(F.size(toks) >= k)
         .select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
     )
@@ -192,10 +193,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over 3-gram shingle sets, inverted-index join (pairs
     exist only for docs sharing a shingle — never the n^2 cross space)."""
     t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"])
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs >= JACCARD_MIN over any documents
+    DataFrame (tokenized or not) — the composable core of
+    dedup_ngram_jaccard, shared by the clustering and curation plans."""
     # the plan reads shingles 3x (both join sides + sizes); persisting the
     # tokenize+shingle scan computes it once (measured 5.9s -> 3.6s at
     # sf0.1). Blocks are LRU-evictable, so a long session self-cleans.
-    sh = shingle_df(t["documents"]).persist()
+    sh = shingle_df(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.toDF("doc_a", "shingle")
     b = sh.toDF("doc_b", "shingle")

@@ -19,11 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from disco_spark.dedup.cc import dedup_cluster_canonical
 from disco_spark.registry import ORACLES, query
 from disco_spark.sampling import _bucket_sql, train_val_test_split
 from disco_spark.session import load_tables
-from disco_spark.textops.analysis import _TOKS_SQL, text_quality_score
+from disco_spark.textops.analysis import _TOKS_SQL
 
 QUALITY_MIN = 0.5
 
@@ -59,21 +58,40 @@ _CURATION_ORACLE = f"""
 
 @query("corpus_curation_pipeline", oracle=_CURATION_ORACLE)
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quality-filter -> keep cluster canonicals -> split -> account."""
-    t = load_tables(spark, sf_dir)
-    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
-    cluster = dedup_cluster_canonical(spark, sf_dir)
-    from disco_spark.textops.analysis import with_toks
+    """quality-filter -> keep cluster canonicals -> split -> account.
 
-    docs = with_toks(t["documents"]).select(
-        "doc_id", "lang", F.size("toks").alias("n_toks")
+    Plan shape (the one that scales): everything derives from ONE
+    persisted tokenized scan of documents (tokenization is the dominant
+    per-row cost; quality, shingling, and token counting each needed it).
+    Quality is a column on that projection, not a join. "Keep cluster
+    canonicals" is a left-anti join against only the NON-canonical
+    members (comp != node — a set the size of the duplicates, tiny
+    relative to the corpus, so AQE turns it into a broadcast anti-join):
+    canonicals and singletons pass through with zero shuffle of the
+    corpus itself."""
+    t = load_tables(spark, sf_dir)
+    from disco_spark.dedup.cc import connected_components
+    from disco_spark.dedup.dedup import ngram_jaccard_pairs
+    from disco_spark.textops.analysis import quality_column, with_toks
+
+    base = with_toks(t["documents"]).persist()
+    pairs = ngram_jaccard_pairs(base).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    non_canonical = (
+        connected_components(pairs)
+        .filter(F.col("comp") != F.col("node"))
+        .select(F.col("node").alias("doc_id"))
     )
     curated = (
-        docs.join(quality, "doc_id")
-        .join(cluster, "doc_id")
-        .filter(
-            (F.col("quality") >= QUALITY_MIN) & (F.col("cluster_id") == F.col("doc_id"))
+        base.select(
+            "doc_id",
+            "lang",
+            F.size("toks").alias("n_toks"),
+            quality_column().alias("quality"),
         )
+        .filter(F.col("quality") >= QUALITY_MIN)
+        .join(non_canonical, "doc_id", "left_anti")
     )
     return (
         train_val_test_split(curated, "doc_id", val=0.1, test=0.1)

@@ -30,7 +30,11 @@ def with_toks(df: DataFrame, col: str = "text") -> DataFrame:
     where Catalyst does no common-subexpression elimination) must use
     `F.col("toks")`, never the raw `_toks()` expression — inlining the
     split+filter into a lambda body re-tokenizes the document on every
-    lambda invocation (measured 19x slowdown on the shingle scan)."""
+    lambda invocation (measured 19x slowdown on the shingle scan).
+    Idempotent: a DataFrame already carrying `toks` passes through, so
+    composition plans tokenize exactly once."""
+    if "toks" in df.columns:
+        return df
     return df.withColumn("toks", _toks(col))
 
 
@@ -105,6 +109,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + alphabetic ratio + length prior,
     the standard cheap pre-filters before expensive LLM-data cleaning."""
     t = load_tables(spark, sf_dir)
+    return quality_score_df(t["documents"])
+
+
+def quality_column() -> Column:
+    """The composite quality score as a Column expression (requires
+    `toks` and `text` in scope) — composition plans add it to their own
+    projection instead of joining a separate quality DataFrame."""
     toks = F.col("toks")
     stop_ratio = _hits(toks, _PROFILES["en"]).cast("double") / F.size(toks)
     alpha_ratio = (
@@ -112,7 +123,21 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.length("text")
     )
     length_prior = F.least(F.length("text").cast("double") / 500, F.lit(1.0))
-    return with_toks(t["documents"]).select(
+    return F.round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * length_prior, 6)
+
+
+def quality_score_df(docs: DataFrame) -> DataFrame:
+    """Quality columns over any documents DataFrame (tokenized or not) —
+    the composable core of text_quality_score, shared by curation."""
+    toks = F.col("toks")
+    stop_ratio = _hits(toks, _PROFILES["en"]).cast("double") / F.size(toks)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    length_prior = F.least(F.length("text").cast("double") / 500, F.lit(1.0))
+    base = docs if "toks" in docs.columns else with_toks(docs)
+    return base.select(
         "doc_id",
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
