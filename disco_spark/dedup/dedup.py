@@ -203,10 +203,17 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # the plan reads shingles 3x (both join sides + sizes); persisting the
     # tokenize+shingle scan computes it once (measured 5.9s -> 3.6s at
     # sf0.1). Blocks are LRU-evictable, so a long session self-cleans.
-    sh = shingle_df(docs).persist()
+    return _jaccard_from_shingles(shingle_df(docs).persist())
+
+
+def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
+    """sizes + inverted-index pair join + Jaccard filter over a
+    (doc_id, shingle) DataFrame (caller persists it)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.toDF("doc_a", "shingle")
-    b = sh.toDF("doc_b", "shingle")
+    # rename by NAME, not position (joins reorder columns: an anti-join
+    # on shingle puts shingle first)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -222,6 +229,56 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_MIN)
     )
+
+
+# --------------------------------------------------------------------------
+# DF-pruned Jaccard: the skew-hardened variant for head-heavy corpora
+# --------------------------------------------------------------------------
+DF_PRUNE_MAX = 5
+
+
+@query(
+    "dedup_ngram_jaccard_df_pruned",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    hot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {DF_PRUNE_MAX}),
+    kept AS (SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
+    """,
+)
+def dedup_ngram_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs over shingle sets PRUNED of head shingles
+    (document frequency > DF_PRUNE_MAX).
+
+    The scale rationale: the inverted-shingle join's cost and skew are
+    both dominated by head shingles (stopword 3-grams appear in a huge
+    fraction of documents, so their posting lists produce O(df²) pair
+    candidates while carrying almost no discriminative signal). Dropping
+    them bounds every posting list at DF_PRUNE_MAX — the pair space
+    becomes O(n_shingles · DF_PRUNE_MAX²) regardless of corpus skew.
+    The hot-shingle set itself is tiny by construction (at most
+    corpus_shingle_count / DF_PRUNE_MAX keys), so the prune is a
+    broadcast anti-join: no extra shuffle of the shingle table."""
+    t = load_tables(spark, sf_dir)
+    sh = shingle_df(t["documents"]).persist()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") > DF_PRUNE_MAX)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    return _jaccard_from_shingles(kept)
 
 
 # --------------------------------------------------------------------------

@@ -32,6 +32,7 @@ DEDUP = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_df_pruned",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_canonical",
