@@ -47,6 +47,9 @@ HEADLINE = [
     "asof_purchase_after_view",
     "events_funnel_view_purchase",
     "corpus_curation_pipeline",
+    "dedup_ngram_jaccard_df_pruned",
+    "vocab_top_bigrams",
+    "contamination_test_vs_train",
 ]
 
 
