@@ -106,6 +106,35 @@ def test_jaccard_math(spark, near_dup_docs):
     assert (1, 4) not in pairs  # unrelated shares none
 
 
+def test_df_pruned_jaccard_drops_hot_shingles_keeps_near_dups(spark):
+    """A shingle present in > DF_PRUNE_MAX docs must not generate pairs
+    by itself; genuine near-dups (sharing many rare shingles) survive."""
+    from disco_spark.dedup.dedup import (
+        DF_PRUNE_MAX,
+        _jaccard_from_shingles,
+        shingle_df,
+    )
+
+    hot = "alpha beta gamma"  # one shared 3-shingle across many docs
+    rows = [(i, f"{hot} filler{i} x{i} y{i} z{i}") for i in range(DF_PRUNE_MAX + 3)]
+    near_a = "one two three four five six seven eight nine ten"
+    rows += [(100, near_a), (101, near_a + " eleven")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sh = shingle_df(docs).persist()
+    hot_set = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") > DF_PRUNE_MAX)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot_set), "shingle", "left_anti")
+    pairs = {(r.doc_a, r.doc_b) for r in _jaccard_from_shingles(kept).collect()}
+    assert (100, 101) in pairs  # rare-shingle near-dups survive
+    # no pair exists among the hot-shingle-only docs
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
 def test_connected_components_chain_and_islands(spark):
     """Path graph 1-2-3-4 collapses to comp=1; isolated edge 10-11 to 10;
     propagation must cross the full chain (transitive closure, not just
