@@ -298,6 +298,31 @@ def events_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_last_action_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, ts) AS last_event_type,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def events_last_action_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest action per user via max_by/arg_max (SURVEY §2.5's top-k
+    row: the fold the reference writes as a user reduce) — one partial-
+    aggregating scan, no window/sort. Deterministic because (user_id, ts)
+    is unique in this data; with tie-prone data you'd max_by on a
+    composite (ts, event_id) key (DuckDB's arg_max is scalar-keyed, so
+    the oracle would need an encoded scalar)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
     "events_daily_retention",
     oracle="""
     WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)

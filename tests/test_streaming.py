@@ -23,6 +23,7 @@ WINDOWED = [
     "events_funnel_view_purchase",
     "streaming_static_join_value_by_segment",  # real stream-static join run
     "events_daily_retention",
+    "events_last_action_per_user",
 ]
 
 
