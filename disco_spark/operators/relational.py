@@ -612,6 +612,25 @@ def rollup_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "cube_orders_by_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one pass (same free-Catalyst
+    rationale as the rollup above — one scan replaces four)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q14: promotion effect (TPC-H Q14 shape) — conditional aggregation over a
 # broadcast part join: one scan, two sums, no second pass.
