@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from disco_spark.registry import query
 from disco_spark.session import load_tables
+from disco_spark.textops.analysis import with_toks
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
@@ -327,17 +328,49 @@ def simhash_udf() -> "F.udf":
       GROUP BY doc_id, j
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document. The signature UDF is Arrow-batched
-    and numpy-vectorized over the bit dimension; output is 8 bytes/doc,
-    so downstream near-dup search joins on signature bands exactly like
-    minhash (see tests for the hamming-distance pairing)."""
+    """60-bit SimHash per document, entirely in JVM built-ins (zero
+    Python in the plan): explode tokens -> built-in md5 (same hex as the
+    oracle's) -> 60 bit-vote SUM columns in ONE partial-aggregating
+    groupBy -> signature assembled from the vote signs. The explode
+    keeps each document's tokens inside its input partition, so the
+    map-side partial agg collapses to one 61-field row per document
+    before the shuffle; everything stays in whole-stage codegen.
+    Output is 8 bytes/doc; downstream near-dup search bands on
+    signature prefixes exactly like minhash (see simhash_pairs).
+    A row-at-a-time Arrow UDF variant (simhash_udf) is kept only as the
+    compat path for pickled-function jobs; it is NOT the registered
+    plan (per-token Python hashing does not survive 100TB)."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+    toks = with_toks(t["documents"]).select("doc_id", F.explode("toks").alias("tok"))
+    hv = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("hv"),
+    )
+    votes = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(zero)
+                for j in range(SIMHASH_BITS)
+            ],
+            start=zero,
+        ).alias("simhash"),
+    )
+    return sig
 
 
 def simhash_pairs(docs_with_sig: DataFrame, max_hamming: int = 3, band_bits: int = 20) -> DataFrame:

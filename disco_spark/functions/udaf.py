@@ -45,9 +45,9 @@ def _weighted_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     WITH g AS (
       SELECT l_returnflag,
-             SUM(CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT)
-                 * CAST(l_quantity AS BIGINT)) AS wsum_micro,
-             SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum_micro,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, wsum_micro, qty_sum,

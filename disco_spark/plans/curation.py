@@ -50,7 +50,7 @@ _CURATION_ORACLE = f"""
                 ELSE 'train' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS total_tokens
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
     FROM curated
     GROUP BY 1, 2
 """

@@ -38,7 +38,7 @@ from disco_spark.streaming.windows import run_stream_to_memory
 
 _TOTALS_ORACLE = """
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS value_micro_sum
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro_sum
     FROM events GROUP BY user_id
 """
 

@@ -248,7 +248,7 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     "streaming_stateful_user_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS value_micro_sum
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro_sum
     FROM events GROUP BY user_id
     """,
 )
@@ -364,7 +364,7 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT)) AS value_micro_sum
+           CAST(SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro_sum
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,

@@ -275,7 +275,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
-           SUM(n_toks) AS total_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            CAST(CAST(SUM(CAST(n_chars AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS DOUBLE)
              AS avg_chars
     FROM t GROUP BY source
