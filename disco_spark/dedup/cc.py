@@ -29,12 +29,71 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
-from disco_spark.dedup.dedup import _SHINGLES_SQL, JACCARD_MIN
+from disco_spark.dedup.dedup import _SHINGLES_SQL, JACCARD_MIN, _bands_sql
 from disco_spark.registry import query
 from disco_spark.session import load_tables
 
 
 DRIVER_EDGE_THRESHOLD = 2_000_000
+
+
+def _cluster_oracle(pair_ctes: str) -> str:
+    """Recursive-CTE connected-components oracle over a `pairs` CTE
+    (doc_a, doc_b) produced by `pair_ctes`; singletons map to
+    themselves. Shared by the exact and LSH-prefiltered cluster maps."""
+    return f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {pair_ctes},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id FROM cc
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM cc)
+    """
+
+
+_EXACT_PAIRS_CTES = f"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
+    )"""
+
+_LSH_PAIRS_CTES = f"""
+    {_bands_sql()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+      FROM cands c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
+    )"""
+
+# cluster map over LSH-prefiltered verified pairs — the variant the
+# curation pipeline embeds (not separately registered; the pair
+# generator itself is driver-checked as dedup_lsh_jaccard)
+LSH_CLUSTER_ORACLE = _cluster_oracle(_LSH_PAIRS_CTES)
 
 
 def connected_components(
@@ -120,36 +179,7 @@ def _cc_label_propagation(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     return labels
 
 
-@query(
-    "dedup_cluster_canonical",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM common JOIN sizes sa ON sa.doc_id = doc_a
-                  JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
-    ),
-    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
-    reach(node, comp) AS (
-      SELECT DISTINCT s, s FROM edges
-      UNION
-      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
-    ),
-    cc AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node)
-    SELECT doc_id, cluster_id FROM cc
-    UNION ALL
-    SELECT doc_id, doc_id AS cluster_id FROM documents
-    WHERE doc_id NOT IN (SELECT doc_id FROM cc)
-    """,
-)
+@query("dedup_cluster_canonical", oracle=_cluster_oracle(_EXACT_PAIRS_CTES))
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document's canonical cluster id: connected components over
     n-gram-Jaccard near-dup pairs (transitive closure), singletons map to
@@ -158,13 +188,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_map(t["documents"])
 
 
-def cluster_map(docs: DataFrame) -> DataFrame:
+def cluster_map(docs: DataFrame, pair_fn=None) -> DataFrame:
     """(doc_id, cluster_id) for every document of any documents DataFrame
     (tokenized or not) — the composable core of dedup_cluster_canonical,
-    shared by the curation pipeline."""
+    shared by the curation pipeline. `pair_fn` picks the near-dup pair
+    generator (default: exact inverted-shingle Jaccard; the curation
+    pipeline passes the LSH-prefiltered one)."""
     from disco_spark.dedup.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(docs).select(
+    pairs = (pair_fn or ngram_jaccard_pairs)(docs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs).select(

@@ -149,14 +149,27 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures -> banded LSH -> candidate duplicate pairs."""
     t = load_tables(spark, sf_dir)
-    sig = minhash_signatures(shingle_df(t["documents"]))
-    bands = None
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = [F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_key")
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    return band_candidates(minhash_signatures(shingle_df(t["documents"])))
+
+
+def band_candidates(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded minhash signatures:
+    docs collide when one whole band of their signatures matches. The
+    self-join is bucketed on (band_idx, band_key) — only near-dup
+    buckets produce pairs, never the n² cross space.
+
+    The band keys come from ONE posexplode over an array expression
+    (not a UNION of per-band selects, which would re-evaluate the
+    signature aggregation once per band — 3 shuffles instead of 1)."""
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(*[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
     a = bands.toDF("doc_a", "band_idx", "band_key")
     b = bands.toDF("doc_b", "band_idx", "band_key")
     return (
@@ -221,6 +234,11 @@ def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return _jaccard_select(common, sizes)
+
+
+def _jaccard_select(common: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, c=|A∩B|) + per-doc set sizes -> Jaccard >= min."""
     jac = F.round(
         F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c")), 6
     )
@@ -230,6 +248,127 @@ def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_MIN)
     )
+
+
+# --------------------------------------------------------------------------
+# LSH-prefiltered exact Jaccard: candidates from minhash bands, exact
+# verify only on candidates — the 100 TB shape (pair space = band
+# collisions, not posting-list blowup)
+# --------------------------------------------------------------------------
+def _bands_sql() -> str:
+    """DuckDB CTEs `sig` + `bands` + `cands` matching band_candidates()
+    over the `shingles` CTE (same md5-salted hash family both sides)."""
+    mins = ", ".join(
+        f"min(md5(concat('s{i} ', shingle))) AS mh{i}" for i in range(N_HASHES)
+    )
+    parts = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = ", ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        head = "0 AS band_idx, md5(concat({c})) AS band_key" if b == 0 else "{b}, md5(concat({c}))"
+        parts.append(
+            f"SELECT doc_id, {head.format(b=b, c=cols)} FROM sig"
+        )
+    union = "\n      UNION ALL\n      ".join(parts)
+    return f"""
+    sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+    bands AS (
+      {union}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "dedup_lsh_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_bands_sql()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+      FROM cands c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
+    """,
+)
+def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard restricted to LSH band candidates: minhash bands
+    propose pairs, exact set intersection verifies them. This is the
+    near-dup plan that survives 100 TB — the full inverted-shingle join's
+    pair space is sum(df²) over shingles (head-shingle quadratic), while
+    this one's is only band collisions (true near-dups + the LSH false
+    positive rate), and the verify join starts FROM the tiny candidate
+    list. Recall is the banding curve 1-(1-j^r)^b, so near-exact for
+    true duplicates and intentionally low for weakly-similar pairs."""
+    t = load_tables(spark, sf_dir)
+    return lsh_jaccard_pairs(t["documents"])
+
+
+def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Composable core of dedup_lsh_jaccard: candidates from minhash
+    bands, exact Jaccard verify only on candidates. One persisted
+    shingle scan feeds signatures, sizes, and the verify join."""
+    sh = shingle_df(docs).persist()
+    cands = band_candidates(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # verify join STARTS from the candidate list (tiny), expands to doc_a's
+    # shingles, then equi-joins (doc_b, shingle) — the intersection count
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _jaccard_select(common, sizes)
+
+
+def salted_ngram_jaccard_pairs(
+    docs: DataFrame, hot_df_min: int = 50, n_salts: int = 8
+) -> DataFrame:
+    """EXACT Jaccard pairs (same result as ngram_jaccard_pairs) with
+    head-shingle skew mitigation: shingles whose document frequency
+    exceeds `hot_df_min` are routed through a salted self-join
+    (hot_cold_split_join), spreading each hot posting list's O(df²)
+    pair generation across n_salts tasks instead of one straggler.
+
+    This composes with the UN-pruned path: unlike
+    dedup_ngram_jaccard_df_pruned (which drops head shingles and changes
+    the result), salting preserves exact semantics — use it when the
+    head shingles carry signal you can't drop. The hot set is
+    |shingles with df > hot_df_min| — tiny by construction, broadcast.
+    """
+    from disco_spark.operators.skew import hot_cold_split_join
+
+    sh = shingle_df(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > hot_df_min)
+        .select("shingle")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        hot_cold_split_join(a, b, "shingle", hot, n_salts=n_salts)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _jaccard_select(common, sizes)
 
 
 # --------------------------------------------------------------------------

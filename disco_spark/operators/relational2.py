@@ -669,6 +669,51 @@ def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_row_number(df: DataFrame, cols: list[str], out: str = "rn") -> tuple[DataFrame, int]:
+    """Exact global 1-based row number over a total order WITHOUT a
+    single-partition window (the naive `Window.orderBy(...)` serializes
+    the whole table through one task — a straight OOM at 100TB).
+
+    Two-pass range-partition plan:
+      1. `repartitionByRange` on the order columns (sampled boundaries;
+         partition id ascends with the sort key), persist — the persist
+         pins the sampled boundaries so pass 2 sees the same partitions;
+      2. count rows per range partition (tiny driver-side collect, one
+         row per partition) to get each partition's global rank offset;
+      3. local `row_number` within each range partition + its offset.
+    The per-partition window does shuffle on partition id, but every
+    task holds ~1/N of the rows — no single-partition exchange appears
+    anywhere in the plan. Exactness does not depend on where the sampled
+    boundaries land, only on the order columns being a total order.
+
+    Returns (df with `out` column, total row count).
+    """
+    from pyspark.sql.window import Window
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        part.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, total = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = total
+        total += r["c"]
+    off = F.create_map(
+        *[F.lit(x) for pid_base in offsets.items() for x in pid_base]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    ranked = part.withColumn(
+        out, (F.row_number().over(w) + off[F.col("_pid")]).cast("long")
+    ).drop("_pid")
+    return ranked, total
+
+
 @query(
     "window_price_decile",
     oracle="""
@@ -678,13 +723,23 @@ def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_price_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile: a single-partition window — fine for ranked export
-    of an aggregated result, NOT for a raw fact table (at 100 TB use
-    range partitioning + per-partition offsets instead)."""
-    from pyspark.sql.window import Window
-
+    """Global NTILE(10) with no single-partition exchange: exact global
+    rank via range partitioning + per-partition offsets
+    (`global_row_number`), then the decile in closed form from
+    (rank, n) — NTILE semantics: the first n%10 buckets get one extra
+    row. Survives 100x scale-up: every exchange in the plan is
+    range- or hash-partitioned across all tasks."""
     t = load_tables(spark, sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return t["orders"].select(
-        "o_orderkey", F.ntile(10).over(w).alias("decile")
+    ranked, n = global_row_number(
+        t["orders"].select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
     )
+    q, r = divmod(n, 10)
+    if q == 0:  # fewer rows than buckets: ntile assigns rank directly
+        decile = F.col("rn")
+    else:
+        head = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+        decile = F.when(
+            F.col("rn") <= head, F.expr(f"(rn + {q}) DIV {q + 1}")
+        ).otherwise(F.expr(f"{r} + ((rn - {head} + {q - 1}) DIV {q})"))
+    return ranked.select("o_orderkey", decile.cast("int").alias("decile"))

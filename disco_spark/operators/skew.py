@@ -46,6 +46,37 @@ def salted_join(
     )
 
 
+def hot_cold_split_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    hot_keys: DataFrame,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Differentiated skew join: rows whose key is in `hot_keys` (a
+    one-column DataFrame of `on` values, small enough to broadcast) go
+    through the salted join; everything else takes the plain equi-join.
+    Only hot-key rows of `small` pay the ×n_salts replication — the
+    production shape for head-heavy key distributions (stopword
+    shingles, null-ish ids, power-law entities).
+
+    Each input row lands in exactly one branch (broadcast semi/anti on
+    the same hot set), so inner and left joins partition cleanly and the
+    union equals the plain join exactly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hot_cold_split_join supports inner/left, got {how!r}")
+    hot = F.broadcast(hot_keys.select(on).distinct())
+    l_hot = large.join(hot, on, "left_semi")
+    l_cold = large.join(hot, on, "left_anti")
+    s_hot = small.join(hot, on, "left_semi")
+    s_cold = small.join(hot, on, "left_anti")
+    hot_joined = salted_join(l_hot, s_hot, on, n_salts=n_salts, how=how)
+    cold_joined = l_cold.join(s_cold, on, how)
+    return hot_joined.unionByName(cold_joined)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from disco_spark.dedup.cc import LSH_CLUSTER_ORACLE
 from disco_spark.registry import ORACLES, query
 from disco_spark.sampling import _bucket_sql, train_val_test_split
 from disco_spark.session import load_tables
@@ -27,9 +28,11 @@ from disco_spark.textops.analysis import _TOKS_SQL
 QUALITY_MIN = 0.5
 
 # the oracle composes the registered oracles of the stages it chains:
-# quality (text_quality_score) + cluster map (dedup_cluster_canonical)
-# + hash split (sampling). Stage oracles are registered before this
-# module loads (registry.load_all imports dedup/textops first).
+# quality (text_quality_score) + LSH-prefiltered cluster map
+# (cc.LSH_CLUSTER_ORACLE — same CTEs as the driver-checked
+# dedup_lsh_jaccard pair generator) + hash split (sampling). Stage
+# oracles are registered before this module loads (registry.load_all
+# imports dedup/textops first).
 # NOTE: outer WITH must NOT be RECURSIVE — DuckDB fails to resolve the
 # nested recursive CTE's names if the enclosing WITH carries RECURSIVE
 # (the inner oracle brings its own WITH RECURSIVE and works as a plain
@@ -37,7 +40,7 @@ QUALITY_MIN = 0.5
 _CURATION_ORACLE = f"""
     WITH
     quality AS ({ORACLES["text_quality_score"]}),
-    cluster AS ({ORACLES["dedup_cluster_canonical"]}),
+    cluster AS ({LSH_CLUSTER_ORACLE}),
     curated AS (
       SELECT d.doc_id, d.lang, len({_TOKS_SQL}) AS n_toks
       FROM documents d
@@ -71,11 +74,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself."""
     t = load_tables(spark, sf_dir)
     from disco_spark.dedup.cc import connected_components
-    from disco_spark.dedup.dedup import ngram_jaccard_pairs
+    from disco_spark.dedup.dedup import lsh_jaccard_pairs
     from disco_spark.textops.analysis import quality_column, with_toks
 
     base = with_toks(t["documents"]).persist()
-    pairs = ngram_jaccard_pairs(base).select(
+    # LSH-prefiltered near-dup pairs (bands propose, exact Jaccard
+    # verifies) — the curation pass never pays the full inverted-shingle
+    # pair join; see dedup_lsh_jaccard for the scale rationale
+    pairs = lsh_jaccard_pairs(base).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     non_canonical = (

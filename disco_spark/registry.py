@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "discodb_metaquery", "discodb_items", "discodb_unique_values",
     # dedup + clustering (simhash plan rewritten this round)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_df_pruned",
+    "dedup_lsh_jaccard",
     "dedup_simhash", "dedup_embedding_cosine", "dedup_cluster_canonical",
     "dedup_paragraph", "dedup_incremental_watermark",
     # streaming + event analytics
@@ -68,7 +69,10 @@ PRIORITY: list[str] = [
     "events_session_window", "events_dedup_by_key",
     "streaming_tumbling_window", "streaming_stateful_user_totals",
     "events_funnel_view_purchase", "events_last_action_per_user",
-    "events_daily_retention", "streaming_static_join_value_by_segment",
+    # events_daily_retention: deliberately OUTSIDE the 50-query window —
+    # its shape (distinct + self-join + agg) matches round-1-verified
+    # relational queries; the slot goes to dedup_lsh_jaccard instead
+    "streaming_static_join_value_by_segment",
     "streaming_foreachbatch_user_totals",
     # sources / external / multimodal / asof
     "source_re_reader", "source_raw_literals", "source_netstring",

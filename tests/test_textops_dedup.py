@@ -33,6 +33,7 @@ DEDUP = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_df_pruned",
+    "dedup_lsh_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_canonical",
