@@ -422,6 +422,62 @@ def dedup_ngram_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# span-level (sentence/paragraph) dedup: the operator real pipelines run
+# right after doc-level dedup — boilerplate sentences (cookie banners,
+# license headers, nav text) repeat across otherwise-unique documents
+# --------------------------------------------------------------------------
+SPAN_MIN_CHARS = 20
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(s), '\\s+', ' ', 'g')) AS span
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+            FROM documents)
+    ),
+    kept AS (SELECT * FROM spans WHERE len(span) >= {SPAN_MIN_CHARS})
+    SELECT md5(span) AS span_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS rep_doc_id
+    FROM kept
+    GROUP BY 1
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence/paragraph-granularity dedup map: split documents on
+    sentence punctuation, normalize each span (lower, collapse
+    whitespace), and group identical spans across the corpus. Output is
+    one row per distinct span with its occurrence count, document
+    spread, and representative doc — downstream removal filters spans
+    WHERE n_docs > 1 (cross-document boilerplate) while keeping
+    in-document repeats intact. One scan + one shuffle on span hash;
+    the span text itself never shuffles (only the 16-byte hash and
+    counters), which is what keeps this viable at corpus scale."""
+    t = load_tables(spark, sf_dir)
+    spans = t["documents"].select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s"),
+    ).select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower(F.col("s")), r"\s+", " ")).alias("span"),
+    )
+    return (
+        spans.filter(F.length("span") >= SPAN_MIN_CHARS)
+        .select("doc_id", F.md5("span").alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash (60-bit, md5-derived) — Arrow-batched pandas UDF fast path
 # --------------------------------------------------------------------------
 SIMHASH_BITS = 60

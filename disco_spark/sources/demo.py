@@ -3,13 +3,40 @@ surfaces (everything here has a DuckDB oracle)."""
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.operators.external import pipe_table
 from disco_spark.registry import query
 from disco_spark.session import load_tables
-from disco_spark.sources.readers import read_raw
+from disco_spark.sources.readers import (
+    read_disco_netstring,
+    read_raw,
+    read_redis,
+    write_disco_netstring,
+)
+
+
+class FakeRedis:
+    """Deterministic in-memory stand-in for redis.StrictRedis exposing
+    the two methods read_redis needs (scan_iter, lrange). The redis
+    library isn't in this container; the Spark-side plumbing (driver key
+    scan, per-partition connections, list expansion) is real and
+    oracle-checked — swap the factory for redis.StrictRedis in prod."""
+
+    def __init__(self, data: dict[str, list[str]]):
+        self._data = data
+
+    def scan_iter(self):
+        return iter(self._data)
+
+    def lrange(self, key: str, start: int, end: int):
+        vals = self._data[key]
+        return vals if end == -1 else vals[start : end + 1]
 
 
 @query(
@@ -41,6 +68,46 @@ def source_re_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_raw_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """raw:// parity: the URL body is the record (scheme_raw.py:1-10)."""
     return read_raw(spark, ["raw://alpha", "raw://beta", "raw://gamma"])
+
+
+@query(
+    "source_redis",
+    oracle="""
+    SELECT concat('doc:', CAST(doc_id AS VARCHAR)) AS key, lang AS value FROM documents
+    UNION ALL
+    SELECT concat('doc:', CAST(doc_id AS VARCHAR)), source FROM documents
+    """,
+)
+def source_redis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """redis scheme source parity (scheme_redis.py:1-41): snapshot a KV
+    db whose lists hold [lang, source] per document key, one output row
+    per list element. Driver scans keys only; executors LRANGE their
+    partition's keys through one connection each (see read_redis)."""
+    t = load_tables(spark, sf_dir)
+    rows = t["documents"].select("doc_id", "lang", "source").collect()
+    snapshot = {f"doc:{r['doc_id']}": [r["lang"], r["source"]] for r in rows}
+    return read_redis(spark, "redis://fake:0:0", client_factory=lambda: FakeRedis(snapshot))
+
+
+@query(
+    "source_netstring",
+    oracle="SELECT CAST(doc_id AS VARCHAR) AS key, lang AS value FROM documents",
+)
+def source_netstring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy disco netstring wire format round-trip: write documents'
+    (doc_id, lang) as '<klen> <key> <vlen> <value>\\n' byte-stream files
+    (DiscoPlainOut, task_io.py:319-325), read them back with the
+    byte-accurate frame parser (old_netstr_reader, task_io.py:184-249)."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "disco_spark_netstring_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    write_disco_netstring(
+        t["documents"].select(
+            F.col("doc_id").cast("string").alias("key"), F.col("lang").alias("value")
+        ),
+        path,
+    )
+    return read_disco_netstring(spark, path)
 
 
 @query(

@@ -100,6 +100,125 @@ def read_netstring(spark: SparkSession, path: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# legacy disco netstring byte-stream files (task_io.py:184-325):
+# DiscoPlainOut writes '<klen> <key> <vlen> <value>\n' per record;
+# old_netstr_reader parses two length-prefixed frames per record.
+# These functions read/write the ACTUAL on-disk byte format (wire-format
+# parity), unlike read_netstring/write_netstring above which carry
+# classic 'len:data,' netstrings inside parquet binary columns.
+# --------------------------------------------------------------------------
+def write_disco_netstring(
+    df: DataFrame, path: str, key_col: str = "key", val_col: str = "value"
+) -> None:
+    """Write (key, value) rows as legacy disco plain-output files.
+
+    Pure JVM: one format_string per row, text sink appends the trailing
+    newline — matching DiscoPlainOut byte for byte. One file per
+    partition; scales as any text write does."""
+    line = F.format_string(
+        "%d %s %d %s",
+        F.length(F.col(key_col).cast("string")),
+        F.col(key_col).cast("string"),
+        F.length(F.col(val_col).cast("string")),
+        F.col(val_col).cast("string"),
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def read_disco_netstring(spark: SparkSession, path: str) -> DataFrame:
+    """Parse legacy disco netstring byte streams back to (key, value).
+
+    Byte-accurate framing via the declared lengths (values MAY embed
+    newlines, so this cannot be a line reader): binaryFile source gives
+    one blob per file, an Arrow-batched parser walks the frames. Files
+    are DDFS-chunk sized (64 MB) by convention, so per-file parse state
+    is bounded; parallelism = number of chunk files, same as the
+    reference's one-task-per-chunk model (task_io.py:184-249)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, vals = [], []
+            for blob in pdf["content"]:
+                buf = bytes(blob)
+                i = 0
+
+                def frame(i: int) -> tuple[str, int]:
+                    j = buf.index(b" ", i, i + 11)
+                    n = int(buf[i:j])
+                    return buf[j + 1 : j + 1 + n].decode(), j + 1 + n + 1
+                while i < len(buf):
+                    k, i = frame(i)
+                    v, i = frame(i)
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    blobs = spark.read.format("binaryFile").load(path).select("content")
+    return blobs.mapInPandas(decode, schema="key string, value string")
+
+
+# --------------------------------------------------------------------------
+# redis scheme source (reference scheme_redis.py:1-41: SCAN the keyspace,
+# LRANGE each key's list, yield one (key, value) record per element)
+# --------------------------------------------------------------------------
+def parse_redis_url(url: str) -> tuple[str, int, int]:
+    """'redis://host:port:db' -> (host, port, db) — the reference's URL
+    convention (scheme_redis.py:10-12)."""
+    rest = url[len("redis://"):] if url.startswith("redis://") else url
+    host, port, db = rest.split(":")
+    return host, int(port), int(db)
+
+
+def read_redis(
+    spark: SparkSession,
+    url: str,
+    client_factory=None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Partitioned KV snapshot of a redis db: DataFrame[key, value], one
+    row per list element per key (reference scheme_redis.py read()).
+
+    Scale shape: the DRIVER scans only the key names (SCAN cursor —
+    bounded memory, values never touch the driver), distributes keys
+    across partitions, and each EXECUTOR partition opens one connection
+    and LRANGEs its keys (the reference instead streamed the whole db
+    through one client). ``client_factory()`` must return an object
+    with ``scan_iter()`` and ``lrange(key, start, end)`` — by default a
+    ``redis.StrictRedis`` for the url (import-gated: the library isn't
+    in this container, so tests inject a deterministic fake with the
+    same two methods).
+    """
+    if client_factory is None:
+        host, port, db = parse_redis_url(url)
+
+        def client_factory():
+            import redis  # gated: not baked into the container
+
+            return redis.StrictRedis(host=host, port=port, db=db)
+
+    keys = [
+        k.decode() if isinstance(k, bytes) else str(k)
+        for k in client_factory().scan_iter()
+    ]
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    key_df = spark.createDataFrame([(k,) for k in keys], "key string").repartition(
+        max(1, min(n_partitions, len(keys) or 1))
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()  # one connection per partition
+        for pdf in batches:
+            out_k, out_v = [], []
+            for k in pdf["key"]:
+                for v in client.lrange(k, 0, -1):
+                    out_k.append(k)
+                    out_v.append(v.decode() if isinstance(v, bytes) else str(v))
+            yield pd.DataFrame({"key": out_k, "value": out_v})
+
+    return key_df.mapInPandas(fetch, schema="key string, value string")
+
+
+# --------------------------------------------------------------------------
 # chunked ingest + client-side iteration
 # --------------------------------------------------------------------------
 def chunked_write(

@@ -161,23 +161,29 @@ def run_stream_to_memory(
     *,
     output_mode: str = "complete",
     watermark: tuple[str, str] | None = ("ts", "1 hour"),
+    source_file: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Execute a REAL Structured Streaming job over events.parquet:
+    """Execute a REAL Structured Streaming job over a testdata parquet:
     readStream -> transform -> memory sink, availableNow trigger (process
-    everything, then stop). Returns the sink contents as a DataFrame."""
+    everything, then stop). Returns the sink contents as a DataFrame.
+    ``max_files_per_trigger`` splits availableNow processing into
+    multiple micro-batches (replay tests use it to prove cross-batch
+    state behavior)."""
     # events.parquet is TIMESTAMP(NANOS); a vanilla (driver) session can't
     # read it without this runtime conf (session.py invariant) — don't rely
     # on an earlier query having called load_tables in the same session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, source_file)).schema
     # file stream sources need a directory: stream the sf dir, glob-filtered
-    # to the events file (on a cluster this is the landing directory new
-    # event files drop into).
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # to the source file (on a cluster this is the landing directory new
+    # files drop into).
+    reader = spark.readStream.schema(batch_schema).option(
+        "pathGlobFilter", source_file
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":  # ns-precision parquet (see session.py)
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if watermark is not None:
@@ -193,6 +199,53 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _incremental_dedup_transform(stream: DataFrame) -> DataFrame:
+    """Normalized-content streaming dedup: synthesize a deterministic
+    ingest time from doc_id (the testdata documents carry no event
+    time), watermark it, and dropDuplicatesWithinWatermark on the
+    content hash — state for a hash is dropped once the watermark
+    passes it, so state size is bounded by the dedup horizon instead of
+    growing with the corpus (the property plain dropDuplicates lacks)."""
+    hashed = stream.select(
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias(
+            "content_hash"
+        ),
+        F.timestamp_seconds(F.pmod(F.col("doc_id"), F.lit(600)) + F.lit(1_000_000)).alias(
+            "ingest_ts"
+        ),
+    )
+    return (
+        hashed.withWatermark("ingest_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("content_hash")
+    )
+
+
+@query(
+    "dedup_incremental_watermark",
+    oracle="""
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+    FROM documents
+    """,
+)
+def dedup_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup run as a REAL streaming query over
+    documents-as-stream (readStream + dropDuplicatesWithinWatermark +
+    availableNow): the emitted distinct content hashes must equal the
+    batch DISTINCT — the streaming-converges-to-batch guarantee. The
+    cross-micro-batch replay behavior (duplicates arriving in a later
+    batch are suppressed while their hash is inside the watermark) is
+    exercised in tests/test_streaming.py."""
+    return run_stream_to_memory(
+        spark,
+        sf_dir,
+        _incremental_dedup_transform,
+        output_mode="append",
+        watermark=None,
+        source_file="documents.parquet",
+    )
 
 
 @query("streaming_tumbling_window", oracle=_TUMBLING_ORACLE)

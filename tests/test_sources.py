@@ -144,3 +144,44 @@ def test_sink_foreach_partition_delivers_all_rows(spark, tmp_path):
             i, v = line.strip().split(",")
             rows.add((int(i), int(v)))
     assert rows == {(i, i * 2) for i in range(1000)}
+
+
+def test_disco_netstring_reads_handwritten_bytes(spark, tmp_path):
+    """Wire-format parity: bytes written exactly as the reference's
+    DiscoPlainOut ('<klen> <key> <vlen> <value>\\n', task_io.py:325) —
+    including a value with an embedded newline, which a line reader
+    could not frame — parse back to the original records."""
+    from disco_spark.sources.readers import read_disco_netstring
+
+    records = [("k1", "hello"), ("key two", "multi\nline value"), ("3", "")]
+    raw = b"".join(
+        f"{len(k)} {k} {len(v)} {v}\n".encode() for k, v in records
+    )
+    d = tmp_path / "ns"
+    d.mkdir()
+    (d / "chunk-0").write_bytes(raw)
+    out = sorted(map(tuple, read_disco_netstring(spark, str(d)).collect()))
+    assert out == sorted(records)
+
+
+def test_disco_netstring_roundtrip(spark, tmp_path):
+    from disco_spark.sources.readers import read_disco_netstring, write_disco_netstring
+
+    df = spark.range(500).selectExpr("CAST(id AS STRING) AS key", "repeat('x', CAST(id % 7 AS INT)) AS value")
+    path = str(tmp_path / "rt")
+    write_disco_netstring(df, path)
+    back = read_disco_netstring(spark, path)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_read_redis_partitioned_snapshot(spark):
+    """scheme_redis read parity over an injected fake client: one row
+    per list element, executors fetch values (driver sees keys only)."""
+    from disco_spark.sources.demo import FakeRedis
+    from disco_spark.sources.readers import read_redis
+
+    data = {f"k{i}": [f"v{i}a", f"v{i}b", f"v{i}c"] for i in range(40)}
+    out = read_redis(spark, "redis://x:0:0", client_factory=lambda: FakeRedis(data))
+    got = sorted(map(tuple, out.collect()))
+    want = sorted((k, v) for k, vs in data.items() for v in vs)
+    assert got == want

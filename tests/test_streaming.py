@@ -133,3 +133,40 @@ def test_tws_user_totals_if_supported(spark):
     if not HAVE_TWS:
         pytest.skip("google.protobuf not installed; TWS gated off")
     compare_query(spark, "streaming_tws_user_totals", SF_SMOKE)
+
+
+def test_incremental_dedup_replays_across_microbatches(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch are suppressed by the
+    watermark state: the same documents file lands twice in the source
+    directory, maxFilesPerTrigger=1 forces two micro-batches, and the
+    emitted hash set still equals one copy's distinct hashes."""
+    import shutil
+
+    from disco_spark.streaming.windows import (
+        _incremental_dedup_transform,
+        run_stream_to_memory,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", src / "documents_batch1.parquet")
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", src / "documents_batch2.parquet")
+    out = run_stream_to_memory(
+        spark,
+        str(src),
+        _incremental_dedup_transform,
+        output_mode="append",
+        watermark=None,
+        source_file="documents_batch*.parquet",
+        max_files_per_trigger=1,
+    )
+    emitted = [r.content_hash for r in out.collect()]
+    batch_distinct = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(
+            F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+        )
+        .distinct()
+        .count()
+    )
+    assert len(emitted) == len(set(emitted)) == batch_distinct

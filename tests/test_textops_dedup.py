@@ -34,6 +34,7 @@ DEDUP = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_df_pruned",
     "dedup_lsh_jaccard",
+    "dedup_paragraph",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_canonical",
