@@ -50,6 +50,12 @@ HEADLINE = [
     "dedup_ngram_jaccard_df_pruned",
     "vocab_top_bigrams",
     "contamination_test_vs_train",
+    # round 2: LSH-verified pairs, span dedup, scale-safe ntile, sources
+    "dedup_lsh_jaccard",
+    "dedup_paragraph",
+    "window_price_decile",
+    "source_netstring",
+    "discodb_metaquery_recursive",
 ]
 
 

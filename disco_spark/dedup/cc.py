@@ -14,9 +14,10 @@ takes the per-node min over neighbor labels, and stops when no label
 changed. Iterations = graph diameter; near-dup clusters are shallow
 (diameter 2-4), so this converges in a handful of rounds. Each round is
 one shuffle keyed by node id; labels persist() between rounds and the
-loop re-checkpoints lineage so plans stay flat. At 100 TB you'd switch
-the inner step to the large-star/small-star optimization (same loop
-skeleton, fewer rounds on skewed degree distributions).
+loop re-checkpoints lineage so plans stay flat. The distributed path
+uses the large-star/small-star algorithm (O(log n) rounds independent
+of graph diameter — the 100 TB shape); min-label propagation is kept
+as the simpler diameter-bounded alternative.
 
 The oracle is exact: DuckDB recursive CTE enumerating reachable labels,
 min per node — SQL-expressible because components here are tiny (the
@@ -106,9 +107,9 @@ def connected_components(
     space): below ``driver_threshold`` edges, classic union-find on the
     driver (a 2M-edge graph is ~32 MB and finishes in milliseconds —
     iterating Spark jobs for that wastes whole seconds of scheduling);
-    above it, deterministic distributed min-label propagation where every
-    iteration is join + groupBy-min (one shuffle on node id). Both paths
-    produce identical labels."""
+    above it, the deterministic large-star/small-star edge rewriting
+    (O(log n) rounds, diameter-independent). All paths produce identical
+    labels (comp = min reachable node id)."""
     spark = edges.sparkSession
     # the edge list is typically an expensive pair-join plan; persist it
     # so the threshold count() and the subsequent collect()/propagation
@@ -131,9 +132,72 @@ def connected_components(
         edges.unpersist()
         rows = [(n, find(n)) for n in parent]
         return spark.createDataFrame(rows, "node bigint, comp bigint")
-    out = _cc_label_propagation(edges, max_iter)
+    out = _cc_large_small_star(edges, max_iter)
     edges.unpersist()
     return out
+
+
+def _cc_large_small_star(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond', SoCC'14): alternate
+    two edge-rewriting rounds until the edge set is stable —
+
+      large-star: every node u links its LARGER neighbors to
+        m = min(neighbors(u) ∪ {u});
+      small-star: every node u links its smaller neighbors (and itself)
+        to the minimum among them.
+
+    Converges in O(log n) rounds regardless of graph DIAMETER (min-label
+    propagation needs diameter rounds — long duplicate chains at corpus
+    scale make that the slower bound) and each round is two
+    groupBy-min + join shuffles on node id. At fixpoint every edge is
+    (node, component-min); labels fall out directly."""
+    cur = (
+        edges.select(F.col("src").cast("bigint").alias("a"), F.col("dst").cast("bigint").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        canon = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+        linked = canon.join(mins, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        ).union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        return linked.filter(F.col("a") != F.col("b")).distinct()
+
+    for _ in range(max_iter):
+        stepped = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # fixpoint when the edge sets are identical (both are distinct)
+        changed = (
+            stepped.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(stepped).limit(1).count()
+        )
+        cur.unpersist()
+        cur = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+        if changed == 0:
+            break
+    # at fixpoint: every edge is (node, component_min); roots label themselves
+    labels = cur.select(F.col("a").alias("node"), F.col("b").alias("comp")).union(
+        cur.select(F.col("b").alias("node"), F.col("b").alias("comp"))
+    ).distinct()
+    cur.unpersist()
+    return labels
 
 
 def _cc_label_propagation(edges: DataFrame, max_iter: int = 30) -> DataFrame:

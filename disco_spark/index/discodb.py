@@ -192,13 +192,39 @@ class InvertedIndex:
             return self.unique_values().exceptAll(self._eval(node.child))
         raise TypeError(f"bad AST node {node!r}")
 
-    def metaquery(self, q: "Q | str") -> DataFrame:
+    def metaquery(self, q: "Q | str", recursive: bool = False, max_hops: int = 8) -> DataFrame:
         """Query, then expand resulting values as keys (the reference's
-        variable expansion over key->keys metadata, query_ddb.py:13-19):
-        a self semi-join of the index."""
+        variable expansion over key->keys metadata, query_ddb.py:13-19).
+
+        ``recursive=False`` (default): the documented one-hop expansion —
+        a self semi-join of the index.
+
+        ``recursive=True``: deep key->keys expansion — values reached
+        within ``max_hops`` hops of the initial hit set. Built as
+        ``max_hops`` chained semi-joins in ONE lazy plan (no per-hop
+        driver actions); each hop's frontier is distinct-ed, so cyclic
+        metadata cannot blow up the row count and the result equals a
+        depth-bounded recursive CTE. On a metadata DAG shallower than
+        max_hops this IS the transitive closure."""
         hits = self.query(q)
-        return (
-            self.df.join(hits.withColumnRenamed("value", "key"), on="key", how="left_semi")
-            .select("value")
-            .distinct()
-        )
+        if not recursive:
+            return (
+                self.df.join(hits.withColumnRenamed("value", "key"), on="key", how="left_semi")
+                .select("value")
+                .distinct()
+            )
+        frontier = hits
+        layers = [hits]
+        for _ in range(max_hops):
+            frontier = (
+                self.df.join(
+                    frontier.withColumnRenamed("value", "key"), on="key", how="left_semi"
+                )
+                .select("value")
+                .distinct()
+            )
+            layers.append(frontier)
+        out = layers[0]
+        for layer in layers[1:]:
+            out = out.union(layer)
+        return out.distinct()

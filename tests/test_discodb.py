@@ -17,6 +17,7 @@ DISCODB = [
     "discodb_query_or_not",
     "discodb_unique_keys",
     "discodb_metaquery",
+    "discodb_metaquery_recursive",
     "discodb_items",
     "discodb_unique_values",
 ]

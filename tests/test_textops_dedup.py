@@ -156,3 +156,37 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert got_dist == want
+
+
+def test_cc_star_vs_propagation_vs_unionfind_random_graphs(spark):
+    """All three CC paths (driver union-find, large/small-star, min-label
+    propagation) agree on random graphs, including a long chain — the
+    diameter shape where star-style rewriting needs O(log n) rounds but
+    propagation needs n."""
+    import random
+
+    from disco_spark.dedup.cc import (
+        _cc_label_propagation,
+        _cc_large_small_star,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    for _ in range(3):  # sparse random graphs
+        n = 60
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(45)])
+    cases.append([(i, i + 1) for i in range(80)])  # one long chain
+
+    for i, raw in enumerate(cases):
+        raw = [(a, b) for a, b in raw if a != b]
+        edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+        want = {
+            r.node: r.comp for r in connected_components(edges).collect()
+        }  # union-find ground truth (threshold far above edge count)
+        star = {r.node: r.comp for r in _cc_large_small_star(edges).collect()}
+        # propagation is diameter-bounded: the 80-chain needs ~80 rounds
+        # (star converges in O(log n) with the default budget — the point)
+        prop = {r.node: r.comp for r in _cc_label_propagation(edges, max_iter=100).collect()}
+        assert star == want, f"case {i}: star mismatch"
+        assert prop == want, f"case {i}: propagation mismatch"
