@@ -56,6 +56,8 @@ HEADLINE = [
     "window_price_decile",
     "source_netstring",
     "discodb_metaquery_recursive",
+    "rollup_events_6h_from_hourly",
+    "embedding_quantize_int8",
 ]
 
 

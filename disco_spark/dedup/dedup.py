@@ -149,7 +149,7 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures -> banded LSH -> candidate duplicate pairs."""
     t = load_tables(spark, sf_dir)
-    return band_candidates(minhash_signatures(shingle_df(t["documents"])))
+    return band_candidates(minhash_signatures(shingle_df(with_toks(t["documents"]))))
 
 
 def band_candidates(sig: DataFrame) -> DataFrame:
@@ -207,7 +207,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over 3-gram shingle sets, inverted-index join (pairs
     exist only for docs sharing a shingle — never the n^2 cross space)."""
     t = load_tables(spark, sf_dir)
-    return ngram_jaccard_pairs(t["documents"])
+    return ngram_jaccard_pairs(with_toks(t["documents"]))
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
@@ -312,7 +312,7 @@ def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     list. Recall is the banding curve 1-(1-j^r)^b, so near-exact for
     true duplicates and intentionally low for weakly-similar pairs."""
     t = load_tables(spark, sf_dir)
-    return lsh_jaccard_pairs(t["documents"])
+    return lsh_jaccard_pairs(with_toks(t["documents"]))
 
 
 def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
@@ -410,7 +410,7 @@ def dedup_ngram_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus_shingle_count / DF_PRUNE_MAX keys), so the prune is a
     broadcast anti-join: no extra shuffle of the shingle table."""
     t = load_tables(spark, sf_dir)
-    sh = shingle_df(t["documents"]).persist()
+    sh = shingle_df(with_toks(t["documents"])).persist()
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("d"))

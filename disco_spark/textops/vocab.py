@@ -93,7 +93,7 @@ def contamination_test_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-bucket ranges as `sampling.train_val_test_split`, so this query
     audits exactly the splits the pipeline would ship."""
     t = load_tables(spark, sf_dir)
-    sh = shingle_df(t["documents"]).withColumn(
+    sh = shingle_df(with_toks(t["documents"])).withColumn(
         "b", hash_bucket(F.col("doc_id"))
     )
     test_sh = sh.filter(F.col("b") < _TEST_HI).select("doc_id", "shingle")

@@ -1,0 +1,68 @@
+"""Hypertable-style rollup grains + embedding utilities."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from disco_spark import registry
+from disco_spark.testing import compare_query
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rollup_events_hourly",
+        "rollup_events_6h_from_hourly",
+        "embedding_l2_stats",
+        "embedding_quantize_int8",
+    ],
+)
+def test_oracle(spark, name):
+    compare_query(spark, name, SF_SMOKE)
+
+
+def test_rollup_grains_compose_exactly(spark):
+    """6h buckets built FROM hourly grains equal 6h buckets built from
+    raw events — algebraic measures re-aggregate exactly."""
+    from disco_spark.operators.rollup import hourly_grains, rollup_grains
+    from disco_spark.session import load_tables
+
+    t = load_tables(spark, SF_SMOKE)
+    from_grains = rollup_grains(hourly_grains(t["events"]), hours=6)
+    width = 6 * 3600
+    direct = (
+        t["events"]
+        .groupBy(
+            F.timestamp_seconds(
+                F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(width))
+            ).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "value_micro_sum"
+            ),
+        )
+    )
+    assert sorted(map(tuple, from_grains.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_int8_quantization_reconstruction_error(spark):
+    """Dequantized vectors reconstruct originals within the symmetric
+    int8 bound (|err| <= 0.5/scale per component)."""
+    from disco_spark.session import load_tables
+    from disco_spark.similarity.embedding_ops import quantize_int8
+
+    t = load_tables(spark, SF_SMOKE)
+    q, scale = quantize_int8(F.col("embedding"))
+    df = t["embeddings"].select("embedding", q.alias("q"), scale.alias("s")).limit(50)
+    for row in df.collect():
+        if row.s == 0:
+            continue
+        for orig, qi in zip(row.embedding, row.q):
+            assert abs(qi / row.s - float(orig)) <= (0.5 / row.s) + 1e-9
