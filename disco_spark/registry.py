@@ -122,6 +122,7 @@ def load_all() -> None:
     from disco_spark import sampling  # noqa: F401
     from disco_spark.functions import udaf  # noqa: F401
     from disco_spark.operators import rollup  # noqa: F401
+    from disco_spark.operators import interval  # noqa: F401
     from disco_spark.similarity import embedding_ops  # noqa: F401
     from disco_spark.plans import curation  # noqa: F401  (last: composes other oracles)
 
