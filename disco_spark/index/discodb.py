@@ -68,11 +68,14 @@ class Q:
         return Q(ast)
 
     # `urlscan` in the reference decodes queries embedded in discodb://
-    # URL fragments (scheme_discodb.py:13-26); we accept the same
-    # /-separated-clause form.
+    # URL fragments (scheme_discodb.py:13-26): '/'-separated clauses are
+    # ANDed, and each clause is URL-unquoted first so operators like '&'
+    # and '|' can ride in a URL as %26/%7C.
     @staticmethod
     def urlscan(fragment: str) -> "Q":
-        clauses = [c for c in fragment.split("/") if c]
+        from urllib.parse import unquote
+
+        clauses = [unquote(c) for c in fragment.split("/") if c]
         text = " & ".join(f"({c})" for c in clauses)
         return Q.parse(text)
 
@@ -228,3 +231,46 @@ class InvertedIndex:
         for layer in layers[1:]:
             out = out.union(layer)
         return out.distinct()
+
+
+_URL_METHODS = ("query", "metaquery", "keys", "values", "items", "unique_values")
+
+
+def open_url(spark: SparkSession, url: str, loader=None):
+    """URL-fragment dispatch parity with the reference's scheme_discodb
+    ``Open`` (lib/disco/schemes/scheme_discodb.py:5-28): a
+    ``discodb://<netloc>/<table>!<method>/<arg>`` URL locates an index
+    and invokes a method on it in one step.
+
+    - the part before ``!`` names the saved index (here: the bucketed
+      table ``save()`` wrote, rather than an mmap'd file path; the
+      netloc is advisory in local mode — on a cluster it maps to a
+      catalog namespace);
+    - ``query`` / ``metaquery`` parse their arg with ``Q.urlscan``
+      ('/'-joined AND clauses, URL-escaped operators);
+    - enumeration methods (keys/values/items/unique_values) take no arg;
+    - no fragment returns the ``InvertedIndex`` itself.
+
+    ``loader`` overrides how the table name becomes an index (tests pass
+    a closure; default is ``InvertedIndex.load``).
+    """
+    if "://" not in url:
+        raise ValueError(f"not a discodb URL: {url!r}")
+    rest = url.split("://", 1)[1]
+    _netloc, _, path = rest.partition("/")
+    path, _, frag = path.partition("!")
+    table = path.strip("/").replace("/", ".")
+    method, _, arg = frag.partition("/")
+    # validate the fragment BEFORE touching the catalog: a bad method is
+    # a URL error regardless of whether the index exists
+    if frag:
+        if method not in _URL_METHODS:
+            raise ValueError(f"unknown discodb method {method!r} (have {_URL_METHODS})")
+        if method in ("query", "metaquery") and not arg:
+            raise ValueError(f"{method} needs a query fragment after {method}/")
+    idx = (loader or InvertedIndex.load)(spark, table)
+    if not frag:
+        return idx
+    if method in ("query", "metaquery"):
+        return getattr(idx, method)(Q.urlscan(arg))
+    return getattr(idx, method)()

@@ -172,13 +172,16 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
     SELECT media_id, fi AS frame_idx,
-           unhex(substr(hx, fi * 8 + 1, 8)) AS frame
+           upper(substr(hx, fi * 8 + 1, 8)) AS frame_hex
     FROM m, (SELECT CAST(unnest([0, 2]) AS INT) AS fi)
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling plumbing end-to-end: 16-byte payload = four
     4-byte 'frames', keep every 2nd (indices 0 and 2). The oracle slices
-    the same bytes with substring."""
+    the same bytes with substring. The frame is emitted as hex (the
+    driver's pandas canonicalizer can't sort raw binary); the in-engine
+    frame_sample() still yields true binary for downstream processing."""
     t = load_tables(spark, sf_dir)
-    return frame_sample(make_media_table(t["documents"]), frame_bytes=4, every=2)
+    sampled = frame_sample(make_media_table(t["documents"]), frame_bytes=4, every=2)
+    return sampled.select("media_id", "frame_idx", F.hex("frame").alias("frame_hex"))

@@ -49,43 +49,35 @@ def query(name: str, oracle: str | None = None):
 # round's new queries. Names absent from this list keep registration
 # order after the prioritized block; unknown names here are ignored.
 PRIORITY: list[str] = [
-    # classic compat layer (reference README wordcount et al.)
-    "classic_wordcount", "classic_grep", "classic_sort_reduce",
-    "classic_innerjoin", "classic_partition_histogram",
-    "classic_chain_common_words",
-    # pipeline model
-    "pipeline_wordcount", "pipeline_node_label_condense",
-    "pipeline_group_all_top3",
-    # DiscoDB index/query
-    "discodb_query_and", "discodb_query_or_not", "discodb_unique_keys",
-    "discodb_metaquery", "discodb_items", "discodb_unique_values",
-    # dedup + clustering (simhash plan rewritten this round)
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_df_pruned",
-    "dedup_lsh_jaccard",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_cluster_canonical",
-    "dedup_paragraph", "dedup_incremental_watermark",
-    # streaming + event analytics
-    "events_tumbling_window", "events_sliding_window",
-    "events_session_window", "events_dedup_by_key",
-    "streaming_tumbling_window", "streaming_stateful_user_totals",
-    "events_funnel_view_purchase", "events_last_action_per_user",
-    # events_daily_retention: deliberately OUTSIDE the 50-query window —
-    # its shape (distinct + self-join + agg) matches round-1-verified
-    # relational queries; the slot goes to dedup_lsh_jaccard instead
-    "streaming_static_join_value_by_segment",
-    "streaming_foreachbatch_user_totals",
-    # sources / external / multimodal / asof
-    "source_re_reader", "source_raw_literals", "source_netstring",
-    "source_redis", "external_pipe_upper",
-    "multimodal_pixel_stats", "multimodal_frame_sample",
-    "asof_purchase_after_view",
-    # sampling / vocab / udaf / ann / flagship
-    "sample_documents_10pct", "split_documents_counts",
-    "vocab_top_bigrams", "contamination_test_vs_train",
-    "udaf_weighted_avg_price", "ann_cosine_topk",
-    "corpus_curation_pipeline",
-    # round-1 red row (oracle HUGEINT cast fixed) + changed plan
-    "corpus_source_stats", "window_price_decile",
+    # --- round-2 red rows, fixed this round (TIMESTAMP_NTZ cast; hex
+    #     frame column) — must re-verify green
+    "asof_purchase_after_view", "streaming_tumbling_window",
+    "multimodal_frame_sample",
+    # --- never driver-verified until now (r2 additions that landed
+    #     outside the window; 4 gained SQL oracles this round)
+    "ann_ivf_topk", "ann_pq_topk", "kmeans_embedding_clusters",
+    "pagerank_supplier_part", "discodb_metaquery_recursive",
+    "events_daily_retention", "rollup_events_hourly",
+    "rollup_events_6h_from_hourly", "interval_join_event_windows",
+    "embedding_l2_stats", "embedding_quantize_int8",
+    # --- new this round / implementations touched this round
+    "external_binary_md5", "source_redis", "classic_wordcount",
+    # --- refresh of round-1-verified rows pushed out of the r2 window
+    #     (code unchanged since r1, but a fresh green row beats pass-r1)
+    "q1_pricing_summary", "q2_min_acctbal_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_parts",
+    "q12_late_shipments", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_parts_supplier_count",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_heavy_suppliers",
+    "q21_return_then_clean_customers", "q22_prospect_customers",
+    "broadcast_dim_join", "join_count_by_priority",
+    "range_histogram_totalprice", "distinct_segments", "topk_orders",
+    "global_sort_orders", "window_top_order_per_customer",
+    "window_cumulative_revenue", "window_order_gap_days",
+    "text_token_stats", "text_quality_score",
 ]
 
 

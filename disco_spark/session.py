@@ -76,6 +76,27 @@ def get_spark(app_name: str = "disco_spark", master: str | None = None) -> Spark
     return builder.getOrCreate()
 
 
+def _normalize_event_ts(df):
+    """Normalize the events.ts column to plain TimestampType.
+
+    The driver's parquet has shipped ts as TIMESTAMP(NANOS) (read as
+    bigint under nanosAsLong) and as TIMESTAMP_NTZ in different
+    environments; watermarks and unix_micros both require TIMESTAMP, so
+    repair either shape here. The session is pinned to UTC, making the
+    NTZ->TIMESTAMP cast value-stable.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # integer division: epoch-ns exceeds double's 53-bit mantissa,
+        # so float division would corrupt microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Read every testdata table under ``sf_dir`` and register temp views.
 
@@ -91,14 +112,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
-            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-                # nanosAsLong read the ns-precision column as raw int64;
-                # restore a proper (µs) TimestampType column.
-                from pyspark.sql import functions as F
-
-                # integer division: epoch-ns exceeds double's 53-bit
-                # mantissa, so float division would corrupt microseconds
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if name == "events":
+                df = _normalize_event_ts(df)
             df.createOrReplaceTempView(name)
             out[name] = df
     if not out:

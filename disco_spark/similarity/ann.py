@@ -139,7 +139,51 @@ def ann_ivf_search(
     )
 
 
-@query("ann_ivf_topk")  # no SQL oracle: iterative/probed plan; recall test in tests/
+@query(
+    "ann_ivf_topk",
+    # The coarse quantizer is deterministic (per-label centroids), so the
+    # whole IVF probe is SQL-expressible: recompute centroids, rank cells
+    # per query, probe the top-nprobe cells, exact-rank inside them.
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(val) AS mean_val FROM dims GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    probe AS (
+      SELECT query_id, q_emb, label FROM (
+        SELECT q.query_id, q.q_emb, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.q_emb::DOUBLE[], c.centroid) DESC,
+                          c.label
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM probe p JOIN embeddings e
+        ON e.label = p.label AND e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]

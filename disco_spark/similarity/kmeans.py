@@ -74,8 +74,56 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     return out
 
 
-@query("kmeans_embedding_clusters")  # iterative; no SQL oracle — numpy
-# cross-check lives in tests/test_kmeans.py
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unroll Lloyd's fixed-iteration loop as chained CTEs. Everything in
+    kmeans_assign is deterministic (init = first k by vec_id, fixed
+    iteration count, first-index argmin tie-break), so the oracle can
+    replay it exactly. `list_distance` (sqrt-L2) replaces the engine's
+    squared-L2 for the per-vector argmin — sqrt is monotone, so the
+    ranking (and therefore the integer assignment output) is identical."""
+
+    def assign(name: str, centers: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cluster
+               ) AS rn
+        FROM embeddings e CROSS JOIN {centers} c
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             embedding::DOUBLE[] AS centroid
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", f"c{i - 1}"))
+        parts.append(f"""
+    n{i} AS (
+      SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+        SELECT cluster, pos, avg(val) AS m FROM (
+          SELECT a.cluster, generate_subscripts(e.embedding, 1) AS pos,
+                 unnest(e.embedding)::DOUBLE AS val
+          FROM embeddings e JOIN a{i} a USING (vec_id)
+        ) GROUP BY cluster, pos
+      ) GROUP BY cluster
+    ),
+    c{i} AS (
+      SELECT p.cluster, COALESCE(n.centroid, p.centroid) AS centroid
+      FROM c{i - 1} p LEFT JOIN n{i} n USING (cluster)
+    )""")
+    parts.append(assign("afinal", f"c{iters}"))
+    return "WITH" + ",".join(parts) + "\n    SELECT vec_id, cluster FROM afinal"
+
+
+@query("kmeans_embedding_clusters", oracle=_kmeans_oracle_sql(k=8, iters=3))
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return kmeans_assign(t["embeddings"], k=8, iters=3)

@@ -64,8 +64,49 @@ def pagerank(
     return ranks
 
 
-@query("pagerank_supplier_part")  # iterative; no SQL oracle — numpy
-# power-iteration cross-check in tests/test_pagerank.py
+def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    """Unroll the fixed-iteration PageRank as chained CTEs (aggregation
+    is not allowed inside a recursive CTE term, so a WITH RECURSIVE
+    formulation can't express the per-iteration groupBy; unrolling can).
+    Float literals are forced ::DOUBLE so DuckDB doesn't route them
+    through DECIMAL arithmetic — the engine computes (1.0 - 0.85) in
+    IEEE double, and the oracle must hit the same bits."""
+    parts = [
+        """
+    e0 AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM params) AS rank FROM nodes)"""
+    ]
+    d = damping
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT e.dst, SUM(r.rank / d.deg) AS recv
+      FROM edges e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    dang{i} AS (
+      SELECT (1.0::DOUBLE - SUM(recv)) / (SELECT n FROM params) AS dang FROM c{i}
+    ),
+    r{i} AS (
+      SELECT n.node,
+             (1.0::DOUBLE - {d}::DOUBLE) / (SELECT n FROM params)
+             + {d}::DOUBLE * (COALESCE(c.recv, 0.0::DOUBLE) + (SELECT dang FROM dang{i}))
+               AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+    )""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"\n    SELECT node, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@query("pagerank_supplier_part", oracle=_pagerank_oracle_sql(iters=3))
 def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite supplier->part graph from lineitem
     (distinct (l_suppkey, l_partkey) edges, reversed edges added so the

@@ -200,7 +200,28 @@ def pq_search_rerank(
     )
 
 
-@query("ann_pq_topk")  # approximate op — recall-vs-bruteforce test, no SQL oracle
+@query(
+    "ann_pq_topk",
+    # The rerank stage recomputes EXACT cosine over the PQ shortlist, so
+    # whenever the shortlist (100 per query) contains the true top-k —
+    # verified against brute force at sf0.001/sf0.01 — the output equals
+    # exact top-k and the brute-force SQL is a valid oracle. A recall
+    # regression would surface here as a value mismatch, which is the
+    # point of the gate.
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]

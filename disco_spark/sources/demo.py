@@ -70,21 +70,36 @@ def source_raw_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_raw(spark, ["raw://alpha", "raw://beta", "raw://gamma"])
 
 
+# The FakeRedis fixture is necessarily driver-resident (it stands in for
+# an external server), so the snapshot that seeds it must be BOUNDED: a
+# deterministic doc_id slice, never the whole table. A real deployment
+# passes client_factory=redis.StrictRedis and nothing is collected.
+REDIS_FIXTURE_MAX_DOC_ID = 200
+
+
 @query(
     "source_redis",
-    oracle="""
+    oracle=f"""
     SELECT concat('doc:', CAST(doc_id AS VARCHAR)) AS key, lang AS value FROM documents
+    WHERE doc_id < {REDIS_FIXTURE_MAX_DOC_ID}
     UNION ALL
     SELECT concat('doc:', CAST(doc_id AS VARCHAR)), source FROM documents
+    WHERE doc_id < {REDIS_FIXTURE_MAX_DOC_ID}
     """,
 )
 def source_redis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """redis scheme source parity (scheme_redis.py:1-41): snapshot a KV
     db whose lists hold [lang, source] per document key, one output row
     per list element. Driver scans keys only; executors LRANGE their
-    partition's keys through one connection each (see read_redis)."""
+    partition's keys through one connection each (see read_redis). The
+    fixture seed is a bounded deterministic slice (see note above)."""
     t = load_tables(spark, sf_dir)
-    rows = t["documents"].select("doc_id", "lang", "source").collect()
+    rows = (
+        t["documents"]
+        .filter(F.col("doc_id") < REDIS_FIXTURE_MAX_DOC_ID)
+        .select("doc_id", "lang", "source")
+        .collect()
+    )
     snapshot = {f"doc:{r['doc_id']}": [r["lang"], r["source"]] for r in rows}
     return read_redis(spark, "redis://fake:0:0", client_factory=lambda: FakeRedis(snapshot))
 
@@ -108,6 +123,86 @@ def source_netstring(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
     )
     return read_disco_netstring(spark, path)
+
+
+# Self-contained external program speaking the binary wire protocol
+# (reference external.py:361-476): params netstring, then
+# <u32 klen><key><u32 vlen><val> frames in, <u32 num> + pairs out.
+# Python here only because it's guaranteed present — the protocol is
+# language-agnostic (tests/fixtures/ext_echo.c is the C counterpart).
+_MD5_FIXTURE = r"""
+import hashlib, struct, sys
+
+rd, wr = sys.stdin.buffer, sys.stdout.buffer
+
+def read_exact(n):
+    buf = b""
+    while len(buf) < n:
+        chunk = rd.read(n - len(buf))
+        if not chunk:
+            raise EOFError("truncated frame")
+        buf += chunk
+    return buf
+
+# params netstring: b"<len>\n<body>", body items "<klen> <k> <vlen> <v>\n"
+# (parse is length-driven, so values with spaces/newlines are safe)
+lenline = b""
+while (c := rd.read(1)) not in (b"", b"\n"):
+    lenline += c
+body = read_exact(int(lenline)) if int(lenline) else b""
+params, i = {}, 0
+while i < len(body):
+    out = []
+    for _ in range(2):
+        j = body.index(b" ", i)
+        ln = int(body[i:j])
+        out.append(body[j + 1 : j + 1 + ln])
+        i = j + 2 + ln
+    params[out[0]] = out[1]
+salt = params.get(b"salt", b"")
+
+while (head := rd.read(4)):
+    klen = struct.unpack("I", head)[0]
+    k = read_exact(klen)
+    vlen = struct.unpack("I", read_exact(4))[0]
+    v = read_exact(vlen)
+    digest = hashlib.md5(salt + v).hexdigest().encode()
+    wr.write(struct.pack("I", 1))
+    wr.write(struct.pack("I", len(k)) + k + struct.pack("I", len(digest)) + digest)
+    wr.flush()
+sys.stderr.write("**<MSG> fixture done\n")
+"""
+
+
+@query(
+    "external_binary_md5",
+    oracle="SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5('x' || text) AS text_md5 FROM documents",
+)
+def external_binary_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary external-program framing end-to-end (the reference's real
+    wire protocol, not the TSV demo): documents stream through a
+    salted-md5 program as length-prefixed byte frames — text with
+    embedded newlines/tabs survives byte-exact — and the Params dict
+    rides ahead of the records as a netstring. On a cluster the program
+    ships to workers via spark-submit --files (the analog of the
+    reference's disco.util.external() file packaging)."""
+    import sys as _sys
+
+    from disco_spark.operators.external import pipe_binary
+
+    t = load_tables(spark, sf_dir)
+    script = os.path.join(tempfile.gettempdir(), "disco_spark_md5_fixture.py")
+    with open(script, "w") as fh:
+        fh.write(_MD5_FIXTURE)
+    out = pipe_binary(
+        t["documents"].select(F.col("doc_id").cast("string"), "text"),
+        [_sys.executable, script],
+        params={"salt": "x"},
+    )
+    return out.select(
+        F.col("key").cast("string").alias("doc_id"),
+        F.col("value").cast("string").alias("text_md5"),
+    )
 
 
 @query(

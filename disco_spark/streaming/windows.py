@@ -184,8 +184,13 @@ def run_stream_to_memory(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(sf_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":  # ns-precision parquet (see session.py)
+    # ns-precision or NTZ parquet (see session._normalize_event_ts): both
+    # must become plain TIMESTAMP before withWatermark accepts the column.
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     if watermark is not None:
         stream = stream.withWatermark(*watermark)
     sink = f"stream_sink_{uuid.uuid4().hex[:8]}"

@@ -80,3 +80,42 @@ def test_save_load_bucketed_roundtrip(spark, tmp_path):
         assert "Exchange" not in plan.split("AdaptiveSparkPlan")[0] or True
     finally:
         spark.sql("DROP TABLE IF EXISTS t_idx_roundtrip")
+
+
+def test_url_fragment_dispatch(tiny_index, spark):
+    """discodb://host/table!method/arg parity (scheme_discodb.py:5-28):
+    URL-embedded CNF queries round-trip through Q.urlscan, enumeration
+    methods dispatch argless, and a fragment-free URL yields the index."""
+    from disco_spark.index.discodb import open_url
+
+    loader = lambda _s, table: tiny_index if table == "tiny" else None
+
+    def vals(url):
+        return sorted(r.value for r in open_url(spark, url, loader=loader).collect())
+
+    # '/'-separated clauses AND together; %7C is an escaped '|'
+    assert vals("discodb://node1/tiny!query/this/word") == [2]
+    assert vals("discodb://node1/tiny!query/this%7Cword") == [1, 2, 3]
+    assert vals("discodb://node1/tiny!query/%7Ethis") == [3, 4]
+    assert vals("discodb://node1/tiny!unique_values") == [1, 2, 3, 4]
+    # metaquery dispatch needs a key->key metadata index (string values)
+    meta = InvertedIndex(
+        spark.createDataFrame(
+            [("this", "word"), ("word", "deep")], "key string, value string"
+        )
+    )
+    meta_loader = lambda _s, table: meta
+    got = sorted(
+        r.value
+        for r in open_url(
+            spark, "discodb://n/meta!metaquery/this", loader=meta_loader
+        ).collect()
+    )
+    assert got == ["deep"]  # one-hop expansion: this -> word -> deep
+    keys = sorted(r.key for r in open_url(spark, "discodb://n/tiny!keys", loader=loader).collect())
+    assert keys == ["other", "this", "word"]
+    assert open_url(spark, "discodb://n/tiny", loader=loader) is tiny_index
+    with pytest.raises(ValueError):
+        open_url(spark, "discodb://n/tiny!frobnicate")
+    with pytest.raises(ValueError):
+        open_url(spark, "discodb://n/tiny!query/")
