@@ -97,16 +97,31 @@ def _normalize_event_ts(df):
     return df
 
 
+# DataFrames are lazy plans, so caching them per (application, sf_dir) is
+# safe — the ~1s of driver work load_tables saves per call (10 parquet
+# footer reads + schema inference) was a fixed tax on EVERY registered
+# query, and the driver/bench run dozens per session against one sf_dir.
+_TABLE_CACHE: dict[tuple[str, str], dict] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Read every testdata table under ``sf_dir`` and register temp views.
 
     Returns {name: DataFrame}. Missing tables are skipped so callers can
-    run against partial datasets.
+    run against partial datasets. Plans are cached per (application,
+    sf_dir); temp views are (re-)registered on every call so sessions
+    that alternate sf_dirs always see views matching THIS call.
     """
     # The driver may hand us a session built without our factory; the
     # events table stores TIMESTAMP(NANOS) which Spark rejects unless this
     # runtime SQL conf is set (values are µs-precision; see get_spark).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
+        return dict(cached)
     out = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -121,4 +136,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
             f"no testdata tables found under {sf_dir!r} "
             f"(expected <table>.parquet for {', '.join(TABLES)})"
         )
+    _TABLE_CACHE[key] = dict(out)
     return out
