@@ -58,6 +58,16 @@ HEADLINE = [
     "discodb_metaquery_recursive",
     "rollup_events_6h_from_hourly",
     "embedding_quantize_int8",
+    # round 3: binary external framing, IVF probe, PQ rerank, k-NN graph,
+    # iterative ops
+    "external_binary_md5",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_knn_graph",
+    "kmeans_embedding_clusters",
+    "pagerank_supplier_part",
+    "interval_join_event_windows",
 ]
 
 

@@ -61,7 +61,8 @@ PRIORITY: list[str] = [
     "rollup_events_6h_from_hourly", "interval_join_event_windows",
     "embedding_l2_stats", "embedding_quantize_int8",
     # --- new this round / implementations touched this round
-    "external_binary_md5", "source_redis", "classic_wordcount",
+    "external_binary_md5", "ann_knn_graph", "ann_ivfpq_topk",
+    "source_redis", "classic_wordcount",
     # --- refresh of round-1-verified rows pushed out of the r2 window
     #     (code unchanged since r1, but a fresh green row beats pass-r1)
     "q1_pricing_summary", "q2_min_acctbal_supplier",
@@ -77,7 +78,6 @@ PRIORITY: list[str] = [
     "range_histogram_totalprice", "distinct_segments", "topk_orders",
     "global_sort_orders", "window_top_order_per_customer",
     "window_cumulative_revenue", "window_order_gap_days",
-    "text_token_stats", "text_quality_score",
 ]
 
 

@@ -139,6 +139,107 @@ def ann_ivf_search(
     )
 
 
+def knn_graph(e: DataFrame, k: int = TOP_K, nprobe: int = 2) -> DataFrame:
+    """k-NN graph: top-k cosine neighbors for EVERY vector via IVF
+    blocking — the building block embedding-dedup / clustering needs at
+    corpus scale, where brute force is O(n²).
+
+    Shape: every vector ranks the (broadcast) cell centroids and probes
+    its ``nprobe`` nearest cells; candidate pairs come from an equi-join
+    on the cell id, so the quadratic term is bounded per cell
+    (sum(cell²)), never global. The probe side carries its embedding
+    ``nprobe`` times — the standard IVF space/recall trade. With the
+    demo's label-cells the join key has few distinct values; at real
+    scale the quantizer is k-means with thousands of cells, and the cell
+    id is the table's partition key so a probe is partition-pruned.
+
+    Returns (src_id, dst_id, cos_sim), k rows per src.
+    """
+    cents = ivf_centroids(e)
+    v = e.select("vec_id", "embedding").withColumn("nrm", norm(F.col("embedding")))
+    ranked_cells = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", cosine(F.col("embedding"), F.col("centroid")))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    probes = (
+        ranked_cells.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "label",
+        )
+    )
+    members = e.select(
+        F.col("vec_id").alias("dst_id"), "embedding", "label"
+    ).withColumn("d_nrm", norm(F.col("embedding")))
+    scored = (
+        probes.join(members, "label")
+        .filter(F.col("dst_id") != F.col("src_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("d_nrm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src_id", "dst_id", "cos_sim")
+    )
+
+
+@query(
+    "ann_knn_graph",
+    # full replay of the IVF-blocked graph: centroids, per-vector probe
+    # ranking, in-cell exact scoring — same determinism argument as
+    # ann_ivf_topk (verified bit-exact there)
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(val) AS mean_val FROM dims GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    probes AS (
+      SELECT src_id, q_emb, label FROM (
+        SELECT v.vec_id AS src_id, v.embedding AS q_emb, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], c.centroid) DESC,
+                          c.label
+               ) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.src_id, e.vec_id AS dst_id,
+             ROUND(list_cosine_similarity(p.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM probes p JOIN embeddings e
+        ON e.label = p.label AND e.vec_id <> p.src_id
+    )
+    SELECT src_id, dst_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                   ORDER BY cos_sim DESC, dst_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return knn_graph(t["embeddings"], k=TOP_K, nprobe=2)
+
+
 @query(
     "ann_ivf_topk",
     # The coarse quantizer is deterministic (per-label centroids), so the

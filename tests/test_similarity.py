@@ -140,3 +140,80 @@ def test_brp_lsh_crosscheck(spark):
         got = {r.vec_id for r in nn}
         recalls.append(len(got & want[qrow.vec_id]) / 5)
     assert sum(recalls) / len(recalls) >= 0.8, f"BRP-LSH vs exact: {recalls}"
+
+
+def test_knn_graph_oracle(spark):
+    compare_query(spark, "ann_knn_graph", SF_SMOKE)
+
+
+def test_knn_graph_shape(spark):
+    """Every vector gets <= k neighbors and no self-edges on testdata
+    (whose embeddings are near-random — recall there is a property of
+    the data, not the operator; see the clustered test below)."""
+    from disco_spark.session import load_tables
+    from disco_spark.similarity.ann import knn_graph
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    g = knn_graph(e, k=3, nprobe=2).collect()
+    by_src = {}
+    for r in g:
+        assert r.src_id != r.dst_id
+        by_src.setdefault(r.src_id, []).append(r)
+    assert all(len(v) <= 3 for v in by_src.values())
+    assert len(by_src) == e.count()  # every vector has neighbors
+
+
+def test_knn_graph_recall_on_clustered(spark, clustered):
+    """On cluster-structured embeddings (the shape IVF assumes), the
+    blocked graph recovers the brute-force top-1 for nearly every node."""
+    from disco_spark.similarity.ann import knn_graph
+    from disco_spark.dedup.dedup import dot, norm
+    from pyspark.sql.window import Window as W
+
+    by_src = {}
+    for r in knn_graph(clustered, k=3, nprobe=2).collect():
+        by_src.setdefault(r.src_id, set()).add(r.dst_id)
+    a = clustered.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("qe"))
+    b = clustered.select(F.col("vec_id").alias("dst_id"), F.col("embedding").alias("de"))
+    pairs = a.join(b, F.col("src_id") != F.col("dst_id")).withColumn(
+        "cs", dot(F.col("qe"), F.col("de")) / (norm(F.col("qe")) * norm(F.col("de")))
+    )
+    top1 = {
+        r.src_id: r.dst_id
+        for r in pairs.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("src_id").orderBy(F.desc("cs"), F.asc("dst_id"))),
+        ).filter(F.col("rn") == 1).collect()
+    }
+    hit = sum(1 for s, dsts in by_src.items() if top1[s] in dsts)
+    assert hit / len(by_src) >= 0.95
+
+
+def test_knn_graph_plan_shape(spark):
+    """The candidate join must be an equi (hash) join on the cell id —
+    the only nested-loop allowed is vector-vs-centroid ranking, whose
+    right side is the broadcast centroid table (O(cells) rows). A
+    nested-loop against the member table would be the O(n^2) plan the
+    operator exists to avoid."""
+    from disco_spark.session import load_tables
+    from disco_spark.similarity.ann import knn_graph
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    plan = knn_graph(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # members joined by cell id
+    # exactly one nested-loop: the centroid-ranking cross join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_ann_ivfpq_oracle(spark):
+    compare_query(spark, "ann_ivfpq_topk", SF_SMOKE)
+
+
+def test_ivfpq_equals_ivf_exact(spark):
+    """IVF-PQ's shortlist+rerank must recover the exact-within-probed-
+    cells result (what ann_ivf_topk computes) — the property that makes
+    the shared oracle valid."""
+    ivf = {tuple(r) for r in registry.QUERIES["ann_ivf_topk"](spark, SF_SMOKE).collect()}
+    ivfpq = {tuple(r) for r in registry.QUERIES["ann_ivfpq_topk"](spark, SF_SMOKE).collect()}
+    assert ivf == ivfpq
