@@ -185,3 +185,9 @@ def test_read_redis_partitioned_snapshot(spark):
     got = sorted(map(tuple, out.collect()))
     want = sorted((k, v) for k, vs in data.items() for v in vs)
     assert got == want
+
+
+def test_native_lib_cbrt_oracle(spark):
+    """ctypes shared-lib UDF parity (reference external.py:28-52 per-task
+    native init): libm-backed pandas UDF matches DuckDB bit-exactly."""
+    compare_query(spark, "native_lib_cbrt", SF_SMOKE)
