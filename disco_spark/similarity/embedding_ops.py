@@ -61,6 +61,10 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
 
 @query(
     "embedding_quantize_int8",
+    # the codes travel as a CSV string, not array<int>: the driver's
+    # pandas canonicalizer cannot sort unhashable cells (lists/bytes) —
+    # the exact failure multimodal_frame_sample hit in round 2 with raw
+    # binary. quantize_int8() itself still yields the true array column.
     oracle="""
     WITH s AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -68,18 +72,21 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
       FROM embeddings
     )
     SELECT vec_id,
-           list_transform(v, x -> CAST(ROUND(x * CASE WHEN absmax = 0 THEN 0
-                                                      ELSE 127.0 / absmax END)
-                                       AS INTEGER)) AS q,
+           array_to_string(
+             list_transform(v, x -> CAST(ROUND(x * CASE WHEN absmax = 0 THEN 0
+                                                        ELSE 127.0 / absmax END)
+                                         AS INTEGER)), ',') AS q_csv,
            ROUND(CASE WHEN absmax = 0 THEN 0 ELSE 127.0 / absmax END, 6) AS scale
     FROM s
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (array<int>
-    + per-vector scale)."""
+    + per-vector scale; serialized as CSV for the driver gate)."""
     t = load_tables(spark, sf_dir)
     q, scale = quantize_int8(F.col("embedding"))
     return t["embeddings"].select(
-        "vec_id", q.alias("q"), F.round(scale, 6).alias("scale")
+        "vec_id",
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
+        F.round(scale, 6).alias("scale"),
     )
