@@ -297,3 +297,55 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_chars"),
     )
+
+
+# GPT-2-style BPE pre-tokenizer pattern (public: the gpt-2 repo's
+# encoder.py regex), restricted to the RE2-compatible subset — the
+# \s+(?!\S) lookahead branch is dropped so DuckDB (RE2) and Spark (Java
+# regex) tokenize IDENTICALLY; the only behavioral difference is that a
+# trailing-space run stays glued to \s+ instead of splitting before the
+# final word. Pre-token count is the standard cheap estimator for BPE
+# token count (every BPE token boundary is a pre-token boundary).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_SQL = BPE_PRETOKEN_RE.replace("'", "''")  # SQL string-literal escaping
+
+
+@query(
+    "text_bpe_pretokens",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_filter(regexp_extract_all(text, '{_BPE_SQL}'),
+                         t -> NOT regexp_matches(t, '^\\s+$')) AS pre
+      FROM documents
+    )
+    SELECT doc_id,
+           len(pre) AS n_pretokens,
+           len(list_filter(pre, t -> regexp_matches(t, '^ ?\\p{{L}}+$'))) AS n_word_pretokens,
+           ROUND(CASE WHEN len(pre) = 0 THEN 0
+                      ELSE CAST(n_chars AS DOUBLE) / len(pre) END, 6) AS chars_per_token
+    FROM p
+    """,
+)
+def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token-count estimation: GPT-2 pre-tokenizer split (the
+    regex every byte-pair encoder applies before merges), whitespace-run
+    pretokens dropped. chars_per_token is the compression-ratio signal
+    data pipelines use for cost estimates and quality filters."""
+    t = load_tables(spark, sf_dir)
+    pre = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0),
+        lambda x: ~x.rlike(r"^\s+$"),
+    )
+    d = t["documents"].select("doc_id", F.length("text").alias("n_chars"), pre.alias("pre"))
+    n = F.size("pre")
+    return d.select(
+        "doc_id",
+        n.alias("n_pretokens"),
+        F.size(F.filter(F.col("pre"), lambda x: x.rlike(r"^ ?\p{L}+$"))).alias(
+            "n_word_pretokens"
+        ),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(F.col("n_chars").cast("double") / n), 6
+        ).alias("chars_per_token"),
+    )

@@ -20,6 +20,7 @@ registry.load_all()
 
 TEXT = [
     "text_token_stats",
+    "text_bpe_pretokens",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
