@@ -62,8 +62,8 @@ PRIORITY: list[str] = [
     "embedding_l2_stats", "embedding_quantize_int8",
     # --- new this round / implementations touched this round
     "external_binary_md5", "ann_knn_graph", "ann_ivfpq_topk",
-    "native_lib_cbrt", "text_bpe_pretokens", "source_redis",
-    "classic_wordcount",
+    "native_lib_cbrt", "text_bpe_pretokens", "text_pii_scrub",
+    "text_url_stats", "source_redis", "classic_wordcount",
     # --- refresh of round-1-verified rows pushed out of the r2 window
     #     (code unchanged since r1, but a fresh green row beats pass-r1)
     "q1_pricing_summary", "q2_min_acctbal_supplier",
@@ -77,7 +77,6 @@ PRIORITY: list[str] = [
     "q21_return_then_clean_customers", "q22_prospect_customers",
     "broadcast_dim_join", "join_count_by_priority",
     "range_histogram_totalprice", "distinct_segments", "topk_orders",
-    "global_sort_orders", "window_top_order_per_customer",
 ]
 
 

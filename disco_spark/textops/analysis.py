@@ -349,3 +349,75 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n == 0, F.lit(0.0)).otherwise(F.col("n_chars").cast("double") / n), 6
         ).alias("chars_per_token"),
     )
+
+
+# PII / URL patterns: RE2-compatible (no lookarounds) so Spark's Java
+# regex and the DuckDB oracle match byte-for-byte. These are the
+# standard first-pass scrub patterns of a training-data pipeline;
+# real deployments extend the list (SSNs, credit cards, addresses).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+URL_RE = r"https?://[^\s]+"
+DOMAIN_RE = r"https?://([^/\s]+)"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{IP_RE}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count emails/IPs per doc and emit the hash of
+    the redacted text (the hash proves redaction equivalence without
+    shipping full text through the gate). Pure Catalyst regexp — scales
+    as a single scan with no shuffle."""
+    t = load_tables(spark, sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(IP_RE), 0)).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "text_url_stats",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{URL_RE}') AS urls,
+             list_filter(list_transform(regexp_extract_all(text, '{URL_RE}'),
+                                        x -> regexp_extract(x, '{DOMAIN_RE}', 1)),
+                         d -> d <> '') AS domains
+      FROM documents
+    )
+    SELECT doc_id,
+           len(urls) AS n_urls,
+           len(list_distinct(domains)) AS n_unique_domains
+    FROM u
+    """,
+)
+def text_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain profiling per doc (source-quality signal: link spam has
+    high n_urls with low domain diversity)."""
+    t = load_tables(spark, sf_dir)
+    urls = F.regexp_extract_all(F.col("text"), F.lit(URL_RE), 0)
+    domains = F.filter(
+        F.transform(urls, lambda x: F.regexp_extract(x, DOMAIN_RE, 1)),
+        lambda d: d != "",
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.size(urls).alias("n_urls"),
+        F.size(F.array_distinct(domains)).alias("n_unique_domains"),
+    )

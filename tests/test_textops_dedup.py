@@ -21,6 +21,8 @@ registry.load_all()
 TEXT = [
     "text_token_stats",
     "text_bpe_pretokens",
+    "text_pii_scrub",
+    "text_url_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
@@ -191,3 +193,52 @@ def test_cc_star_vs_propagation_vs_unionfind_random_graphs(spark):
         prop = {r.node: r.comp for r in _cc_label_propagation(edges, max_iter=100).collect()}
         assert star == want, f"case {i}: star mismatch"
         assert prop == want, f"case {i}: propagation mismatch"
+
+
+def test_pii_scrub_and_url_stats_on_synthetic(spark):
+    """The testdata corpus contains no emails/IPs/URLs (counts are all
+    zero there, which the oracle confirms but which exercises nothing),
+    so the matching/redaction behavior is proven on synthetic docs."""
+    from disco_spark.textops.analysis import EMAIL_RE, IP_RE
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-corp.org from 10.0.0.1 now"),
+            (2, "see https://a.io/x and https://a.io/y and http://b.net"),
+            (3, "clean text, nothing to scrub"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("___pii_docs")
+    from pyspark.sql import functions as F
+
+    scrub = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(IP_RE), 0)).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+        ).alias("scrubbed"),
+    ).collect()
+    by_id = {r.doc_id: r for r in scrub}
+    assert (by_id[1].n_emails, by_id[1].n_ips) == (2, 1)
+    assert by_id[1].scrubbed == "mail <EMAIL> and <EMAIL> from <IP> now"
+    assert (by_id[3].n_emails, by_id[3].n_ips) == (0, 0)
+
+    from disco_spark.textops.analysis import URL_RE, DOMAIN_RE
+
+    urls = F.regexp_extract_all(F.col("text"), F.lit(URL_RE), 0)
+    domains = F.array_distinct(
+        F.filter(
+            F.transform(urls, lambda x: F.regexp_extract(x, DOMAIN_RE, 1)),
+            lambda d: d != "",
+        )
+    )
+    stats = {
+        r.doc_id: (r.n, r.d)
+        for r in docs.select(
+            "doc_id", F.size(urls).alias("n"), F.size(domains).alias("d")
+        ).collect()
+    }
+    assert stats[2] == (3, 2)  # 3 urls over domains {a.io, b.net}
+    assert stats[3] == (0, 0)
