@@ -68,6 +68,10 @@ HEADLINE = [
     "kmeans_embedding_clusters",
     "pagerank_supplier_part",
     "interval_join_event_windows",
+    "native_lib_cbrt",
+    "text_bpe_pretokens",
+    "text_pii_scrub",
+    "text_url_stats",
 ]
 
 
