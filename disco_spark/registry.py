@@ -63,7 +63,8 @@ PRIORITY: list[str] = [
     # --- new this round / implementations touched this round
     "external_binary_md5", "ann_knn_graph", "ann_ivfpq_topk",
     "native_lib_cbrt", "text_bpe_pretokens", "text_pii_scrub",
-    "text_url_stats", "source_redis", "classic_wordcount",
+    "text_url_stats", "sample_stratified_balance", "source_redis",
+    "classic_wordcount",
     # --- refresh of round-1-verified rows pushed out of the r2 window
     #     (code unchanged since r1, but a fresh green row beats pass-r1)
     "q1_pricing_summary", "q2_min_acctbal_supplier",
@@ -76,7 +77,7 @@ PRIORITY: list[str] = [
     "q19_disjunctive_revenue", "q20_heavy_suppliers",
     "q21_return_then_clean_customers", "q22_prospect_customers",
     "broadcast_dim_join", "join_count_by_priority",
-    "range_histogram_totalprice", "distinct_segments", "topk_orders",
+    "range_histogram_totalprice", "distinct_segments",
 ]
 
 

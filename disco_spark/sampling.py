@@ -85,3 +85,46 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def stratified_balance(df: DataFrame, group_col: str, key: str) -> DataFrame:
+    """Downsample every stratum to ~the minority stratum's size, keyed by
+    hash (deterministic, engine-portable). The per-stratum keep-rate is
+    ``minority_count / stratum_count`` applied as a hash-bucket
+    threshold — NO per-stratum sort or window, so at 100 TB this is one
+    broadcast join + a filtered scan (the exact-rank alternative would
+    need a row_number over each stratum, i.e. a sort of the whole
+    corpus). Threshold arithmetic is integer floor-division on bigints
+    so the DuckDB oracle lands on identical rows."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    mn = counts.agg(F.min("__cnt").alias("__mn"))
+    thresholds = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.expr(f"({BUCKETS} * __mn) div __cnt").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(hash_bucket(F.col(key)) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+@query(
+    "sample_stratified_balance",
+    oracle=f"""
+    WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM n),
+    t AS (SELECT lang, ({BUCKETS} * m.mn) // n.cnt AS thr FROM n, m),
+    kept AS (
+      SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+      WHERE {_bucket_sql("d.doc_id")} < t.thr
+    )
+    SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang
+    """,
+)
+def sample_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus balancing: every language downsampled to
+    ~the rarest language's share, deterministically."""
+    t = load_tables(spark, sf_dir)
+    kept = stratified_balance(t["documents"], "lang", "doc_id")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -41,3 +41,24 @@ def test_split_disjoint_exhaustive(spark):
     assert set(by) <= {"train", "val", "test"}
     # fractions approximately honored (hash uniformity)
     assert 0.05 < by.get("test", 0) / n < 0.15
+
+
+def test_stratified_balance_oracle(spark):
+    compare_query(spark, "sample_stratified_balance", SF_SMOKE)
+
+
+def test_stratified_balance_equalizes(spark):
+    """A 10:1-skewed corpus must come out ~balanced, deterministically."""
+    from disco_spark.sampling import stratified_balance
+
+    rows = [(i, "big") for i in range(500)] + [(1000 + i, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out1 = {(r.doc_id, r.lang) for r in stratified_balance(df, "lang", "doc_id").collect()}
+    out2 = {(r.doc_id, r.lang) for r in stratified_balance(df, "lang", "doc_id").collect()}
+    assert out1 == out2  # deterministic
+    from collections import Counter
+
+    kept = Counter(l for _, l in out1)
+    # big stratum downsampled to ~minority size (hash-binomial noise)
+    assert 30 <= kept["big"] <= 70
+    assert 30 <= kept["small"] <= 50
