@@ -16,7 +16,7 @@ import sys
 import time
 
 from disco_spark import registry
-from disco_spark.session import get_spark
+from disco_spark.session import get_spark, load_tables
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -82,9 +82,16 @@ def main() -> None:
     spark = get_spark("disco_spark_bench")
     names = [n for n in HEADLINE if n in registry.QUERIES]
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup.
+    # warm the JVM, parquet footers, the per-session table-plan cache and
+    # the OS page cache once, so per-query numbers measure the query, not
+    # session startup or first-scan I/O (otherwise whichever query runs
+    # first absorbs the whole load cost and looks like a regression).
+    t0 = time.perf_counter()
+    for tdf in load_tables(spark, sf_dir).values():
+        tdf.count()
     registry.QUERIES[names[0]](spark, sf_dir).count()
+    warm_sec = round(time.perf_counter() - t0, 3)
+    print(f"# warmup (table load + first query): {warm_sec:.3f}s", file=sys.stderr)
 
     times: dict[str, float] = {}
     for name in names:
@@ -104,6 +111,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "warmup_sec": warm_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

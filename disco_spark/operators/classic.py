@@ -46,12 +46,14 @@ from disco_spark.functions.library import kvify
 OUT_BATCH = 10_000
 COMBINER_FLUSH_EVERY = 100_000
 
-_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 
 def _parse_bytes(raw: str) -> int:
-    """'134217728', '134217728b', '128m', '1g' -> bytes."""
+    """'134217728', '134217728b', '128m', '128mb', '1g' -> bytes."""
     s = str(raw).strip().lower()
+    if s.endswith("b") and len(s) >= 2 and s[-2] in _SIZE_SUFFIX:
+        s = s[:-1]  # two-letter suffix: kb/mb/gb/tb
     mult = 1
     if s and s[-1] in _SIZE_SUFFIX:
         mult = _SIZE_SUFFIX[s[-1]]
@@ -231,14 +233,18 @@ class DiscoJob:
         at real scale the estimate exceeds the threshold and this is a
         no-op, so no shuffle is added to big jobs."""
         spark = df.sparkSession
-        target = spark.sparkContext.defaultParallelism
         try:
+            # sparkContext/_jdf are absent under Spark Connect — any failure
+            # here means "can't estimate", and the safe fallback is to leave
+            # the input untouched (never inject a full shuffle of an input
+            # of unknown size).
+            target = spark.sparkContext.defaultParallelism
             est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
             max_split = _parse_bytes(
                 spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
             )
         except Exception:
-            return df.repartition(target)  # stats unavailable: assume small
+            return df  # stats unavailable: leave partitioning as-is
         est_splits = max(1, est_bytes // max_split)
         # only worth a shuffle when the input is BOTH badly under-split
         # (< half the cores) and small enough that moving it is cheap

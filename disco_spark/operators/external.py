@@ -3,10 +3,11 @@ executable, the reference's polyglot-UDF mechanism (SURVEY §2.7;
 reference lib/disco/worker/classic/external.py:361-476 — stdin/stdout
 framing around a per-task subprocess; C fixture tests/test_external.c).
 
-Two framings:
+Two framings over one shared per-partition subprocess harness:
 
-- ``pipe_table``: line/TSV framing over ``rdd.pipe`` — the readable
-  demo path for text-safe records.
+- ``pipe_table``: line/TSV framing — the text-safe path. Runs one
+  subprocess per *partition* via ``mapPartitions`` (not one Python
+  round-trip per row).
 - ``pipe_binary``: the reference's actual wire protocol, byte-exact
   (external.py:361-476): the worker first sends job ``Params`` as a
   netstring dict (or ``0\\n`` when absent), then each record as
@@ -16,10 +17,18 @@ Two framings:
   emit ``**<MSG>``/``**<ERR>`` lines on stderr. Values containing
   tabs/newlines/NULs survive — the gap TSV framing has.
 
-``pipe_binary`` runs per *partition* via ``mapPartitions`` (one
-subprocess per partition, like one per task in the reference), with a
-feeder thread writing stdin while the main thread drains stdout — the
-same no-deadlock contract the reference got from poll().
+Lifecycle contract (both framings):
+
+- a feeder thread writes stdin while the main thread drains stdout —
+  the same no-deadlock contract the reference got from poll();
+- a fatal ``**<ERR>`` stderr line kills the subprocess so the blocked
+  stdout reader sees EOF immediately and the error is raised;
+- non-protocol stderr lines are forwarded to the task's stderr and a
+  bounded tail is included in any rc!=0 failure message;
+- if the consumer closes the generator early (``df.limit`` / ``show``
+  stopping a ``mapPartitions`` scan) the subprocess is killed rather
+  than waited on, so tasks never wedge on a child blocked writing to
+  an undrained pipe.
 
 OOB (out-of-band) keys (reference lib/disco/task.py:122-145) map to
 Spark accumulators: ``pipe_with_metrics`` shows the pattern.
@@ -29,11 +38,15 @@ from __future__ import annotations
 
 import struct
 import subprocess
+import sys
 import threading
+from collections import deque
+from typing import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 MAX_ITEM_SIZE = 1024**3  # same sanity cap as the reference protocol
+_STDERR_TAIL_LINES = 50
 
 
 # ---------------------------------------------------------------------------
@@ -75,6 +88,106 @@ def _unpack_kv(stdout) -> tuple[bytes, bytes]:
     return out[0], out[1]
 
 
+def _run_subprocess(
+    argv: list[str],
+    feed: Callable,
+    read_stdout: Callable,
+    *,
+    shell: bool = False,
+) -> Iterator:
+    """Shared per-partition subprocess harness.
+
+    ``feed(stdin)`` runs on a thread and must close stdin when done;
+    ``read_stdout(stdout)`` is a generator draining stdout on the main
+    thread. Handles **<ERR> kill, stderr forwarding, early-close kill,
+    and rc checks (see module docstring for the full contract).
+    """
+    proc = subprocess.Popen(
+        argv,
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        shell=shell,
+    )
+
+    feed_err: list[BaseException] = []
+    stderr_tail: deque[str] = deque(maxlen=_STDERR_TAIL_LINES)
+
+    def feeder():
+        try:
+            feed(proc.stdin)
+        except (BrokenPipeError, ValueError, OSError):
+            pass  # program exited / pipe closed early; surfaced via rc below
+        except BaseException as e:  # noqa: BLE001 — re-raised on main thread
+            feed_err.append(e)
+
+    def drain_stderr():
+        # reference parse_message: **<MSG> -> status line, **<ERR> ->
+        # fatal; anything else passes through to the task's stderr.
+        for line in proc.stderr:
+            text = line.decode("utf-8", "replace").rstrip("\n")
+            if text.startswith("**<ERR>"):
+                feed_err.append(RuntimeError(f"external program error: {text[7:]}"))
+                # Kill so the main thread's blocked stdout read sees EOF
+                # immediately instead of waiting for the program to exit.
+                try:
+                    proc.kill()
+                except OSError:
+                    pass
+                return
+            if text.startswith("**<MSG>"):
+                continue  # progress chatter — Spark UI owns task status
+            stderr_tail.append(text)
+            try:
+                sys.stderr.write(text + "\n")
+            except OSError:
+                pass
+
+    t_in = threading.Thread(target=feeder, daemon=True)
+    t_err = threading.Thread(target=drain_stderr, daemon=True)
+    t_in.start()
+    t_err.start()
+    completed = False
+    try:
+        yield from read_stdout(proc.stdout)
+        completed = True
+    finally:
+        t_in.join(timeout=30)
+        # Early consumer close (limit/show) or a wedged feeder: the child
+        # may be blocked writing to the undrained stdout pipe — kill it,
+        # never wait unboundedly.
+        if completed and not t_in.is_alive():
+            try:
+                rc = proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                rc = proc.wait()
+        else:
+            try:
+                proc.kill()
+            except OSError:
+                pass
+            rc = proc.wait()
+        t_err.join(timeout=5)
+        for stream in (proc.stdin, proc.stdout, proc.stderr):
+            try:
+                if stream:
+                    stream.close()
+            except OSError:
+                pass
+        if feed_err:
+            raise feed_err[0]
+        # Only enforce rc on the normal-completion path: during an early
+        # generator close we killed the child ourselves, and raising out
+        # of a GeneratorExit would mask the consumer's own control flow.
+        if completed and rc != 0:
+            tail = "\n".join(stderr_tail)
+            raise RuntimeError(
+                f"external program {argv if shell else argv[0]} exited rc={rc}"
+                + (f"; stderr tail:\n{tail}" if tail else "")
+            )
+
+
 def pipe_binary(
     df: DataFrame,
     argv: list[str],
@@ -103,58 +216,44 @@ def pipe_binary(
     )
 
     def run_partition(rows):
-        proc = subprocess.Popen(
-            argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.PIPE
-        )
+        def feed(stdin):
+            stdin.write(params_blob)
+            for r in rows:
+                stdin.write(pack_kv(bytes(r[0] or b""), bytes(r[1] or b"")))
+            stdin.close()
 
-        feed_err: list[BaseException] = []
-
-        def feed():
-            try:
-                proc.stdin.write(params_blob)
-                for r in rows:
-                    proc.stdin.write(pack_kv(bytes(r[0] or b""), bytes(r[1] or b"")))
-                proc.stdin.close()
-            except BrokenPipeError:
-                pass  # program exited early; surfaced via returncode below
-            except BaseException as e:  # noqa: BLE001 — re-raised on main thread
-                feed_err.append(e)
-
-        def drain_stderr():
-            # reference parse_message: **<MSG> -> status line, **<ERR> ->
-            # fatal; anything else passes through to task stderr.
-            for line in proc.stderr:
-                text = line.decode("utf-8", "replace").rstrip("\n")
-                if text.startswith("**<ERR>"):
-                    feed_err.append(RuntimeError(f"external program error: {text[7:]}"))
-                # **<MSG> lines are progress chatter — dropped (Spark UI
-                # owns task status); others fall through silently.
-
-        t_in = threading.Thread(target=feed, daemon=True)
-        t_err = threading.Thread(target=drain_stderr, daemon=True)
-        t_in.start()
-        t_err.start()
-        try:
+        def read_stdout(stdout):
             while True:
-                head = proc.stdout.read(4)
+                head = stdout.read(4)
                 if not head:
-                    break
+                    return
                 if len(head) < 4:
                     raise EOFError("truncated group header from external program")
                 (num,) = struct.unpack("I", head)
                 for _ in range(num):
-                    yield _unpack_kv(proc.stdout)
-        finally:
-            t_in.join(timeout=30)
-            t_err.join(timeout=30)
-            rc = proc.wait()
-            if feed_err:
-                raise feed_err[0]
-            if rc != 0:
-                raise RuntimeError(f"external program {argv[0]} exited rc={rc}")
+                    yield _unpack_kv(stdout)
+
+        return _run_subprocess(argv, feed, read_stdout)
 
     out = src.rdd.mapPartitions(run_partition)
     return spark.createDataFrame(out, output_schema)
+
+
+def _pipe_lines_partition(command: str, lines) -> Iterator[str]:
+    """One subprocess per partition; feed text lines in, yield text lines
+    out. The scale path for line-framed external programs — replaces the
+    old row-at-a-time ``rdd.pipe`` (one Python hop per row)."""
+
+    def feed(stdin):
+        for line in lines:
+            stdin.write(line.encode("utf-8", "replace") + b"\n")
+        stdin.close()
+
+    def read_stdout(stdout):
+        for raw in stdout:
+            yield raw.decode("utf-8", "replace").rstrip("\n")
+
+    return _run_subprocess(command, feed, read_stdout, shell=True)
 
 
 def pipe_table(
@@ -166,22 +265,21 @@ def pipe_table(
     """Pipe rows through `command` (sh syntax), one TSV line per row in,
     one TSV line per row out; parse back into `output_schema` columns.
 
-    The subprocess runs per partition on executors (no driver data
-    path); `command` must be present on every worker image.
+    One subprocess per partition (mapPartitions), not per row; `command`
+    must be present on every worker image. No driver data path.
     """
     spark = df.sparkSession
     n_out = len(spark.createDataFrame([], output_schema).columns)
 
-    def to_line(row) -> str:
-        return sep.join("" if v is None else str(v) for v in row)
+    def run_partition(rows):
+        lines = (
+            sep.join("" if v is None else str(v) for v in row) for row in rows
+        )
+        for out_line in _pipe_lines_partition(command, lines):
+            parts = out_line.split(sep)
+            yield tuple(parts[:n_out] + [None] * (n_out - len(parts)))
 
-    piped = df.rdd.map(to_line).pipe(command)
-
-    def parse(line: str) -> tuple:
-        parts = line.split(sep)
-        return tuple(parts[:n_out] + [None] * (n_out - len(parts)))
-
-    return spark.createDataFrame(piped.map(parse), output_schema)
+    return spark.createDataFrame(df.rdd.mapPartitions(run_partition), output_schema)
 
 
 def pipe_with_metrics(df: DataFrame, command: str, output_schema: str):
@@ -189,16 +287,16 @@ def pipe_with_metrics(df: DataFrame, command: str, output_schema: str):
     the OOB side-channel analog. Returns (result_df, accumulator)."""
     spark = df.sparkSession
     acc = spark.sparkContext.accumulator(0)
-
-    def to_line(row) -> str:
-        acc.add(1)
-        return "\t".join("" if v is None else str(v) for v in row)
-
     n_out = len(spark.createDataFrame([], output_schema).columns)
-    piped = df.rdd.map(to_line).pipe(command)
 
-    def parse(line: str) -> tuple:
-        parts = line.split("\t")
-        return tuple(parts[:n_out] + [None] * (n_out - len(parts)))
+    def run_partition(rows):
+        def lines():
+            for row in rows:
+                acc.add(1)
+                yield "\t".join("" if v is None else str(v) for v in row)
 
-    return spark.createDataFrame(piped.map(parse), output_schema), acc
+        for out_line in _pipe_lines_partition(command, lines()):
+            parts = out_line.split("\t")
+            yield tuple(parts[:n_out] + [None] * (n_out - len(parts)))
+
+    return spark.createDataFrame(df.rdd.mapPartitions(run_partition), output_schema), acc

@@ -104,6 +104,18 @@ def _normalize_event_ts(df):
 _TABLE_CACHE: dict[tuple[str, str], dict] = {}
 
 
+def invalidate_table_cache(sf_dir: str | None = None) -> None:
+    """Drop cached table plans — call after rewriting parquet under an
+    sf_dir mid-application (the cached DataFrame pins the file listing
+    captured at first read). ``None`` clears everything."""
+    if sf_dir is None:
+        _TABLE_CACHE.clear()
+        return
+    target = os.path.abspath(sf_dir)
+    for key in [k for k in _TABLE_CACHE if k[1] == target]:
+        _TABLE_CACHE.pop(key, None)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Read every testdata table under ``sf_dir`` and register temp views.
 
@@ -119,9 +131,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
-        for name, df in cached.items():
-            df.createOrReplaceTempView(name)
-        return dict(cached)
+        # The cached plans are bound to the session that first built them;
+        # a sibling session in the same application (newSession/Connect)
+        # must not inherit them — its catalog is separate, and temp views
+        # would land in the wrong session. Rebuild for that session.
+        if all(df.sparkSession is spark for df in cached.values()):
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+            return dict(cached)
+        _TABLE_CACHE.pop(key, None)
     out = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

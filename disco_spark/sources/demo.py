@@ -191,8 +191,10 @@ def external_binary_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disco_spark.operators.external import pipe_binary
 
     t = load_tables(spark, sf_dir)
-    script = os.path.join(tempfile.gettempdir(), "disco_spark_md5_fixture.py")
-    with open(script, "w") as fh:
+    # mkstemp per invocation: a fixed well-known temp path races across
+    # concurrent sessions and is symlink-attackable on shared hosts.
+    fd, script = tempfile.mkstemp(prefix="disco_spark_md5_", suffix=".py")
+    with os.fdopen(fd, "w") as fh:
         fh.write(_MD5_FIXTURE)
     out = pipe_binary(
         t["documents"].select(F.col("doc_id").cast("string"), "text"),

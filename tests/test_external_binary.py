@@ -125,3 +125,65 @@ def test_python_fixture_one_to_many_groups(spark):
 
 def test_external_binary_md5_oracle(spark):
     compare_query(spark, "external_binary_md5", SF_SMOKE)
+
+
+def test_early_close_kills_subprocess(spark):
+    """A consumer that stops mid-stream (limit) must not wedge the task:
+    the harness kills the child instead of waiting on a blocked pipe
+    (ADVICE round-3, external.py cleanup)."""
+    import time
+
+    script = Path(tempfile.gettempdir()) / "disco_spark_test_firehose.py"
+    script.write_text(
+        "import struct, sys\n"
+        "rd, wr = sys.stdin.buffer, sys.stdout.buffer\n"
+        "while (c := rd.read(1)) not in (b'', b'\\n'):\n"
+        "    pass\n"
+        # ignore input; emit far more output than the consumer wants so the
+        # child eventually blocks writing to a full, undrained stdout pipe
+        "for i in range(200000):\n"
+        "    b = str(i).encode()\n"
+        "    wr.write(struct.pack('I', 1))\n"
+        "    wr.write(struct.pack('I', len(b)) + b + struct.pack('I', 1) + b'v')\n"
+    )
+    df = spark.createDataFrame([(b"k", b"v")], "key binary, value binary").coalesce(1)
+    t0 = time.monotonic()
+    got = pipe_binary(df, [sys.executable, str(script)]).limit(3).collect()
+    elapsed = time.monotonic() - t0
+    assert len(got) == 3
+    assert elapsed < 60, f"early close took {elapsed:.1f}s — subprocess not killed"
+
+
+def test_err_on_stderr_fails_fast_even_if_stdout_open(spark):
+    """**<ERR> must terminate the child so the blocked stdout reader sees
+    EOF — a program that reports the error but keeps stdout open must not
+    hang the task (ADVICE round-3, external.py:129)."""
+    import time
+
+    script = Path(tempfile.gettempdir()) / "disco_spark_test_errhang.py"
+    script.write_text(
+        "import sys, time\n"
+        "sys.stdin.buffer.read(2)\n"  # params '0\n'
+        "sys.stderr.write('**<ERR> deliberate failure\\n')\n"
+        "sys.stderr.flush()\n"
+        "time.sleep(600)\n"  # keep stdout open forever
+    )
+    df = spark.createDataFrame([(b"k", b"v")], "key binary, value binary").coalesce(1)
+    t0 = time.monotonic()
+    with pytest.raises(Exception, match="deliberate failure"):
+        pipe_binary(df, [sys.executable, str(script)]).collect()
+    assert time.monotonic() - t0 < 60
+
+
+def test_rc_failure_includes_stderr_tail(spark):
+    """Unprefixed stderr is captured and shown in the rc!=0 error."""
+    script = Path(tempfile.gettempdir()) / "disco_spark_test_rcfail.py"
+    script.write_text(
+        "import sys\n"
+        "sys.stdin.buffer.read()\n"
+        "sys.stderr.write('diagnostic: flux capacitor missing\\n')\n"
+        "sys.exit(3)\n"
+    )
+    df = spark.createDataFrame([(b"k", b"v")], "key binary, value binary").coalesce(1)
+    with pytest.raises(Exception, match="flux capacitor"):
+        pipe_binary(df, [sys.executable, str(script)]).collect()
