@@ -131,27 +131,54 @@ class Q:
 # Index
 # --------------------------------------------------------------------------
 class InvertedIndex:
-    """A (key, value) multimap as a DataFrame, with DiscoDB's query ops."""
+    """A (key, value) multimap as a DataFrame, with DiscoDB's query ops.
 
-    def __init__(self, df: DataFrame):
+    ``unique_items`` mirrors ``DiscoDBConstructor.finalize(unique_items=)``
+    (reference lib/disco/schemes/scheme_discodb.py:31-49): the reference's
+    multimap is *list-valued* by default — a key's values keep duplicates
+    in insertion multiplicity — and ``unique_items=True`` collapses them
+    to a set at finalize. Here the flag governs ``from_tokens`` building
+    and the list-enumeration ops (``get``, ``value_counts``); boolean CNF
+    queries are set algebra in both engines and always distinct.
+    """
+
+    def __init__(self, df: DataFrame, unique_items: bool = True):
         self.df = df.select(F.col("key"), F.col("value"))
+        self.unique_items = unique_items
 
     # -- construction -------------------------------------------------
     @staticmethod
-    def from_tokens(df: DataFrame, text_col: str, id_col: str) -> "InvertedIndex":
-        """Build token->doc index (the wordcount_ddb.py:10-22 pattern)."""
+    def from_tokens(
+        df: DataFrame, text_col: str, id_col: str, unique_items: bool = True
+    ) -> "InvertedIndex":
+        """Build token->doc index (the wordcount_ddb.py:10-22 pattern).
+        ``unique_items=False`` keeps one entry per token *occurrence* —
+        the counts-as-duplicates idiom the reference's list-valued
+        multimap supports."""
         toks = df.select(
             F.explode(F.split(F.col(text_col), r"\s+")).alias("key"),
             F.col(id_col).alias("value"),
         ).filter(F.col("key") != "")
-        return InvertedIndex(toks.distinct())
+        return InvertedIndex(
+            toks.distinct() if unique_items else toks, unique_items=unique_items
+        )
 
     # -- persistence: bucketed+sorted table = the immutable mmap file ----
-    def save(self, spark: SparkSession, table: str, buckets: int = 32) -> None:
+    def save(
+        self,
+        spark: SparkSession,
+        table: str,
+        buckets: int = 32,
+        disable_compression: bool = False,
+    ) -> None:
+        """``disable_compression`` maps the reference's constructor flag to
+        the parquet codec (uncompressed vs snappy) — same trade (CPU vs
+        bytes) the reference exposes."""
         (
             self.df.write.mode("overwrite")
             .bucketBy(buckets, "key")
             .sortBy("key")
+            .option("compression", "uncompressed" if disable_compression else "snappy")
             .format("parquet")
             .saveAsTable(table)
         )
@@ -172,6 +199,19 @@ class InvertedIndex:
 
     def unique_values(self) -> DataFrame:
         return self.df.select("value").distinct()
+
+    def get(self, term: str) -> DataFrame:
+        """The value *list* of one key — duplicates preserved when the
+        index is list-valued (``discodb[key]`` in the reference API)."""
+        hits = self.df.filter(F.col("key") == term).select("value")
+        return hits.distinct() if self.unique_items else hits
+
+    def value_counts(self) -> DataFrame:
+        """Per-key value multiplicity: ``(key, cnt)``. On a list-valued
+        index this is the counts-as-duplicates pattern (wordcount_ddb.py
+        stores one entry per occurrence and reads len(values)); one
+        map-side-combined groupBy — no value payload shuffles."""
+        return self.df.groupBy("key").agg(F.count("*").alias("cnt"))
 
     # -- boolean query ---------------------------------------------------
     def query(self, q: "Q | str") -> DataFrame:

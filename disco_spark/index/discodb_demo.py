@@ -157,3 +157,32 @@ def discodb_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def discodb_unique_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unique_values() enumeration (scheme_discodb.py:20-25)."""
     return _token_index(spark, sf_dir).unique_values()
+
+
+@query(
+    "discodb_multiset_wordcount",
+    oracle="""
+    SELECT tok AS key, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY cnt DESC, key ASC
+    LIMIT 20
+    """,
+)
+def discodb_multiset_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-valued (duplicate-preserving) multimap parity: the reference's
+    DiscoDBConstructor keeps one entry per add() unless unique_items is
+    set (scheme_discodb.py:31-49), so wordcount_ddb.py-style jobs encode
+    counts as duplicate values. Build the token index with
+    unique_items=False and read multiplicities back via value_counts():
+    top-20 tokens by occurrence count (ties broken by token)."""
+    t = load_tables(spark, sf_dir)
+    idx = InvertedIndex.from_tokens(
+        t["documents"], "text", "doc_id", unique_items=False
+    )
+    return (
+        idx.value_counts()
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(20)
+    )

@@ -119,3 +119,51 @@ def test_url_fragment_dispatch(tiny_index, spark):
         open_url(spark, "discodb://n/tiny!frobnicate")
     with pytest.raises(ValueError):
         open_url(spark, "discodb://n/tiny!query/")
+
+
+def test_list_valued_multimap_preserves_duplicates(spark):
+    """unique_items=False parity (scheme_discodb.py:31-49): duplicates
+    survive in get()/value_counts(); unique_items=True collapses them."""
+    docs = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a b b")], "doc_id string, text string"
+    )
+    multi = InvertedIndex.from_tokens(docs, "text", "doc_id", unique_items=False)
+    uniq = InvertedIndex.from_tokens(docs, "text", "doc_id", unique_items=True)
+
+    assert sorted(r.value for r in multi.get("a").collect()) == ["d1", "d1", "d2"]
+    assert sorted(r.value for r in uniq.get("a").collect()) == ["d1", "d2"]
+
+    counts = {r.key: r.cnt for r in multi.value_counts().collect()}
+    assert counts == {"a": 3, "b": 3}
+    ucounts = {r.key: r.cnt for r in uniq.value_counts().collect()}
+    assert ucounts == {"a": 2, "b": 2}
+
+    # CNF queries stay set-algebraic on both kinds of index
+    assert sorted(r.value for r in multi.query("a & b").collect()) == ["d1", "d2"]
+
+
+def test_save_disable_compression(spark):
+    """disable_compression maps to the parquet codec: the table reads
+    back intact and its data files carry no compression codec."""
+    import os
+    from urllib.parse import urlparse
+
+    idx = InvertedIndex(
+        spark.createDataFrame(
+            [(f"k{i%7}", f"v{i}" * 20) for i in range(500)], "key string, value string"
+        )
+    )
+    try:
+        idx.save(spark, "ddb_plain", buckets=2, disable_compression=True)
+        idx.save(spark, "ddb_snappy", buckets=2)
+        back = InvertedIndex.load(spark, "ddb_plain")
+        assert back.df.count() == 500
+
+        def tbl_bytes(name):
+            files = [urlparse(f).path for f in spark.table(name).inputFiles()]
+            return sum(os.path.getsize(f) for f in files)
+
+        assert tbl_bytes("ddb_plain") >= tbl_bytes("ddb_snappy")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddb_plain")
+        spark.sql("DROP TABLE IF EXISTS ddb_snappy")
