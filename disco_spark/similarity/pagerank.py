@@ -38,7 +38,17 @@ def pagerank(
     referenced twice downstream, and without the persist the recompute
     chain would double per iteration.
     """
-    edges = edges.select("src", "dst").distinct().repartition(partitions, "src").persist()
+    # ONE shuffle for edge prep: after repartition on src, every (src,
+    # dst) duplicate is already co-located, so Catalyst satisfies the
+    # dropDuplicates clustering requirement without a second exchange
+    # (verified: plan has a single Exchange). distinct-then-repartition
+    # was two full edge shuffles.
+    edges = (
+        edges.select("src", "dst")
+        .repartition(partitions, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -48,16 +58,24 @@ def pagerank(
     # scalar spine: n as a broadcast 1-row frame (same IEEE double ops as
     # the former driver-side literals, so ranks are bit-identical)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    cached = [edges, nodes, out_deg]
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
 
     for _ in range(iters):
+        # rank/deg combine at NODE cardinality first, then one edge-sized
+        # join — the previous shape joined out_deg to the edge table every
+        # iteration, an edge-cardinality join that contributes nothing at
+        # node level. Same addends reach the same per-dst sum, so ranks
+        # are unchanged (verified rank-for-rank at round-off).
+        per_src = out_deg.join(ranks, out_deg.src == ranks.node).select(
+            "src", (F.col("rank") / F.col("deg")).alias("c")
+        )
         contribs = (
-            edges.join(out_deg, "src")
-            .join(ranks, edges.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            edges.join(per_src, "src")
+            .select("dst", "c")
             .groupBy("dst")
             .agg(F.sum("c").alias("recv"))
             .persist()
@@ -85,7 +103,16 @@ def pagerank(
         # contribs is persisted (2 downstream refs); ranks is referenced
         # exactly once (next iteration's contribs join), so persisting it
         # would only add a materialization barrier
-    return ranks
+        cached.append(contribs)
+    # Materialize the node-sized result once, then RELEASE every cached
+    # intermediate — without this, each pagerank call leaked |edges| +
+    # iters x |nodes| of executor storage for the session's lifetime
+    # (visible as creeping slowdown across a bench run). localCheckpoint
+    # also truncates the iters-deep lineage.
+    result = ranks.localCheckpoint(eager=True)
+    for df_ in cached:
+        df_.unpersist()
+    return result
 
 
 def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
