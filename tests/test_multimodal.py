@@ -55,6 +55,30 @@ def test_real_decode_is_stubbed():
         real_decode(b"\x00" * 16, "png")
 
 
+def test_custom_decode_injected_end_to_end(media):
+    """The codec seam contract: swapping in a different decoder is ONE
+    callable — the whole downstream pipeline (Arrow pass, schema,
+    feature extraction) works unchanged. This custom decoder inverts
+    every byte, so features must match numpy over the inverted bytes."""
+    import numpy as np
+
+    def invert_decode(payload: bytes, fmt: str) -> np.ndarray:
+        assert fmt == "fake8"  # metadata reaches the decoder intact
+        return 255 - np.frombuffer(payload, dtype=np.uint8)
+
+    feats = {
+        r.media_id: r
+        for r in extract_features(decode_media(media, decode=invert_decode)).collect()
+    }
+    raw = {r.media_id: r.payload for r in media.collect()}
+    for mid, payload in raw.items():
+        px = 255 - np.frombuffer(payload, dtype=np.uint8)
+        f = feats[mid]
+        assert f.n_px == 16
+        assert f.min_px == int(px.min()) and f.max_px == int(px.max())
+        assert abs(f.mean_px - round(float(px.astype("float64").mean()), 6)) < 1e-9
+
+
 def test_resize_halves(media):
     decoded = decode_media(media)
     half = resize(decoded, 2).collect()
