@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 from disco_spark.textops.analysis import with_toks
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
@@ -217,7 +217,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # the plan reads shingles 3x (both join sides + sizes); persisting the
     # tokenize+shingle scan computes it once (measured 5.9s -> 3.6s at
     # sf0.1). Blocks are LRU-evictable, so a long session self-cleans.
-    return _jaccard_from_shingles(shingle_df(docs).persist())
+    return _jaccard_from_shingles(lazy_persist(shingle_df(docs)))
 
 
 def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
@@ -319,7 +319,7 @@ def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Composable core of dedup_lsh_jaccard: candidates from minhash
     bands, exact Jaccard verify only on candidates. One persisted
     shingle scan feeds signatures, sizes, and the verify join."""
-    sh = shingle_df(docs).persist()
+    sh = lazy_persist(shingle_df(docs))
     cands = band_candidates(minhash_signatures(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -352,7 +352,7 @@ def salted_ngram_jaccard_pairs(
     """
     from disco_spark.operators.skew import hot_cold_split_join
 
-    sh = shingle_df(docs).persist()
+    sh = lazy_persist(shingle_df(docs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     hot = (
         sh.groupBy("shingle")
@@ -410,14 +410,14 @@ def dedup_ngram_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus_shingle_count / DF_PRUNE_MAX keys), so the prune is a
     broadcast anti-join: no extra shuffle of the shingle table."""
     t = load_tables(spark, sf_dir)
-    sh = shingle_df(with_toks(t["documents"])).persist()
+    sh = lazy_persist(shingle_df(with_toks(t["documents"])))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("d"))
         .filter(F.col("d") > DF_PRUNE_MAX)
         .select("shingle")
     )
-    kept = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    kept = lazy_persist(sh.join(F.broadcast(hot), "shingle", "left_anti"))
     return _jaccard_from_shingles(kept)
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from disco_spark.operators.relational import dsum
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 
 
 # ---------------------------------------------------------------------------
@@ -694,8 +694,8 @@ def global_row_number(df: DataFrame, cols: list[str], out: str = "rn") -> tuple[
     part = (
         df.repartitionByRange(nparts, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
+    part = lazy_persist(part)
     counts = sorted(
         part.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),
         key=lambda r: r["_pid"],

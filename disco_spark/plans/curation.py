@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from disco_spark.dedup.cc import LSH_CLUSTER_ORACLE
 from disco_spark.registry import ORACLES, query
 from disco_spark.sampling import _bucket_sql, train_val_test_split
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 from disco_spark.textops.analysis import _TOKS_SQL
 
 QUALITY_MIN = 0.5
@@ -77,7 +77,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disco_spark.dedup.dedup import lsh_jaccard_pairs
     from disco_spark.textops.analysis import quality_column, with_toks
 
-    base = with_toks(t["documents"]).persist()
+    base = lazy_persist(with_toks(t["documents"]))
     # LSH-prefiltered near-dup pairs (bands propose, exact Jaccard
     # verifies) — the curation pass never pays the full inverted-shingle
     # pair join; see dedup_lsh_jaccard for the scale rationale

@@ -28,10 +28,25 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query (and optionally its DuckDB oracle SQL)."""
+    """Register a query (and optionally its DuckDB oracle SQL).
+
+    The registered callable releases the previous query's deferred
+    persists (session.lazy_persist) on entry, so a long driver/bench run
+    holds at most one query's worth of cached intermediates. The module-
+    level function object is returned unwrapped — in-module composition
+    never triggers a release mid-plan."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def registered(spark, sf_dir):
+            from disco_spark.session import release_deferred
+
+            release_deferred()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = registered
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -116,6 +116,37 @@ def invalidate_table_cache(sf_dir: str | None = None) -> None:
         _TABLE_CACHE.pop(key, None)
 
 
+# Persists created inside a registered query function outlive the
+# function (the plan is lazy; the caller runs the action), so the builder
+# can never unpersist them itself. Track them here and release the lot at
+# the NEXT registered-query invocation (registry.query wrapper): at most
+# one query's worth of deferred cache is resident at a time, instead of
+# every shingle/base projection accumulating for the session's lifetime
+# (visible as creeping executor-storage growth across a 49-query bench).
+_DEFERRED_PERSISTS: list = []
+
+
+def lazy_persist(df):
+    """persist() a DataFrame whose action happens after the building
+    query function returns; released automatically when the next
+    registered query starts (or via release_deferred)."""
+    df = df.persist()
+    _DEFERRED_PERSISTS.append(df)
+    return df
+
+
+def release_deferred() -> int:
+    """Unpersist every deferred handle; returns how many were released."""
+    n = len(_DEFERRED_PERSISTS)
+    for df in _DEFERRED_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    _DEFERRED_PERSISTS.clear()
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Read every testdata table under ``sf_dir`` and register temp views.
 
