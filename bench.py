@@ -72,6 +72,11 @@ HEADLINE = [
     "text_bpe_pretokens",
     "text_pii_scrub",
     "text_url_stats",
+    # round 4: sequence packing (two-pass global prefix sum), mixture
+    # temperature resampling, logistic quality scoring
+    "pack_sequence_stats",
+    "sample_mixture_temperature",
+    "text_quality_logistic",
 ]
 
 

@@ -73,7 +73,9 @@ PRIORITY: list[str] = [
     "classic_grep", "classic_sort_reduce", "classic_innerjoin",
     "classic_partition_histogram",
     # --- round-4 new queries (appended as they land)
-    "discodb_multiset_wordcount",
+    "discodb_multiset_wordcount", "pack_manifest_documents",
+    "pack_sequence_stats", "sample_mixture_temperature",
+    "text_quality_logistic",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",
@@ -138,6 +140,7 @@ def load_all() -> None:
     from disco_spark.operators import rollup  # noqa: F401
     from disco_spark.operators import interval  # noqa: F401
     from disco_spark.similarity import embedding_ops  # noqa: F401
+    from disco_spark.textops import packing  # noqa: F401
     from disco_spark.plans import curation  # noqa: F401  (last: composes other oracles)
 
     finalize_order()

@@ -87,6 +87,77 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_temperature_sample(
+    df: DataFrame, group_col: str, key: str, target_frac: float = 0.5
+) -> DataFrame:
+    """Temperature-based mixture resampling (alpha = 0.5): draw a corpus
+    of ``target_frac * N`` rows whose per-group shares follow
+    ``n_g^alpha / sum(n^alpha)`` instead of the raw counts — the
+    standard recipe for flattening a skewed source/language mixture when
+    assembling a training set (big sources downweighted, small sources
+    upweighted, capped at keeping every row).
+
+    Determinism across engines: the per-group keep-rate is computed in
+    fixed-point integers end to end. sqrt(n) is the ONLY float step and
+    is rounded half-up to micro-units (w = round(sqrt(n)*1e6)); the
+    weight normalization and threshold are then exact bigint arithmetic,
+    so the DuckDB oracle lands on identical rows (no float-sum ordering
+    hazards). Shape at scale: one tiny groupBy for counts, all scalars
+    broadcast, one filtered scan — the corpus itself never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.round(F.sqrt(F.col("__n")) * 1_000_000).cast("bigint")
+    weighted = counts.select(group_col, "__n", w.alias("__w"))
+    z = weighted.agg(
+        F.sum("__w").alias("__z"), F.sum("__n").alias("__total")
+    )
+    thr = weighted.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.col("__n"),
+        F.least(
+            F.lit(BUCKETS).cast("bigint"),
+            # floor() made explicit: Spark's double->bigint cast truncates
+            # while DuckDB's rounds — floor first so both engines agree
+            F.expr(
+                f"({BUCKETS} * cast(floor(__total * {target_frac}) as bigint) * __w)"
+                " div (__z * __n)"
+            ),
+        ).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(hash_bucket(F.col(key)) < F.col("__thr"))
+        .drop("__thr", "__n")
+    )
+
+
+@query(
+    "sample_mixture_temperature",
+    oracle=f"""
+    WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    w AS (SELECT source, cnt,
+                 CAST(ROUND(SQRT(cnt) * 1000000) AS BIGINT) AS w FROM n),
+    z AS (SELECT CAST(SUM(w) AS BIGINT) AS z,
+                 CAST(SUM(cnt) AS BIGINT) AS total FROM w),
+    t AS (SELECT source, cnt,
+                 LEAST({BUCKETS}, ({BUCKETS} * CAST(FLOOR(total * 0.5) AS BIGINT) * w)
+                       // (z * cnt)) AS thr
+          FROM w, z),
+    kept AS (
+      SELECT d.doc_id, d.source FROM documents d JOIN t ON d.source = t.source
+      WHERE {_bucket_sql("d.doc_id")} < t.thr
+    )
+    SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source
+    """,
+)
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture flattening: sample ~half the corpus with
+    per-source shares proportional to sqrt(source size)."""
+    t = load_tables(spark, sf_dir)
+    kept = mixture_temperature_sample(t["documents"], "source", "doc_id")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def stratified_balance(df: DataFrame, group_col: str, key: str) -> DataFrame:
     """Downsample every stratum to ~the minority stratum's size, keyed by
     hash (deterministic, engine-portable). The per-stratum keep-rate is

@@ -421,3 +421,61 @@ def text_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(urls).alias("n_urls"),
         F.size(F.array_distinct(domains)).alias("n_unique_domains"),
     )
+
+
+# logistic quality classifier: fixed, published-recipe-style linear
+# model over the same engineered features the composite quality score
+# uses (fasttext-style quality filters are linear models over cheap text
+# features; here the weights are constants, the POINT is the scoring
+# shape: broadcast weights + one scan, zero shuffle, zero Python)
+_LOGIT_W = {"stop": 2.0, "alpha": 3.0, "len": 1.0, "bias": -2.5}
+
+
+@query(
+    "text_quality_logistic",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST({_hits_sql(_PROFILES["en"])} AS DOUBLE) / len(toks) AS f_stop,
+             CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+               / length(text) AS f_alpha,
+             LEAST(CAST(length(text) AS DOUBLE) / 500, 1.0) AS f_len
+      FROM d WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-({_LOGIT_W["stop"]} * f_stop
+                                    + {_LOGIT_W["alpha"]} * f_alpha
+                                    + {_LOGIT_W["len"]} * f_len
+                                    + {_LOGIT_W["bias"]}))), 6) AS score,
+           (({_LOGIT_W["stop"]} * f_stop + {_LOGIT_W["alpha"]} * f_alpha
+             + {_LOGIT_W["len"]} * f_len + {_LOGIT_W["bias"]}) > 0) AS keep
+    FROM f
+    """,
+)
+def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a logistic classifier over cheap
+    text features (stopword ratio, alphabetic ratio, length prior),
+    evaluated as pure column arithmetic — the shape a real fasttext-
+    style quality filter takes at 100 TB (weights broadcast as
+    literals/small arrays; one scan; whole-stage codegen; the decision
+    threshold is on the LOGIT so `keep` is float-rounding-proof)."""
+    t = load_tables(spark, sf_dir)
+    d = with_toks(t["documents"]).filter(F.size("toks") > 0)
+    f_stop = _hits(F.col("toks"), _PROFILES["en"]).cast("double") / F.size("toks")
+    f_alpha = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    f_len = F.least(F.length("text").cast("double") / 500, F.lit(1.0))
+    logit = (
+        F.lit(_LOGIT_W["stop"]) * f_stop
+        + F.lit(_LOGIT_W["alpha"]) * f_alpha
+        + F.lit(_LOGIT_W["len"]) * f_len
+        + F.lit(_LOGIT_W["bias"])
+    )
+    return d.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (logit > 0).alias("keep"),
+    )
