@@ -75,7 +75,7 @@ PRIORITY: list[str] = [
     # --- round-4 new queries (appended as they land)
     "discodb_multiset_wordcount", "pack_manifest_documents",
     "pack_sequence_stats", "sample_mixture_temperature",
-    "text_quality_logistic",
+    "text_quality_logistic", "sample_training_shards",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",
@@ -93,7 +93,10 @@ PRIORITY: list[str] = [
     "dedup_simhash", "pagerank_supplier_part", "ann_knn_graph",
     "ann_pq_topk", "ann_ivfpq_topk", "kmeans_embedding_clusters",
     # --- keep the flagship + a representative spread of the remaining
-    #     surface warm in the window
+    #     surface warm in the window. NOTE: the list is >50 on purpose —
+    #     only the first 50 land in the driver window; the tail names
+    #     (all fresh-green in r3) are harmless overflow that would slide
+    #     in if earlier entries were ever removed.
     "corpus_curation_pipeline", "q1_pricing_summary",
     "q9_product_profit", "q18_large_orders", "asof_purchase_after_view",
     "streaming_tumbling_window", "multimodal_frame_sample",

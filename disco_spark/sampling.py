@@ -158,6 +158,53 @@ def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def training_shards(df: DataFrame, key: str, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: order rows by md5(key) (decorrelating shard contents from
+    ingest order — adjacent source documents scatter uniformly), take
+    the exact global rank, and deal rows round-robin into ``n_shards``
+    balanced shards (shard sizes differ by at most 1 row).
+
+    Scale shape: the rank comes from the two-pass range-partition plan
+    (`global_row_number`) — no single-partition sort; the final write
+    would `partitionBy("shard")`, giving n_shards equally-sized files
+    regardless of input skew. Deterministic: same rows -> same shards,
+    on any engine and any partitioning."""
+    from disco_spark.operators.relational2 import global_row_number
+
+    h = df.withColumn("__h", F.md5(F.col(key).cast("string")))
+    ranked, _ = global_row_number(h, ["__h", key], out="__rn")
+    return ranked.withColumn(
+        "shard", ((F.col("__rn") - 1) % n_shards).cast("int")
+    ).drop("__h", "__rn")
+
+
+@query(
+    "sample_training_shards",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM r GROUP BY 1
+    """,
+)
+def sample_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for the deterministic training-export
+    shuffle: 8 round-robin shards over the md5-shuffled corpus."""
+    t = load_tables(spark, sf_dir)
+    return (
+        training_shards(t["documents"], "doc_id", 8)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def stratified_balance(df: DataFrame, group_col: str, key: str) -> DataFrame:
     """Downsample every stratum to ~the minority stratum's size, keyed by
     hash (deterministic, engine-portable). The per-stratum keep-rate is

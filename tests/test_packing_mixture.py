@@ -97,3 +97,22 @@ def test_mixture_flattens_shares(spark):
     # determinism
     kept2 = mixture_temperature_sample(df, "src", "doc_id", target_frac=0.5).collect()
     assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}
+
+
+def test_training_shards_oracle(spark):
+    compare_query(spark, "sample_training_shards", SF_SMOKE)
+
+
+def test_training_shards_balanced_and_stable(spark):
+    from disco_spark.sampling import training_shards
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    a = {(r.doc_id, r.shard) for r in
+         training_shards(docs, "doc_id", 8).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in
+         training_shards(docs.repartition(13), "doc_id", 8).select("doc_id", "shard").collect()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    sizes = Counter(s for _, s in a)
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # round-robin balance
