@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     "discodb_multiset_wordcount", "pack_manifest_documents",
     "pack_sequence_stats", "sample_mixture_temperature",
     "text_quality_logistic", "sample_training_shards",
+    "naive_bayes_lang_scores",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",
@@ -144,6 +145,7 @@ def load_all() -> None:
     from disco_spark.operators import interval  # noqa: F401
     from disco_spark.similarity import embedding_ops  # noqa: F401
     from disco_spark.textops import packing  # noqa: F401
+    from disco_spark.similarity import naive_bayes  # noqa: F401
     from disco_spark.plans import curation  # noqa: F401  (last: composes other oracles)
 
     finalize_order()
