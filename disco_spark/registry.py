@@ -76,7 +76,7 @@ PRIORITY: list[str] = [
     "discodb_multiset_wordcount", "pack_manifest_documents",
     "pack_sequence_stats", "sample_mixture_temperature",
     "text_quality_logistic", "sample_training_shards",
-    "naive_bayes_lang_scores",
+    "naive_bayes_lang_scores", "source_xml_records",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",

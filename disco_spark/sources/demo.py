@@ -220,3 +220,31 @@ def external_pipe_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tr 'a-z' 'A-Z'",
         "doc_id string, text_upper string",
     )
+
+
+@query(
+    "source_xml_records",
+    oracle="SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents",
+)
+def source_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML element-stream round-trip (reference examples/util/
+    xml_reader.py): write documents' (doc_id, lang) as a <row> element
+    dump, read it back by splitting on the close tag (splittable at
+    scale — no SAX stream), extract fields with per-record regexps."""
+    from disco_spark.sources.readers import (
+        read_xml_records,
+        write_xml_records,
+        xml_field,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "disco_spark_xml_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    write_xml_records(
+        t["documents"].select(F.col("doc_id").cast("string"), "lang"), path, "row"
+    )
+    recs = read_xml_records(spark, path, "row")
+    return recs.select(
+        xml_field(F.col("record"), "doc_id").alias("doc_id"),
+        xml_field(F.col("record"), "lang").alias("lang"),
+    )

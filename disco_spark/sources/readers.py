@@ -273,3 +273,39 @@ def sink_foreach_partition(df: DataFrame, writer_factory) -> int:
 
     df.foreachPartition(run)
     return acc.value
+
+
+# --------------------------------------------------------------------------
+# XML record extraction (reference examples/util/xml_reader.py: a SAX
+# parser in a feeder thread yields the text of each <tag> element as one
+# record). Spark-first analog: split the input files on the CLOSE tag
+# with a custom record delimiter — Hadoop's text reader keeps custom-
+# delimiter files splittable, so a 100 TB dump still fans out by HDFS
+# block, with no SAX thread and no single-stream parse — then pull the
+# element body with one regexp per record.
+# --------------------------------------------------------------------------
+def read_xml_records(spark: SparkSession, path: str, tag: str) -> DataFrame:
+    """One row per <tag>...</tag> element: column `record` holds the
+    element body (multi-line safe). Attributes on the open tag are
+    allowed and discarded, like the reference's characters()-only
+    handler."""
+    raw = spark.read.text(path, lineSep=f"</{tag}>")
+    body = F.regexp_extract(F.col("value"), f"(?s)<{tag}(?:\\s[^>]*)?>(.*)", 1)
+    return raw.filter(F.col("value").contains(f"<{tag}")).select(body.alias("record"))
+
+
+def xml_field(record, field: str):
+    """Extract one child element's text from an XML record body."""
+    return F.regexp_extract(record, f"(?s)<{field}>(.*?)</{field}>", 1)
+
+
+def write_xml_records(df: DataFrame, path: str, tag: str) -> None:
+    """Write each row as a <tag> element (columns become child
+    elements) — the demo/export counterpart of read_xml_records. Values
+    must be XML-safe (no escaping layer; this mirrors a dump format,
+    not a general serializer)."""
+    parts = [F.lit(f"<{tag}>")]
+    for c in df.columns:
+        parts += [F.lit(f"<{c}>"), F.col(c).cast("string"), F.lit(f"</{c}>")]
+    parts += [F.lit(f"</{tag}>")]
+    df.select(F.concat(*parts).alias("value")).write.mode("overwrite").text(path)

@@ -191,3 +191,34 @@ def test_native_lib_cbrt_oracle(spark):
     """ctypes shared-lib UDF parity (reference external.py:28-52 per-task
     native init): libm-backed pandas UDF matches DuckDB bit-exactly."""
     compare_query(spark, "native_lib_cbrt", SF_SMOKE)
+
+
+def test_xml_records_oracle(spark):
+    from disco_spark.testing import compare_query
+    from tests.conftest import SF_SMOKE
+
+    compare_query(spark, "source_xml_records", SF_SMOKE)
+
+
+def test_xml_records_multiline_and_attrs(spark, tmp_path):
+    """Element bodies spanning lines + attributes on the open tag, like
+    a real wiki dump; records must survive the delimiter split."""
+    from disco_spark.sources.readers import read_xml_records, xml_field
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "dump.xml"
+    p.write_text(
+        "<feed>\n"
+        '<page id="1" ns="0"><title>alpha</title><text>line one\nline two</text></page>\n'
+        '<page id="2"><title>beta</title><text>solo</text></page>\n'
+        "</feed>\n"
+    )
+    recs = read_xml_records(spark, str(p), "page")
+    rows = {
+        r.title: r.text
+        for r in recs.select(
+            xml_field(F.col("record"), "title").alias("title"),
+            xml_field(F.col("record"), "text").alias("text"),
+        ).collect()
+    }
+    assert rows == {"alpha": "line one\nline two", "beta": "solo"}
