@@ -217,3 +217,92 @@ def test_ivfpq_equals_ivf_exact(spark):
     ivf = {tuple(r) for r in registry.QUERIES["ann_ivf_topk"](spark, SF_SMOKE).collect()}
     ivfpq = {tuple(r) for r in registry.QUERIES["ann_ivfpq_topk"](spark, SF_SMOKE).collect()}
     assert ivf == ivfpq
+
+
+def test_adaptive_cells_cardinality_grows(spark):
+    """The scaling lesson: cell count must grow with n (k = ceil(sqrt(n)))."""
+    import math
+
+    from disco_spark.session import load_tables
+    from disco_spark.similarity.ann import adaptive_cells
+    from tests.conftest import SF_SMOKE
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    n = e.count()
+    cells = adaptive_cells(e)
+    k_expected = max(8, math.isqrt(n - 1) + 1)
+    n_cells = cells.select("label").distinct().count()
+    assert n_cells <= k_expected  # empty cells may collapse
+    assert n_cells >= k_expected // 2  # but most must be populated
+    assert cells.count() == n  # total assignment, one cell per vector
+
+
+def test_adaptive_knn_recall_gate(spark):
+    """Adaptive-cell knn recall vs the exact baseline. The synthetic
+    embeddings are near-uniform (hardest case for IVF); the gate is a
+    regression tripwire, not an absolute-quality claim."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from disco_spark import registry
+    from disco_spark.dedup.dedup import dot, norm
+    from disco_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    registry.load_all()
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    ed = e.withColumn("nrm", norm(F.col("embedding")))
+    a = ed.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea"),
+                  F.col("nrm").alias("na"))
+    b = ed.select(F.col("vec_id").alias("dst_id"), F.col("embedding").alias("eb"),
+                  F.col("nrm").alias("nb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .withColumn("cos_sim",
+                    F.round(dot(F.col("ea"), F.col("eb"))
+                            / (F.col("na") * F.col("nb")), 6))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))
+    exact = {
+        (r.src_id, r.dst_id)
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).select("src_id", "dst_id").collect()
+    }
+    approx = {
+        (r.src_id, r.dst_id)
+        for r in registry.QUERIES["ann_knn_graph_adaptive"](spark, SF_SMOKE).collect()
+    }
+    n_src = len({s for s, _ in exact})
+    assert len(approx) == 5 * n_src  # k rows per source
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.45, f"recall collapsed: {recall:.3f}"
+    # determinism: same assignment and graph on a second run
+    approx2 = {
+        (r.src_id, r.dst_id)
+        for r in registry.QUERIES["ann_knn_graph_adaptive"](spark, SF_SMOKE).collect()
+    }
+    assert approx == approx2
+
+
+def test_adaptive_near_dup_recall(spark):
+    """The scale-path near-dup variant must recover most of the
+    label-block join's pairs (it may legitimately find MORE: kmeans
+    cells cross label boundaries the exact join never searches)."""
+    from disco_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    registry.load_all()
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["dedup_embedding_cosine_adaptive"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert exact, "baseline produced no pairs; threshold drifted"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"near-dup recall collapsed: {recall:.2f}"
