@@ -207,3 +207,66 @@ def classic_chain_common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chain = JobChain({j1: [t["documents"].select("text")], j2: [j1]})
     return chain.run()[j2]
+
+
+@query(
+    "montecarlo_pi",
+    oracle="""
+    WITH s AS (
+      SELECT i,
+             (('0x' || substr(md5('x' || i), 1, 8))::BIGINT % 1000000) / 1000000.0 AS x,
+             (('0x' || substr(md5('y' || i), 1, 8))::BIGINT % 1000000) / 1000000.0 AS y
+      FROM generate_series(0, 99999) AS t(i)
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN x * x + y * y < 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS inside,
+           ROUND(4.0 * SUM(CASE WHEN x * x + y * y < 1 THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS pi_est
+    FROM s
+    """,
+)
+def montecarlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo pi (reference examples/util/estimate_pi.py: COUNT
+    raw:// map tasks each drawing one random point). Spark-first: ONE
+    range scan of 100k rows, and random() is replaced by hash-derived
+    uniforms (md5-bucket / 1e6) so the estimate is deterministic,
+    engine-portable, and oracle-checkable — same reproducibility rule as
+    the sampling operators. Scale: spark.range partitions the id space;
+    no shuffle at all until the single partial/final agg."""
+    n = 100_000
+
+    def u(prefix: str):
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(prefix), F.col("id").cast("string"))), 1, 8), 16, 10)
+        return (h.cast("bigint") % 1_000_000) / 1_000_000.0
+
+    s = spark.range(n).select(u("x").alias("x"), u("y").alias("y"))
+    inside = F.sum(F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") < 1, 1).otherwise(0))
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        inside.cast("bigint").alias("inside"),
+        F.round(F.lit(4.0) * inside / F.count(F.lit(1)), 6).alias("pi_est"),
+    )
+
+
+@query(
+    "letter_freq",
+    oracle="""
+    SELECT letter, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]')) AS letter
+          FROM documents)
+    GROUP BY letter
+    """,
+)
+def letter_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letter-frequency histogram (reference examples/ipython/
+    letter_freq.py: per-char map + kvgroup-sum reduce) as one explode +
+    groupBy — partial aggregation collapses each input partition to at
+    most 26 rows before the shuffle."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]"), 0)).alias("letter"))
+        .groupBy("letter")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "text_quality_logistic", "sample_training_shards",
     "naive_bayes_lang_scores", "source_xml_records",
     "ann_knn_graph_adaptive", "dedup_embedding_cosine_adaptive",
+    "montecarlo_pi", "letter_freq",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",
