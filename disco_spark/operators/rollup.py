@@ -86,3 +86,43 @@ def rollup_events_6h_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain re-aggregation is exact (algebraic measures compose)."""
     t = load_tables(spark, sf_dir)
     return rollup_grains(hourly_grains(t["events"]), hours=6)
+
+
+@query(
+    "rollup_hll_daily_users",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_users
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT NULL AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_users
+    FROM events
+    """,
+)
+def rollup_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup via DataSketches HLL: one pass
+    builds per-day user sketches; the all-time row MERGES the daily
+    sketches (hll_union_agg) without re-scanning raw events — the
+    continuous-aggregate property COUNT(DISTINCT) lacks (distinct is
+    not algebraic; sketches are). At 100 TB this is how per-day/
+    per-week/all-time uniques come from one raw scan.
+
+    Oracle note: the oracle compares against EXACT distinct counts —
+    valid because DataSketches HLL is exact in sparse mode, and the
+    driver's gate cardinality (~150 users/day at sf0.01) is far below
+    the lgK=12 sparse-to-dense threshold. The estimator's behavior at
+    real cardinalities is gated separately in pytest (relative error on
+    100k synthetic ids)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").cast("bigint").alias("est_users")
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_users")
+    ).select(F.lit(None).cast("date").alias("day"), "est_users")
+    return per_day.unionAll(total)

@@ -451,3 +451,50 @@ def streaming_static_join_value_by_segment(spark: SparkSession, sf_dir: str) -> 
     return run_stream_to_memory(
         spark, sf_dir, enrich_and_agg, output_mode="complete", watermark=None
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream inner join (both sides streaming, state on
+    both): every (view, purchase) pair by the same user within 30
+    minutes. Both sides carry a watermark and the join predicate bounds
+    event time in both directions, so each side's buffered state is
+    evicted once the other side's watermark passes — the bounded-state
+    contract a 100 TB stream join lives or dies by. availableNow
+    processing makes the result equal to the batch self-join the oracle
+    runs."""
+
+    def join_views_purchases(stream: DataFrame) -> DataFrame:
+        views = stream.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + interval 30 minutes"
+            ),
+        )
+        return joined.select(
+            F.col("v_user").alias("user_id"), "view_id", "purchase_id"
+        )
+
+    return run_stream_to_memory(
+        spark, sf_dir, join_views_purchases, output_mode="append"
+    )

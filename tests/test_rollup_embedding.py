@@ -66,3 +66,31 @@ def test_int8_quantization_reconstruction_error(spark):
             continue
         for orig, qi in zip(row.embedding, row.q):
             assert abs(qi / row.s - float(orig)) <= (0.5 / row.s) + 1e-9
+
+
+def test_hll_rollup_oracle(spark):
+    from disco_spark.testing import compare_query
+    from tests.conftest import SF_SMOKE
+
+    compare_query(spark, "rollup_hll_daily_users", SF_SMOKE)
+
+
+def test_hll_error_bound_at_dense_cardinality(spark):
+    """Beyond sparse mode (100k uniques vs lgK=12), the estimator must
+    stay within a few percent — the contract the rollup relies on at
+    real cardinalities — and merging split sketches must equal the
+    single-pass sketch exactly."""
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    ids = spark.range(n).select((F.col("id") * 2654435761 % 2**31).alias("uid"),
+                                (F.col("id") % 7).alias("part"))
+    single = ids.agg(F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("e")).collect()[0]["e"]
+    merged = (
+        ids.groupBy("part").agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    exact = ids.select("uid").distinct().count()
+    assert abs(single - exact) / exact < 0.03
+    assert merged == single  # sketch merge is lossless vs one-pass

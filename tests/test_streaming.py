@@ -170,3 +170,10 @@ def test_incremental_dedup_replays_across_microbatches(spark, tmp_path):
         .count()
     )
     assert len(emitted) == len(set(emitted)) == batch_distinct
+
+
+def test_stream_stream_join_oracle(spark):
+    from disco_spark.testing import compare_query
+    from tests.conftest import SF_SMOKE
+
+    compare_query(spark, "streaming_stream_stream_join", SF_SMOKE)
