@@ -77,6 +77,13 @@ HEADLINE = [
     "pack_sequence_stats",
     "sample_mixture_temperature",
     "text_quality_logistic",
+    "sample_training_shards",
+    "naive_bayes_lang_scores",
+    "source_xml_records",
+    "montecarlo_pi",
+    "streaming_stream_stream_join",
+    "rollup_hll_daily_users",
+    "ann_knn_graph_adaptive",
 ]
 
 
