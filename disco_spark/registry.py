@@ -79,7 +79,8 @@ PRIORITY: list[str] = [
     "naive_bayes_lang_scores", "source_xml_records",
     "ann_knn_graph_adaptive", "dedup_embedding_cosine_adaptive",
     "montecarlo_pi", "letter_freq", "streaming_stream_stream_join",
-    "rollup_hll_daily_users",
+    "rollup_hll_daily_users", "catalog_tag_walk",
+    "sink_partitioned_roundtrip",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",

@@ -341,11 +341,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # means no static SQL oracle; correctness is gated by recall tests
 # against the exact baseline (tests/test_similarity.py).
 # --------------------------------------------------------------------------
-def adaptive_cells(e: DataFrame, iters: int = 2) -> DataFrame:
+def adaptive_cells(e: DataFrame, iters: int = 1) -> DataFrame:
     """(vec_id, label) cell assignment with k = ceil(sqrt(n)) k-means
     cells. The count() is one bounded action; at real scale the trainer
     would fit on a sample (k centroid literals is the only driver
-    state)."""
+    state). iters defaults to 1: a single Lloyd step already separates
+    cells as well as more (measured identical downstream recall at
+    iters 1/2/3 on the synthetic embeddings) and each extra iteration
+    is another sequential driver action — quantizer quality, not
+    convergence, is what the cells are for."""
     import math
 
     from disco_spark.similarity.kmeans import kmeans_assign

