@@ -81,6 +81,7 @@ PRIORITY: list[str] = [
     "montecarlo_pi", "letter_freq", "streaming_stream_stream_join",
     "rollup_hll_daily_users", "catalog_tag_walk",
     "sink_partitioned_roundtrip", "tsp_nations_bruteforce",
+    "profile_orders_columns",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",
@@ -151,6 +152,7 @@ def load_all() -> None:
     from disco_spark.textops import packing  # noqa: F401
     from disco_spark.similarity import naive_bayes  # noqa: F401
     from disco_spark.operators import tsp  # noqa: F401
+    from disco_spark.operators import profile  # noqa: F401
     from disco_spark.plans import curation  # noqa: F401  (last: composes other oracles)
 
     finalize_order()
