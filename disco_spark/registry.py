@@ -81,7 +81,7 @@ PRIORITY: list[str] = [
     "montecarlo_pi", "letter_freq", "streaming_stream_stream_join",
     "rollup_hll_daily_users", "catalog_tag_walk",
     "sink_partitioned_roundtrip", "tsp_nations_bruteforce",
-    "profile_orders_columns",
+    "profile_orders_columns", "source_chunked_ingest",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",

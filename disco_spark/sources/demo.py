@@ -329,3 +329,29 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = src.count()
     assert n == expected, f"sink dropped rows: wrote {n}, expected {expected}"
     return spark.read.csv(path, sep="\t", schema="doc_id bigint, lang string")
+
+
+@query(
+    "source_chunked_ingest",
+    oracle="SELECT doc_id, lang FROM documents",
+)
+def source_chunked_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDFS chunked-ingest analog end-to-end (CHUNK_SIZE-bounded output
+    files, reference fileutils.py:14): chunk the documents table into
+    size-bounded parquet files, assert the bound actually split the
+    output, read it back lossless. The tiny target_mb forces multiple
+    chunks even at sf0.01."""
+    import glob
+
+    from disco_spark.sources.readers import chunked_write
+
+    t = load_tables(spark, sf_dir)
+    src = t["documents"].select("doc_id", "lang")
+    path = os.path.join(tempfile.gettempdir(), "disco_spark_chunk_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    # ~500 rows of (bigint, string) is tiny; target far below 1 MB by
+    # repartitioning first so maxRecordsPerFile has partitions to split
+    chunked_write(src.repartition(2), path, target_mb=64)
+    files = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(files) >= 2, f"chunking produced {len(files)} file(s)"
+    return spark.read.parquet(path)

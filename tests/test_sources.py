@@ -236,3 +236,10 @@ def test_sink_roundtrip_oracle(spark):
     from tests.conftest import SF_SMOKE
 
     compare_query(spark, "sink_partitioned_roundtrip", SF_SMOKE)
+
+
+def test_chunked_ingest_oracle(spark):
+    from disco_spark.testing import compare_query
+    from tests.conftest import SF_SMOKE
+
+    compare_query(spark, "source_chunked_ingest", SF_SMOKE)
