@@ -182,10 +182,22 @@ class InvertedIndex:
             .format("parquet")
             .saveAsTable(table)
         )
+        # persist the multimap semantics: without this a list-valued
+        # index (unique_items=False) silently became set-valued after a
+        # save/load round-trip — get() would re-apply distinct()
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('disco.unique_items' = '{str(self.unique_items).lower()}')"
+        )
 
     @staticmethod
     def load(spark: SparkSession, table: str) -> "InvertedIndex":
-        return InvertedIndex(spark.table(table))
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        unique = props.get("disco.unique_items", "true") == "true"
+        return InvertedIndex(spark.table(table), unique_items=unique)
 
     # -- enumeration ops (scheme_discodb.py:20-25 method dispatch) -------
     def keys(self) -> DataFrame:

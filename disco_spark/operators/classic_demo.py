@@ -209,13 +209,16 @@ def classic_chain_common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain.run()[j2]
 
 
+from disco_spark.sampling import _bucket_sql, hash_bucket  # noqa: E402  (shared md5-bucket idiom)
+
+
 @query(
     "montecarlo_pi",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT i,
-             (('0x' || substr(md5('x' || i), 1, 8))::BIGINT % 1000000) / 1000000.0 AS x,
-             (('0x' || substr(md5('y' || i), 1, 8))::BIGINT % 1000000) / 1000000.0 AS y
+             {_bucket_sql("('x' || i)", 1_000_000)} / 1000000.0 AS x,
+             {_bucket_sql("('y' || i)", 1_000_000)} / 1000000.0 AS y
       FROM generate_series(0, 99999) AS t(i)
     )
     SELECT COUNT(*) AS n,
@@ -237,8 +240,10 @@ def montecarlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 100_000
 
     def u(prefix: str):
-        h = F.conv(F.substring(F.md5(F.concat(F.lit(prefix), F.col("id").cast("string"))), 1, 8), 16, 10)
-        return (h.cast("bigint") % 1_000_000) / 1_000_000.0
+        # the engine-wide md5-bucket (sampling.hash_bucket) at micro
+        # resolution — one definition of "deterministic uniform"
+        key = F.concat(F.lit(prefix), F.col("id").cast("string"))
+        return hash_bucket(key, 1_000_000) / 1_000_000.0
 
     s = spark.range(n).select(u("x").alias("x"), u("y").alias("y"))
     inside = F.sum(F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") < 1, 1).otherwise(0))

@@ -113,13 +113,49 @@ def _run_subprocess(
     feed_err: list[BaseException] = []
     stderr_tail: deque[str] = deque(maxlen=_STDERR_TAIL_LINES)
 
+    class _BrokenFeedPipe(Exception):
+        """The child's stdin went away (child exited / was killed) — a
+        normal termination signal for the feeder, not a user error."""
+
+    class _StdinProxy:
+        """Wrap stdin so ONLY write-side failures are downgraded to
+        _BrokenFeedPipe. feed() also consumes the Spark row iterator and
+        converts values; an OSError/ValueError raised THERE must surface
+        as a real error — swallowing it would let the child see a clean
+        EOF, exit rc=0, and silently truncate the partition's output."""
+
+        def __init__(self, f):
+            self._f = f
+
+        def _guard(self, op, *args):
+            try:
+                return op(*args)
+            except (BrokenPipeError, ValueError, OSError) as e:
+                raise _BrokenFeedPipe() from e
+
+        def write(self, data):
+            return self._guard(self._f.write, data)
+
+        def flush(self):
+            return self._guard(self._f.flush)
+
+        def close(self):
+            return self._guard(self._f.close)
+
     def feeder():
         try:
-            feed(proc.stdin)
-        except (BrokenPipeError, ValueError, OSError):
+            feed(_StdinProxy(proc.stdin))
+        except _BrokenFeedPipe:
             pass  # program exited / pipe closed early; surfaced via rc below
         except BaseException as e:  # noqa: BLE001 — re-raised on main thread
             feed_err.append(e)
+            # source-side failure: the child will never receive the rest
+            # of its input — kill it so the main thread's blocked stdout
+            # read sees EOF and the recorded error surfaces promptly
+            try:
+                proc.kill()
+            except OSError:
+                pass
 
     def drain_stderr():
         # reference parse_message: **<MSG> -> status line, **<ERR> ->
@@ -152,10 +188,19 @@ def _run_subprocess(
         yield from read_stdout(proc.stdout)
         completed = True
     finally:
+        # Early consumer close (limit/show): the child may be blocked
+        # writing to the now-undrained stdout pipe, which in turn blocks
+        # the feeder on a full stdin pipe — kill the child FIRST so the
+        # join below returns immediately instead of burning the full
+        # timeout per partition.
+        if not completed:
+            try:
+                proc.kill()
+            except OSError:
+                pass
         t_in.join(timeout=30)
-        # Early consumer close (limit/show) or a wedged feeder: the child
-        # may be blocked writing to the undrained stdout pipe — kill it,
-        # never wait unboundedly.
+        # A wedged feeder after normal completion: the child may still
+        # be blocked — kill it, never wait unboundedly.
         if completed and not t_in.is_alive():
             try:
                 rc = proc.wait(timeout=30)

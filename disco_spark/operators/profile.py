@@ -26,19 +26,22 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     min_repr, max_repr, avg_len). min/max are cast to string so mixed
     column types fit one schema; avg_len is the mean string-repr length
     (a cheap width/size signal)."""
-    n_distinct = (
-        (lambda c: F.hll_sketch_estimate(F.hll_sketch_agg(c)))
-        if approx
-        else F.count_distinct
-    )
     aggs = []
     for c in df.columns:
         col = F.col(c)
         s = col.cast("string")
+        # hll_sketch_agg accepts only int/bigint/string/binary — sketch
+        # the STRING CAST so doubles/dates/decimals profile too (the
+        # cast is injective for primitives, so cardinality is preserved)
+        n_distinct = (
+            F.hll_sketch_estimate(F.hll_sketch_agg(s))
+            if approx
+            else F.count_distinct(col)
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            n_distinct(col).cast("bigint").alias(f"{c}__distinct"),
+            n_distinct.cast("bigint").alias(f"{c}__distinct"),
             F.min(s).alias(f"{c}__min"),
             F.max(s).alias(f"{c}__max"),
             F.round(F.avg(F.length(s)), 6).alias(f"{c}__avglen"),

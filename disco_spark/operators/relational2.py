@@ -669,49 +669,77 @@ def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def global_row_number(df: DataFrame, cols: list[str], out: str = "rn") -> tuple[DataFrame, int]:
-    """Exact global 1-based row number over a total order WITHOUT a
-    single-partition window (the naive `Window.orderBy(...)` serializes
-    the whole table through one task — a straight OOM at 100TB).
+def global_prefix_sum(
+    df: DataFrame, order_cols: list[str], value_col: str, out: str = "start"
+) -> tuple[DataFrame, int]:
+    """Exact EXCLUSIVE prefix sum of ``value_col`` over the total order
+    given by ``order_cols`` — WITHOUT a single-partition window (the
+    naive `Window.orderBy(...)` serializes the whole table through one
+    task — a straight OOM at 100TB).
 
     Two-pass range-partition plan:
       1. `repartitionByRange` on the order columns (sampled boundaries;
          partition id ascends with the sort key), persist — the persist
          pins the sampled boundaries so pass 2 sees the same partitions;
-      2. count rows per range partition (tiny driver-side collect, one
-         row per partition) to get each partition's global rank offset;
-      3. local `row_number` within each range partition + its offset.
+      2. sum ``value_col`` per range partition (tiny driver-side
+         collect, one row per partition) to get each partition's global
+         offset;
+      3. a partition-local running sum + that offset.
     The per-partition window does shuffle on partition id, but every
     task holds ~1/N of the rows — no single-partition exchange appears
     anywhere in the plan. Exactness does not depend on where the sampled
     boundaries land, only on the order columns being a total order.
 
-    Returns (df with `out` column, total row count).
+    This is the ONE shared two-pass harness: `global_row_number` is the
+    value=1 special case, `textops.packing` uses it for token offsets.
+
+    Returns (df with `out` column, grand total).
     """
     from pyspark.sql.window import Window
 
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    part = (
-        df.repartitionByRange(nparts, *cols)
-        .withColumn("_pid", F.spark_partition_id())
+    from disco_spark.session import default_parallelism
+
+    nparts = default_parallelism(df.sparkSession)
+    part = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
     part = lazy_persist(part)
-    counts = sorted(
-        part.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+    subtotals = sorted(
+        part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect(),
         key=lambda r: r["_pid"],
     )
     offsets, total = {}, 0
-    for r in counts:
+    for r in subtotals:
         offsets[r["_pid"]] = total
-        total += r["c"]
-    off = F.create_map(
-        *[F.lit(x) for pid_base in offsets.items() for x in pid_base]
+        total += r["s"]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    ranked = part.withColumn(
-        out, (F.row_number().over(w) + off[F.col("_pid")]).cast("long")
+    summed = part.withColumn(
+        out,
+        (F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off[F.col("_pid")]).cast(
+            "long"
+        ),
     ).drop("_pid")
-    return ranked, total
+    return summed, total
+
+
+def global_row_number(df: DataFrame, cols: list[str], out: str = "rn") -> tuple[DataFrame, int]:
+    """Exact global 1-based row number over a total order — the
+    value=1 case of `global_prefix_sum` (a row's exclusive prefix count
+    plus one IS its rank). Returns (df with `out`, total row count)."""
+    ranked, total = global_prefix_sum(
+        df.withColumn("__one", F.lit(1)), cols, "__one", out="__excl"
+    )
+    return (
+        ranked.withColumn(out, (F.col("__excl") + 1).cast("long")).drop(
+            "__one", "__excl"
+        ),
+        total,
+    )
 
 
 @query(

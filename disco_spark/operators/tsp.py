@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
+from disco_spark.sampling import hash_bucket
 from disco_spark.session import load_tables
 
 N_CITIES = 8  # factorial(7) = 5040 tours — the reference demos 9-13 nodes
@@ -74,11 +75,13 @@ def tsp_bruteforce(spark: SparkSession, coords: list[tuple[int, int]]) -> DataFr
 def _duck_tsp_oracle(n: int) -> str:
     """Replay the identical search in DuckDB: same decode, same coords,
     same fixed-order cost sum, same tie-break."""
+    from disco_spark.sampling import _bucket_sql
+
     coords_sql = f"""
     cities AS (
       SELECT n_nationkey AS node,
-             ('0x' || substr(md5('x' || n_nationkey), 1, 8))::BIGINT % 1000 AS x,
-             ('0x' || substr(md5('y' || n_nationkey), 1, 8))::BIGINT % 1000 AS y
+             {_bucket_sql("('x' || n_nationkey)", 1000)} AS x,
+             {_bucket_sql("('y' || n_nationkey)", 1000)} AS y
       FROM nation WHERE n_nationkey < {n}
     ),
     xs AS (SELECT list(CAST(x AS DOUBLE) ORDER BY node) AS xs,
@@ -125,13 +128,11 @@ def tsp_nations_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_nationkey") < N_CITIES)
         .select(
             "n_nationkey",
-            (
-                F.conv(F.substring(F.md5(F.concat(F.lit("x"), F.col("n_nationkey"))), 1, 8), 16, 10).cast("bigint")
-                % 1000
+            hash_bucket(
+                F.concat(F.lit("x"), F.col("n_nationkey").cast("string")), 1000
             ).alias("x"),
-            (
-                F.conv(F.substring(F.md5(F.concat(F.lit("y"), F.col("n_nationkey"))), 1, 8), 16, 10).cast("bigint")
-                % 1000
+            hash_bucket(
+                F.concat(F.lit("y"), F.col("n_nationkey").cast("string")), 1000
             ).alias("y"),
         )
         .orderBy("n_nationkey")

@@ -97,13 +97,17 @@ def mixture_temperature_sample(
     assembling a training set (big sources downweighted, small sources
     upweighted, capped at keeping every row).
 
-    Determinism across engines: the per-group keep-rate is computed in
-    fixed-point integers end to end. sqrt(n) is the ONLY float step and
-    is rounded half-up to micro-units (w = round(sqrt(n)*1e6)); the
-    weight normalization and threshold are then exact bigint arithmetic,
-    so the DuckDB oracle lands on identical rows (no float-sum ordering
-    hazards). Shape at scale: one tiny groupBy for counts, all scalars
-    broadcast, one filtered scan — the corpus itself never shuffles.
+    Determinism across engines: weights are fixed-point integers
+    (w = round(sqrt(n)*1e6)) and their normalizer Z is an exact bigint
+    sum — no float-SUM ordering hazards. The final threshold is one
+    fixed-shape scalar expression in IEEE doubles, written identically
+    in Spark and the DuckDB oracle (same operands, same left-to-right
+    order), so both engines floor the same bits; doubles also make it
+    overflow-free — the earlier all-bigint product BUCKETS*T*w exceeded
+    2^63 once a source held ~1.5M rows, where Spark would wrap silently
+    and DuckDB would error. Shape at scale: one tiny groupBy for counts,
+    all scalars broadcast, one filtered scan — the corpus itself never
+    shuffles.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     w = F.round(F.sqrt(F.col("__n")) * 1_000_000).cast("bigint")
@@ -119,8 +123,8 @@ def mixture_temperature_sample(
             # floor() made explicit: Spark's double->bigint cast truncates
             # while DuckDB's rounds — floor first so both engines agree
             F.expr(
-                f"({BUCKETS} * cast(floor(__total * {target_frac}) as bigint) * __w)"
-                " div (__z * __n)"
+                f"cast(floor(({BUCKETS}.0 * cast(floor(__total * {target_frac}) as bigint)"
+                " * __w) / (cast(__z as double) * __n)) as bigint)"
             ),
         ).alias("__thr"),
     )
@@ -140,8 +144,8 @@ def mixture_temperature_sample(
     z AS (SELECT CAST(SUM(w) AS BIGINT) AS z,
                  CAST(SUM(cnt) AS BIGINT) AS total FROM w),
     t AS (SELECT source, cnt,
-                 LEAST({BUCKETS}, ({BUCKETS} * CAST(FLOOR(total * 0.5) AS BIGINT) * w)
-                       // (z * cnt)) AS thr
+                 LEAST({BUCKETS}, CAST(FLOOR(({BUCKETS}.0 * CAST(FLOOR(total * 0.5) AS BIGINT)
+                       * w) / (CAST(z AS DOUBLE) * cnt)) AS BIGINT)) AS thr
           FROM w, z),
     kept AS (
       SELECT d.doc_id, d.source FROM documents d JOIN t ON d.source = t.source

@@ -116,6 +116,18 @@ def invalidate_table_cache(sf_dir: str | None = None) -> None:
         _TABLE_CACHE.pop(key, None)
 
 
+def default_parallelism(spark: SparkSession, fallback: int = 32) -> int:
+    """sparkContext (and so defaultParallelism) is absent under Spark
+    Connect — every plan-shaping use must go through this guard instead
+    of touching spark.sparkContext directly (the classic._fan_out
+    lesson). The fallback only sizes partition counts, never changes
+    results."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return fallback
+
+
 # Persists created inside a registered query function outlive the
 # function (the plan is lazy; the caller runs the action), so the builder
 # can never unpersist them itself. Track them here and release the lot at

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from disco_spark.dedup.dedup import cosine, dot, norm
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import default_parallelism, load_tables
 
 N_QUERIES = 5
 TOP_K = 5
@@ -202,7 +202,7 @@ def knn_graph(e: DataFrame, k: int = TOP_K, nprobe: int = 2) -> DataFrame:
             F.col("nrm").alias("q_nrm"),
             "label",
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(default_parallelism(spark))
     )
     members = e.select(
         F.col("vec_id").alias("dst_id"), _dbl(F.col("embedding")).alias("m_emb"), "label"

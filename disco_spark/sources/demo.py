@@ -114,8 +114,9 @@ def source_netstring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DiscoPlainOut, task_io.py:319-325), read them back with the
     byte-accurate frame parser (old_netstr_reader, task_io.py:184-249)."""
     t = load_tables(spark, sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "disco_spark_netstring_demo")
-    shutil.rmtree(path, ignore_errors=True)
+    # per-invocation dir: a fixed well-known temp path races across
+    # concurrent sessions (the md5-fixture lesson, applied everywhere)
+    path = tempfile.mkdtemp(prefix="disco_spark_netstring_")
     write_disco_netstring(
         t["documents"].select(
             F.col("doc_id").cast("string").alias("key"), F.col("lang").alias("value")
@@ -238,8 +239,7 @@ def source_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "disco_spark_xml_demo")
-    shutil.rmtree(path, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="disco_spark_xml_")
     write_xml_records(
         t["documents"].select(F.col("doc_id").cast("string"), "lang"), path, "row"
     )
@@ -333,25 +333,32 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_chunked_ingest",
-    oracle="SELECT doc_id, lang FROM documents",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+    FROM lineitem
+    """,
 )
 def source_chunked_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDFS chunked-ingest analog end-to-end (CHUNK_SIZE-bounded output
-    files, reference fileutils.py:14): chunk the documents table into
-    size-bounded parquet files, assert the bound actually split the
-    output, read it back lossless. The tiny target_mb forces multiple
-    chunks even at sf0.01."""
+    files, reference fileutils.py:14): chunk lineitem into size-bounded
+    parquet files and read it back lossless. The assertion is on the
+    BOUND itself: lineitem arrives as ONE input partition at sf0.01, so
+    every extra output file exists only because maxRecordsPerFile
+    (derived from target_mb and the sampled row size) split it — there
+    is no repartition to split for free."""
     import glob
 
     from disco_spark.sources.readers import chunked_write
 
     t = load_tables(spark, sf_dir)
-    src = t["documents"].select("doc_id", "lang")
-    path = os.path.join(tempfile.gettempdir(), "disco_spark_chunk_demo")
-    shutil.rmtree(path, ignore_errors=True)
-    # ~500 rows of (bigint, string) is tiny; target far below 1 MB by
-    # repartitioning first so maxRecordsPerFile has partitions to split
-    chunked_write(src.repartition(2), path, target_mb=64)
+    src = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    path = tempfile.mkdtemp(prefix="disco_spark_chunk_")
+    chunked_write(src.coalesce(1), path, target_mb=1)
     files = glob.glob(os.path.join(path, "part-*.parquet"))
-    assert len(files) >= 2, f"chunking produced {len(files)} file(s)"
+    assert len(files) >= 2, (
+        f"size bound produced {len(files)} file(s) — maxRecordsPerFile "
+        "did not split a single-partition write"
+    )
     return spark.read.parquet(path)

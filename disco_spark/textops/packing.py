@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
-from disco_spark.session import lazy_persist, load_tables
+from disco_spark.session import load_tables
 from disco_spark.textops.analysis import _TOKS_SQL, with_toks
 
 SEQ_BUDGET = 512
@@ -36,42 +36,16 @@ SEQ_BUDGET = 512
 def global_prefix_sum(
     df: DataFrame, order_cols: list[str], value_col: str, out: str = "start"
 ) -> DataFrame:
-    """Exact EXCLUSIVE prefix sum of ``value_col`` over the total order
-    given by ``order_cols`` — without a single-partition window.
+    """Exact EXCLUSIVE prefix sum over a total order — thin wrapper over
+    the ONE shared two-pass range-partition harness
+    (`relational2.global_prefix_sum`, also the engine of the scale-safe
+    NTILE); this module only drops the total it doesn't need."""
+    from disco_spark.operators.relational2 import (
+        global_prefix_sum as _shared_prefix_sum,
+    )
 
-    Pass 1 range-partitions on the order columns and collects one
-    subtotal per partition (driver traffic = #partitions rows); pass 2
-    adds each partition's global offset to a partition-local running
-    sum. Exactness does not depend on where the sampled range boundaries
-    land, only on ``order_cols`` being a total order.
-    """
-    from pyspark.sql.window import Window
-
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(nparts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    part = lazy_persist(part)
-    subtotals = sorted(
-        part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect(),
-        key=lambda r: r["_pid"],
-    )
-    offsets, running = {}, 0
-    for r in subtotals:
-        offsets[r["_pid"]] = running
-        running += r["s"]
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return part.withColumn(
-        out,
-        (F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off[F.col("_pid")]).cast(
-            "long"
-        ),
-    ).drop("_pid")
+    summed, _total = _shared_prefix_sum(df, order_cols, value_col, out=out)
+    return summed
 
 
 def pack_manifest(docs: DataFrame, budget: int = SEQ_BUDGET) -> DataFrame:

@@ -167,3 +167,23 @@ def test_save_disable_compression(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS ddb_plain")
         spark.sql("DROP TABLE IF EXISTS ddb_snappy")
+
+
+def test_multimap_semantics_survive_save_load(spark, tmp_path):
+    """unique_items=False must survive a save/load round-trip — the
+    saved parquet keeps duplicate (key, value) entries, and load() must
+    restore the flag so get() does not re-apply distinct()."""
+    from disco_spark.index.discodb import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat")], "doc_id bigint, text string"
+    )
+    idx = InvertedIndex.from_tokens(docs, "text", "doc_id", unique_items=False)
+    before = sorted(r["value"] for r in idx.get("cat").collect())
+    assert before == [1, 1, 2]  # duplicates preserved in-memory
+    idx.save(spark, "t_multimap_roundtrip", buckets=2)
+    loaded = InvertedIndex.load(spark, "t_multimap_roundtrip")
+    assert loaded.unique_items is False
+    after = sorted(r["value"] for r in loaded.get("cat").collect())
+    assert after == [1, 1, 2]  # and across persistence
+    spark.sql("DROP TABLE IF EXISTS t_multimap_roundtrip")

@@ -116,3 +116,23 @@ def test_training_shards_balanced_and_stable(spark):
 
     sizes = Counter(s for _, s in a)
     assert max(sizes.values()) - min(sizes.values()) <= 1  # round-robin balance
+
+
+def test_mixture_no_overflow_on_large_source(spark):
+    """Regression: the all-bigint threshold product wrapped past 2^63
+    once a source held ~1.5M rows, yielding an empty/garbage sample."""
+    rows_big = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("src")
+    )
+    rows_small = spark.range(2_000_000, 2_000_500).select(
+        F.col("id").alias("doc_id"), F.lit("books").alias("src")
+    )
+    kept = mixture_temperature_sample(
+        rows_big.unionAll(rows_small), "src", "doc_id", 0.5
+    )
+    counts = {
+        r["src"]: r["n"]
+        for r in kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("web", 0) > 500_000  # majority source still sampled
+    assert counts.get("books", 0) > 0

@@ -32,6 +32,25 @@ def test_profile_nulls_and_approx(spark):
     assert prof["tag"].n_rows == aprof["tag"].n_rows == 5
 
 
+def test_profile_approx_handles_all_primitive_types(spark):
+    """hll_sketch_agg rejects doubles/dates/timestamps directly — the
+    approx path must sketch the string cast so ANY primitive column
+    profiles (regression: approx=True crashed on orders.o_totalprice)."""
+    from datetime import date, datetime
+
+    df = spark.createDataFrame(
+        [(1.5, date(2020, 1, 1), datetime(2020, 1, 1, 12), True),
+         (2.5, date(2020, 1, 2), datetime(2020, 1, 2, 12), False),
+         (1.5, date(2020, 1, 1), datetime(2020, 1, 1, 12), True)],
+        "d double, dt date, ts timestamp, b boolean",
+    )
+    prof = {r.column: r for r in profile_table(df, approx=True).collect()}
+    assert prof["d"].n_distinct == 2
+    assert prof["dt"].n_distinct == 2
+    assert prof["ts"].n_distinct == 2
+    assert prof["b"].n_distinct == 2
+
+
 def test_registered_query_releases_prior_persists(spark):
     """The registry wrapper must release the previous query's deferred
     persists on entry: after running a persist-heavy query and then any

@@ -240,6 +240,8 @@ def test_sink_roundtrip_oracle(spark):
 
 def test_chunked_ingest_oracle(spark):
     from disco_spark.testing import compare_query
-    from tests.conftest import SF_SMOKE
+    from tests.conftest import SF_CORRECT
 
-    compare_query(spark, "source_chunked_ingest", SF_SMOKE)
+    # sf0.01, not the smoke dir: the size bound needs enough rows
+    # (60k) to exceed rows-per-file and genuinely split the output
+    compare_query(spark, "source_chunked_ingest", SF_CORRECT)
