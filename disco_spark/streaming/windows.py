@@ -163,6 +163,7 @@ def run_stream_to_memory(
     watermark: tuple[str, str] | None = ("ts", "1 hour"),
     source_file: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a REAL Structured Streaming job over a testdata parquet:
     readStream -> transform -> memory sink, availableNow trigger (process
@@ -194,14 +195,28 @@ def run_stream_to_memory(
     if watermark is not None:
         stream = stream.withWatermark(*watermark)
     sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # state_partitions: a streaming query fixes its state-store partition
+    # count from shuffle.partitions AT START and pays one store commit
+    # per partition per side per batch — for joins whose per-key state is
+    # small, that fixed cost dominates locally (measured 3.8x on the
+    # stream-stream join at 32 vs 8). Opt-in knob; the conf is restored
+    # right after start so nothing else in the session sees it. On a
+    # cluster, size it to stream volume instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(sink)
 
@@ -496,5 +511,6 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_stream_to_memory(
-        spark, sf_dir, join_views_purchases, output_mode="append"
+        spark, sf_dir, join_views_purchases, output_mode="append",
+        state_partitions=8,
     )
