@@ -771,3 +771,51 @@ def window_price_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn") <= head, F.expr(f"(rn + {q}) DIV {q + 1}")
         ).otherwise(F.expr(f"{r} + ((rn - {head} + {q - 1}) DIV {q})"))
     return ranked.select("o_orderkey", decile.cast("int").alias("decile"))
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing as the co-location strategy (SURVEY §1.3/§2.6: the
+    DiscoDB sorted-layout analog): lineitem and orders are saved
+    bucketed+sorted on the join key, and the fact-fact join then plans
+    with NO Exchange on either side — asserted on the executed plan, not
+    just claimed. At 100 TB this removes the dominant shuffle of every
+    recurring fact-fact join; the one-time bucketed write is the
+    amortized cost. Broadcast is disabled around the probe so the
+    assertion exercises the sort-merge path the big-data case takes."""
+    import os as _os
+
+    t = load_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    names = {}
+    for name, df in (
+        ("lineitem", t["lineitem"].select("l_orderkey", "l_quantity")),
+        ("orders", t["orders"].select("o_orderkey", "o_orderpriority")),
+    ):
+        tbl = f"bkt_{name}_{tag}"
+        names[name] = tbl
+        if not spark.catalog.tableExists(tbl):
+            key = "l_orderkey" if name == "lineitem" else "o_orderkey"
+            df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(tbl)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, od = spark.table(names["lineitem"]), spark.table(names["orders"])
+        joined = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

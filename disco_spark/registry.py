@@ -82,6 +82,7 @@ PRIORITY: list[str] = [
     "rollup_hll_daily_users", "catalog_tag_walk",
     "sink_partitioned_roundtrip", "tsp_nations_bruteforce",
     "profile_orders_columns", "source_chunked_ingest",
+    "bucketed_colocated_join",
     # --- the 22 stale rows: latest green is round 1; code unchanged
     #     or additive since, but a fresh row retires the debt
     "topk_orders", "global_sort_orders", "union_all_keys",

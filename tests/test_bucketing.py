@@ -50,3 +50,15 @@ def test_unbucketed_join_needs_exchange(spark):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_colocated_join_oracle(spark):
+    from disco_spark import registry
+    from disco_spark.testing import compare_query
+    from tests.conftest import SF_SMOKE
+
+    registry.load_all()
+
+    compare_query(spark, "bucketed_colocated_join", SF_SMOKE)
+    # idempotent across calls (tables cached): second run also matches
+    compare_query(spark, "bucketed_colocated_join", SF_SMOKE)
