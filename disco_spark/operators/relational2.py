@@ -793,9 +793,13 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortized cost. Broadcast is disabled around the probe so the
     assertion exercises the sort-merge path the big-data case takes."""
     import os as _os
+    import shutil as _shutil
 
     t = load_tables(spark, sf_dir)
     tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
     names = {}
     for name, df in (
         ("lineitem", t["lineitem"].select("l_orderkey", "l_quantity")),
@@ -804,6 +808,11 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = f"bkt_{name}_{tag}"
         names[name] = tbl
         if not spark.catalog.tableExists(tbl):
+            # a previous SESSION's managed-table location may survive on
+            # disk without a catalog entry (the in-memory catalog dies
+            # with the session) — saveAsTable then refuses even in
+            # overwrite mode; drop the stale directory first
+            _shutil.rmtree(_os.path.join(warehouse, tbl), ignore_errors=True)
             key = "l_orderkey" if name == "lineitem" else "o_orderkey"
             df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(tbl)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
