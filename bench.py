@@ -84,6 +84,8 @@ HEADLINE = [
     "streaming_stream_stream_join",
     "rollup_hll_daily_users",
     "ann_knn_graph_adaptive",
+    "profile_orders_columns",
+    "bucketed_colocated_join",
 ]
 
 

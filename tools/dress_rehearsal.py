@@ -1,4 +1,6 @@
-import sys, time, traceback
+import os, sys, time, traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from disco_spark import registry
 from disco_spark.session import get_spark
 from disco_spark.testing import compare_query
