@@ -120,3 +120,36 @@ def test_kvify_pads_bare_values(v):
         assert (k, val) == v
     else:
         assert (k, val) == (v, None)
+
+
+# ---------------------------------------------------------------------------
+# sequence-packing closed-form arithmetic (textops/packing.py): the same
+# integer formulas run in Spark and DuckDB; this model-checks them.
+# ---------------------------------------------------------------------------
+@settings(max_examples=200)
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=200),
+    st.integers(16, 512),
+)
+def test_packing_interval_invariants(n_toks, budget):
+    """For any corpus of doc token counts and any budget: windows tile
+    the stream exactly — every window except the last holds exactly
+    `budget` tokens, per-doc contributions are in [1, budget], window
+    ids are contiguous from 0, and totals conserve."""
+    starts, total = [], 0
+    for n in n_toks:
+        starts.append(total)
+        total += n
+    per_seq: dict[int, int] = {}
+    for s, n in zip(starts, n_toks):
+        first, last = s // budget, (s + n - 1) // budget
+        assert first <= last
+        for q in range(first, last + 1):
+            t = min(s + n, (q + 1) * budget) - max(s, q * budget)
+            assert 1 <= t <= budget
+            per_seq[q] = per_seq.get(q, 0) + t
+    n_seqs = (total + budget - 1) // budget
+    assert set(per_seq) == set(range(n_seqs))
+    assert sum(per_seq.values()) == total
+    for q in range(total // budget):  # all FULL windows
+        assert per_seq[q] == budget
