@@ -175,16 +175,24 @@ def run_stream_to_memory(
     # read it without this runtime conf (session.py invariant) — don't rely
     # on an earlier query having called load_tables in the same session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, source_file)).schema
-    # file stream sources need a directory: stream the sf dir, glob-filtered
-    # to the source file (on a cluster this is the landing directory new
-    # files drop into).
-    reader = spark.readStream.schema(batch_schema).option(
-        "pathGlobFilter", source_file
-    )
+    source_path = os.path.join(sf_dir, source_file)
+    batch_schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isdir(source_path):
+        # directory-shaped table (part-files inside <name>.parquet/):
+        # stream the directory itself. A pathGlobFilter of the table
+        # NAME would match no leaf file and SILENTLY stream zero rows —
+        # exactly what happened on the 10x replicated dataset.
+        stream_path = source_path
+    else:
+        # single-file table: file stream sources need a directory, so
+        # stream the sf dir glob-filtered to the one file (on a cluster
+        # this is the landing directory new files drop into)
+        reader = reader.option("pathGlobFilter", source_file)
+        stream_path = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(sf_dir)
+    stream = reader.parquet(stream_path)
     # ns-precision or NTZ parquet (see session._normalize_event_ts): both
     # must become plain TIMESTAMP before withWatermark accepts the column.
     ts_dtype = dict(stream.dtypes).get("ts")
