@@ -12,16 +12,28 @@ Scale notes (100 TB):
   top-k never materializes the full vocabulary on the driver.
 - `contamination_test_vs_train` joins on the shingle string. At real
   scale you would (a) use longer shingles (k=13 is the usual published
-  choice) so the match set is sparse, and (b) semi-join the test side
-  against a bloom filter of train shingles before the exact join. The
-  k=3 setting here keeps the DuckDB oracle tractable; the plan shape
-  (shuffle-on-shingle, distinct-before-join on the train side) is the
-  one that scales.
+  choice) so the match set is sparse, and (b) prefilter the huge train
+  side against a bloom filter of the SMALL (benchmark) side's shingles
+  before the exact join. The k=3 setting here keeps the DuckDB oracle
+  tractable; the plan shape (shuffle-on-shingle, distinct-before-join
+  on the train side) is the one that scales.
+- `contamination_train_bloom` IS that scale path, implemented: the
+  benchmark split's shingle vocabulary folds into an m-bit bloom bitset
+  (one bounded aggregation; m sized from the observed vocabulary so the
+  false-positive rate stays put as the benchmark grows), the bitset
+  rides to every executor as a broadcast 1-row array<long> (a real
+  100 TB bloom is hundreds of MB — a broadcast, never a plan literal),
+  and train shingles are tested with pure JVM bit arithmetic
+  (xxhash64 / shiftright / bitwiseAND — zero Python in the hot path).
+  Only surviving shingles reach the exact join, so the shuffle carries
+  ~fpr of the corpus instead of all of it. Blooms have no false
+  negatives, so the result — and therefore the oracle — is identical
+  to the exact join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.dedup.dedup import _SHINGLES_SQL, shingle_df
@@ -102,4 +114,120 @@ def contamination_test_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         test_sh.join(train_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered contamination: the 100 TB plan shape
+# --------------------------------------------------------------------------
+_BLOOM_K = 5           # hash functions
+_BLOOM_BITS_PER_KEY = 16  # m = next_pow2(16n): fpr ~ (1 - e^(-5/16))^5 ≈ 0.2%
+_BLOOM_MIN_BITS = 1 << 13
+
+
+def bloom_build(
+    spark: SparkSession, keys: DataFrame, col: str,
+    k: int = _BLOOM_K, bits_per_key: int = _BLOOM_BITS_PER_KEY,
+) -> tuple[DataFrame, int]:
+    """Fold a (small) key column into an m-bit bloom bitset.
+
+    Returns a ONE-ROW DataFrame carrying the bitset as array<long>
+    (packed 64 bits/word, word w covers bits [64w, 64w+64)) plus the
+    chosen m. m is the next power of two ≥ bits_per_key * n(keys), so
+    the false-positive rate is stable as the key set grows — the same
+    "capacity must grow with the data" lesson as adaptive IVF cells.
+
+    Two bounded driver actions: count(n) and the ≤ m/64-row word
+    collect — the bitset itself is the point (it must fit on every
+    executor). Ship it with F.broadcast(...).crossJoin, never as a plan
+    literal: a production bloom is 100s of MB.
+
+    Bit positions are pmod(xxhash64(i, key), m) for seed i in 0..k-1 —
+    the same JVM expression the membership test replays, so build and
+    probe can never disagree.
+    """
+    n = keys.count()
+    m = _BLOOM_MIN_BITS
+    while m < bits_per_key * n:
+        m *= 2
+    # seeds must be BIGINT on both sides: xxhash64 hashes by input type,
+    # so lit(i) (int) and `iL` (bigint) would disagree silently.
+    pos = F.explode(
+        F.array(*[
+            F.pmod(F.xxhash64(F.lit(i).cast("bigint"), F.col(col)), F.lit(m))
+            for i in range(k)
+        ])
+    ).alias("pos")
+    words = (
+        keys.select(pos)
+        .groupBy(F.shiftright("pos", 6).alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("bits"))
+        .collect()
+    )
+    bitset = [0] * (m // 64)
+    for r in words:
+        bitset[r.w] = r.bits
+    return spark.createDataFrame([(bitset,)], "bloom: array<bigint>"), m
+
+
+def bloom_might_contain(
+    bloom_col: str, key_col: str, m_bits: int, k: int = _BLOOM_K
+) -> Column:
+    """JVM-only membership test against a packed array<long> bitset
+    column: k xxhash64 probes, each a word lookup + bit AND. No false
+    negatives; false positives at the designed fpr. Pure Catalyst
+    expressions (codegen'd; repeated hashes collapse via CSE) — the
+    100 TB scan side never touches Python."""
+    tests = []
+    for i in range(k):
+        p = f"pmod(xxhash64({i}L, {key_col}), {m_bits}L)"
+        tests.append(
+            f"(element_at({bloom_col}, cast(shiftright({p}, 6) as int) + 1)"
+            f" & shiftleft(1L, cast({p} % 64 as int))) != 0"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+@query(
+    "contamination_train_bloom",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    labeled AS (
+      SELECT doc_id, shingle, {_bucket_sql("doc_id")} AS b FROM shingles
+    ),
+    test_sh AS (SELECT DISTINCT shingle FROM labeled WHERE b < {_TEST_HI}),
+    train_sh AS (SELECT doc_id, shingle FROM labeled WHERE b >= {_TRAIN_LO})
+    SELECT t.doc_id, COUNT(*) AS n_test_shingles
+    FROM train_sh t JOIN test_sh USING (shingle)
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find TRAIN documents contaminated by the benchmark ('test')
+    split — the direction a real curation pipeline runs (drop the train
+    docs, keep the benchmark) — with the bloom prefilter that makes it
+    viable at 100 TB: the benchmark shingle vocabulary (small side)
+    folds into a broadcast bloom bitset, and the train-side scan tests
+    every shingle against it in JVM bit arithmetic BEFORE any shuffle.
+    Only the ~0.2% surviving shingles reach the exact join, so the
+    shuffle carries the match set, not the corpus. Blooms admit no
+    false negatives and the exact join removes the false positives, so
+    the result is bit-identical to the unfiltered join — which is
+    exactly what the oracle runs."""
+    t = load_tables(spark, sf_dir)
+    sh = shingle_df(with_toks(t["documents"])).withColumn(
+        "b", hash_bucket(F.col("doc_id"))
+    )
+    test_sh = sh.filter(F.col("b") < _TEST_HI).select("shingle").distinct()
+    train_sh = sh.filter(F.col("b") >= _TRAIN_LO).select("doc_id", "shingle")
+    bloom, m = bloom_build(spark, test_sh, "shingle")
+    survivors = (
+        train_sh.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("bloom", "shingle", m))
+        .drop("bloom")
+    )
+    return (
+        survivors.join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_test_shingles"))
     )

@@ -30,6 +30,7 @@ TEXT = [
     "corpus_source_stats",
     "vocab_top_bigrams",
     "contamination_test_vs_train",
+    "contamination_train_bloom",
 ]
 DEDUP = [
     "dedup_exact",
@@ -242,3 +243,45 @@ def test_pii_scrub_and_url_stats_on_synthetic(spark):
     }
     assert stats[2] == (3, 2)  # 3 urls over domains {a.io, b.net}
     assert stats[3] == (0, 0)
+
+
+def test_bloom_prefilter_exact_and_jvm_only(spark):
+    """The bloom prefilter must (a) equal the unfiltered exact join
+    bit-for-bit (no false negatives; exact join kills false positives),
+    (b) actually prune the scan side, and (c) keep the scan-side
+    membership test free of Python nodes."""
+    from disco_spark.textops.vocab import (
+        _BLOOM_K,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta w{i+1} epsilon zeta") for i in range(60)]
+        + [(100, "alpha beta w7 gamma"), (101, "unrelated words only here")],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_df(docs)
+    small = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    big = sh.filter(F.col("doc_id") >= 10).select("doc_id", "shingle")
+
+    bloom, m = bloom_build(spark, small, "shingle")
+    survivors = (
+        big.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("bloom", "shingle", m, _BLOOM_K))
+        .drop("bloom")
+    )
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # membership is pure JVM
+
+    exact = set(map(tuple, big.join(small, "shingle").collect()))
+    filtered = set(map(tuple, survivors.join(small, "shingle").collect()))
+    assert filtered == exact and exact  # identical result, non-trivial
+
+    n_big, n_surv = big.count(), survivors.count()
+    assert n_surv < n_big  # the prefilter actually prunes
+    # every true member survives (no false negatives), independent of join
+    truth = {r.shingle for r in small.collect()}
+    assert {r.shingle for r in survivors.collect() if r.shingle in truth} == {
+        r.shingle for r in big.collect() if r.shingle in truth
+    }
