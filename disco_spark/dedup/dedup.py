@@ -73,8 +73,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # shingles (shared by minhash + jaccard)
 # --------------------------------------------------------------------------
-def shingle_df(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per doc: (doc_id, shingle).
+def shingle_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """k-token shingles per doc: (doc_id, shingle), deduped per doc by
+    default. ``distinct=False`` keeps every occurrence AND keeps the
+    plan stateless — streaming callers need that (distinct is a
+    stateful operator, and a streaming plan gets at most one; the
+    downstream aggregation is it).
 
     `toks` is projected ONCE before the transform lambda — inlining the
     split+filter expression into the lambda body re-tokenizes the text
@@ -89,11 +93,10 @@ def shingle_df(docs: DataFrame, k: int = 3) -> DataFrame:
         ),
     )
     base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
-    return (
-        base.filter(F.size(toks) >= k)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
+    out = base.filter(F.size(toks) >= k).select(
+        "doc_id", F.explode(shingles).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = """

@@ -107,6 +107,7 @@ PRIORITY: list[str] = [
     #      letter_freq, classic_grep) this round's local verification;
     #      ann_knn_graph's round-4 change is asserted bit-identical.
     "contamination_train_bloom",  # new post-window; rotate in round 5
+    "streaming_contamination_screen",  # new post-window; rotate in round 5
     "ann_knn_graph", "montecarlo_pi", "letter_freq", "classic_grep",
     "ann_pq_topk", "ann_ivfpq_topk",
     "corpus_curation_pipeline", "q1_pricing_summary",

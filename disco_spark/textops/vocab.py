@@ -231,3 +231,67 @@ def contamination_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_test_shingles"))
     )
+
+
+@query(
+    "streaming_contamination_screen",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM toks WHERE len(toks) >= 3)
+    ),
+    labeled AS (
+      SELECT doc_id, shingle, {_bucket_sql("doc_id")} AS b FROM occ
+    ),
+    test_sh AS (SELECT DISTINCT shingle FROM labeled WHERE b < {_TEST_HI}),
+    train_occ AS (SELECT doc_id, shingle FROM labeled WHERE b >= {_TRAIN_LO})
+    SELECT t.doc_id, COUNT(*) AS n_test_hits
+    FROM train_occ t JOIN test_sh USING (shingle)
+    GROUP BY t.doc_id
+    """.format(toks=_TOKS_SQL),
+)
+def streaming_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen each INCOMING document drop for benchmark contamination as
+    it lands — the streaming face of `contamination_train_bloom`: the
+    benchmark bloom bitset is built once on the static side, rides into
+    every micro-batch as a broadcast stream-static join (1-row bitset +
+    the small exact-verify vocabulary), and the stream stays stateless
+    through shingle/bloom/verify so the per-doc hit count is the plan's
+    ONE stateful operator (a streaming plan gets exactly one without
+    watermark gymnastics — which is also why the shingles here are
+    occurrences, not per-doc distinct: distinct would be a second).
+    Counts are hit OCCURRENCES (each repeated contaminated shingle
+    counts), which is what the oracle replays. availableNow processing
+    makes the result equal to the batch join."""
+    from disco_spark.streaming.windows import run_stream_to_memory
+
+    t = load_tables(spark, sf_dir)
+    static_sh = shingle_df(with_toks(t["documents"])).withColumn(
+        "b", hash_bucket(F.col("doc_id"))
+    )
+    test_sh = static_sh.filter(F.col("b") < _TEST_HI).select("shingle").distinct()
+    bloom, m = bloom_build(spark, test_sh, "shingle")
+    bloom_keyed = bloom.withColumn("__k", F.lit(1))
+
+    def screen(stream: DataFrame) -> DataFrame:
+        train = stream.filter(hash_bucket(F.col("doc_id")) >= _TRAIN_LO)
+        occ = shingle_df(with_toks(train), distinct=False)
+        survivors = (
+            occ.withColumn("__k", F.lit(1))
+            .join(F.broadcast(bloom_keyed), "__k")
+            .filter(bloom_might_contain("bloom", "shingle", m))
+            .select("doc_id", "shingle")
+        )
+        return (
+            survivors.join(F.broadcast(test_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_test_hits"))
+        )
+
+    return run_stream_to_memory(
+        spark, sf_dir, screen,
+        output_mode="complete", watermark=None,
+        source_file="documents.parquet",
+    )

@@ -24,6 +24,7 @@ WINDOWED = [
     "streaming_static_join_value_by_segment",  # real stream-static join run
     "events_daily_retention",
     "events_last_action_per_user",
+    "streaming_contamination_screen",  # bloom prefilter inside a stream
 ]
 
 
