@@ -1,0 +1,150 @@
+"""Z-order (Morton-curve) clustered writes: multi-dimensional data
+layout for min-max scan pruning (beyond-reference surface; the
+reference has no layout control at all — DDFS placement is
+replication-driven, config.erl/ddfs_tag paths).
+
+Why this matters at 100 TB: a parquet scan prunes files and row groups
+whose column min/max stats exclude the predicate. Sorting by ONE column
+gives perfect pruning on that column and none on any other; writing in
+arrival order gives none on either. Interleaving the bits of two
+bounded column ranks (the Morton / Z curve) makes every contiguous key
+range — and therefore every written file — cover a small RECTANGLE of
+the 2-d value space, so a conjunctive box predicate (customer range AND
+date range) skips all files whose rectangle misses the box. The layout
+pass is one extra range-shuffle at write time; every subsequent scan
+pays less.
+
+Plan shape:
+- one bounded agg action collects the 4 scale anchors (min/max per dim);
+- rank scaling and bit interleaving are pure integer JVM expressions
+  (exact, engine-independent — the DuckDB oracle replays them);
+- `repartitionByRange(zkey)` + `sortWithinPartitions(zkey)` produce
+  files that tile the curve; Spark samples range boundaries, so files
+  are balanced even when the curve's population is skewed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+Z_BITS = 16  # per-dimension rank resolution; zkey fits in 32 bits
+
+
+def rank_expr(col_name: str, mn: int, mx: int, bits: int = Z_BITS) -> Column:
+    """Scale an integer column with observed range [mn, mx] to an
+    integer rank in [0, 2^bits): ((v - mn) * 2^bits) div span. The
+    `div` keeps it exact bigint end-to-end; the max value maps to
+    ((span-1) * 2^bits) div span < 2^bits, so no clamp is needed and
+    both engines agree bit-for-bit."""
+    span = int(mx) - int(mn) + 1
+    return F.expr(
+        f"((cast(`{col_name}` as bigint) - {int(mn)}L)"
+        f" * {1 << bits}L) div {span}L"
+    )
+
+
+def zorder_key(a_rank: Column, b_rank: Column, bits: int = Z_BITS) -> Column:
+    """Interleave the bits of two ranks (a gets even positions, b odd).
+    2*bits constant shift/mask terms OR-folded — all JVM integer ops
+    inside whole-stage codegen; no UDF, no shuffle."""
+    z: Column | None = None
+    for i in range(bits):
+        ta = F.shiftleft(F.shiftright(a_rank, i).bitwiseAND(F.lit(1)), 2 * i)
+        tb = F.shiftleft(F.shiftright(b_rank, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = ta.bitwiseOR(tb) if z is None else z.bitwiseOR(ta).bitwiseOR(tb)
+    assert z is not None
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    dims: tuple[str, str],
+    path: str,
+    n_files: int,
+    bits: int = Z_BITS,
+) -> None:
+    """Write `df` as parquet clustered on the Z curve of two integer
+    dimension columns. One bounded action (4 scalars) anchors the rank
+    scaling; the data itself moves once through a range shuffle."""
+    a, b = dims
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    zkey = zorder_key(
+        rank_expr(a, lo_a, hi_a, bits),
+        rank_expr(b, lo_b, hi_b, bits),
+        bits,
+    )
+    (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _zkey_sql(a_rank: str, b_rank: str, bits: int = Z_BITS) -> str:
+    """The same interleave as zorder_key, rendered for DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a_rank}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({b_rank}) >> {i}) & 1) << {2 * i + 1}")
+    return " | ".join(f"({t})" for t in terms)
+
+
+_EPOCH = "1992-01-01"  # TPC-H date floor; testdata dates are 1992-1998
+
+
+@query(
+    "zorder_orders_key",
+    oracle=f"""
+    WITH days AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '{_EPOCH}', o_orderdate) AS d
+      FROM orders
+    ),
+    anchors AS (
+      SELECT MIN(o_custkey) AS lo_a, MAX(o_custkey) AS hi_a,
+             MIN(d) AS lo_b, MAX(d) AS hi_b
+      FROM days
+    ),
+    ranked AS (
+      SELECT o_orderkey,
+             ((CAST(o_custkey AS BIGINT) - lo_a) * {1 << Z_BITS})
+               // (hi_a - lo_a + 1) AS ra,
+             ((CAST(d AS BIGINT) - lo_b) * {1 << Z_BITS})
+               // (hi_b - lo_b + 1) AS rb
+      FROM days, anchors
+    )
+    SELECT o_orderkey, CAST({_zkey_sql("ra", "rb")} AS BIGINT) AS zkey
+    FROM ranked
+    """,
+)
+def zorder_orders_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z key the clustered write sorts by, materialized per order so
+    the oracle can pin the integer arithmetic bit-for-bit: rank
+    (o_custkey, days-since-epoch(o_orderdate)) into 2^{Z_BITS} buckets
+    from the table's observed min/max, then interleave. The layout
+    effect itself (files tile the 2-d space; box predicates prune) is
+    asserted on real written files in tests/test_zorder.py — file
+    layout is not SQL-observable, the key arithmetic is."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].withColumn(
+        "__days", F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("date"))
+    )
+    lo_a, hi_a, lo_b, hi_b = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("__days"), F.max("__days")
+    ).first()
+    return o.select(
+        "o_orderkey",
+        zorder_key(
+            rank_expr("o_custkey", lo_a, hi_a),
+            rank_expr("__days", lo_b, hi_b),
+        ).cast("bigint").alias("zkey"),
+    )

@@ -108,6 +108,7 @@ PRIORITY: list[str] = [
     #      ann_knn_graph's round-4 change is asserted bit-identical.
     "contamination_train_bloom",  # new post-window; rotate in round 5
     "streaming_contamination_screen",  # new post-window; rotate in round 5
+    "zorder_orders_key",  # new post-window; rotate in round 5
     "ann_knn_graph", "montecarlo_pi", "letter_freq", "classic_grep",
     "ann_pq_topk", "ann_ivfpq_topk",
     "corpus_curation_pipeline", "q1_pricing_summary",
@@ -160,6 +161,7 @@ def load_all() -> None:
     from disco_spark.similarity import naive_bayes  # noqa: F401
     from disco_spark.operators import tsp  # noqa: F401
     from disco_spark.operators import profile  # noqa: F401
+    from disco_spark.operators import zorder  # noqa: F401
     from disco_spark.plans import curation  # noqa: F401  (last: composes other oracles)
 
     finalize_order()
