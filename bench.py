@@ -86,6 +86,12 @@ HEADLINE = [
     "ann_knn_graph_adaptive",
     "profile_orders_columns",
     "bucketed_colocated_join",
+    # round 4 late: bloom-prefiltered contamination (batch + streaming),
+    # z-order clustered-write key
+    "contamination_train_bloom",
+    "streaming_contamination_screen",
+    "zorder_orders_key",
+    "text_quality_gopher",
 ]
 
 

@@ -31,6 +31,7 @@ TEXT = [
     "vocab_top_bigrams",
     "contamination_test_vs_train",
     "contamination_train_bloom",
+    "text_quality_gopher",
 ]
 DEDUP = [
     "dedup_exact",
@@ -285,3 +286,29 @@ def test_bloom_prefilter_exact_and_jvm_only(spark):
     assert {r.shingle for r in survivors.collect() if r.shingle in truth} == {
         r.shingle for r in big.collect() if r.shingle in truth
     }
+
+
+def test_gopher_rules_each_trigger(spark):
+    """Each Gopher rule individually rejects a crafted violator while
+    honest prose passes — the keep column is a real conjunction, not a
+    constant."""
+    from disco_spark.textops.analysis import text_quality_gopher
+
+    good = "the quick brown fox likes to jump over lazy dogs and " * 6  # 60 words, stopwords present
+    rows = [
+        (1, good),
+        (2, "too short to pass the word count gate"),          # n_words < 50
+        (3, ("#### " * 60).strip()),                           # symbol ratio + alpha
+        (4, " ".join(str(i) for i in range(60))),              # no alphabetic words
+        (5, "a b c d e " * 12),                                # mean word len < 3
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").createOrReplaceTempView("x")
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="gopher_")
+    spark.table("x").write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in text_quality_gopher(spark, tmp).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_words < 50
+    assert not out[3].keep and out[3].alpha_word_ratio < 0.8
+    assert not out[4].keep and out[4].n_stop_hits == 0
+    assert not out[5].keep and out[5].mean_word_len < 3.0
