@@ -126,3 +126,93 @@ def rollup_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_users")
     ).select(F.lit(None).cast("date").alias("day"), "est_users")
     return per_day.unionAll(total)
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantiles: the continuous-aggregate answer for
+# percentiles. Exact percentiles (like exact distinct) are not algebraic —
+# you cannot merge two hourly p95s into a 6h p95. A FIXED-BIN histogram is
+# mergeable by construction (bin counts add), so one raw scan materializes
+# hourly histogram grains and every coarser window's quantiles come from
+# summed bins. Resolution is the bin width (here 8 value-units over the
+# [0, 512) domain); the estimate is the lower edge of the first bin whose
+# cumulative count crosses the rank — all integer arithmetic, so the
+# DuckDB oracle (which bins raw events straight into 6h buckets) matching
+# PROVES the hourly->6h merge is exact.
+# --------------------------------------------------------------------------
+_H_BINS = 64
+_H_WIDTH = 8  # value domain [0, 512): 64 bins x 8
+
+
+def histogram_grains(events: DataFrame) -> DataFrame:
+    """Hourly histogram grain rows: (bucket, bin, n)."""
+    binexp = F.least(
+        F.lit(_H_BINS - 1), F.floor(F.col("value") / _H_WIDTH).cast("int")
+    )
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), binexp.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "rollup_histogram_quantiles_6h",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(to_timestamp(epoch(ts)::BIGINT - epoch(ts)::BIGINT % 21600)
+                  AS TIMESTAMP) AS bucket,
+             LEAST({_H_BINS - 1}, CAST(FLOOR(value / {_H_WIDTH}) AS INT)) AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT bucket, bin, n,
+             SUM(n) OVER (PARTITION BY bucket ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY bucket) AS total
+      FROM b
+    )
+    SELECT bucket,
+           CAST(MAX(total) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN bin END) * {_H_WIDTH}
+                AS BIGINT) AS p50_lo,
+           CAST(MIN(CASE WHEN 20 * cum >= 19 * total THEN bin END) * {_H_WIDTH}
+                AS BIGINT) AS p95_lo
+    FROM c GROUP BY bucket
+    """,
+)
+def rollup_histogram_quantiles_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of event value per 6-hour window, computed from HOURLY
+    histogram grains merged by bin addition — raw events scanned once.
+    The quantile is the lower edge of the first bin whose cumulative
+    count reaches the rank (2*cum >= total for p50; 20*cum >= 19*total
+    for p95 — integer inequalities, no float ranks). The window runs
+    over at most `_H_BINS` rows per bucket; at 100 TB the grain table is
+    buckets x 64 rows regardless of event volume."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = histogram_grains(t["events"])
+    width = 6 * 3600
+    b6 = F.timestamp_seconds(
+        F.unix_timestamp("bucket") - F.pmod(F.unix_timestamp("bucket"), F.lit(width))
+    )
+    merged = hourly.groupBy(b6.alias("bucket"), "bin").agg(F.sum("n").alias("n"))
+    w_cum = (
+        Window.partitionBy("bucket").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("bucket")
+    c = merged.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_all)
+    )
+    return c.groupBy("bucket").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        (F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("bin"))) * _H_WIDTH)
+        .cast("bigint")
+        .alias("p50_lo"),
+        (
+            F.min(F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("bin")))
+            * _H_WIDTH
+        )
+        .cast("bigint")
+        .alias("p95_lo"),
+    )

@@ -17,6 +17,7 @@ registry.load_all()
     [
         "rollup_events_hourly",
         "rollup_events_6h_from_hourly",
+        "rollup_histogram_quantiles_6h",
         "embedding_l2_stats",
         "embedding_quantize_int8",
     ],
