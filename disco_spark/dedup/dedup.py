@@ -480,6 +480,83 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_paragraph_clean",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id, i AS pos,
+             trim(regexp_replace(lower(arr[i]), '\\s+', ' ', 'g')) AS span
+      FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+            FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS arr
+                  FROM documents))
+    ),
+    nonempty AS (SELECT * FROM spans WHERE span <> ''),
+    hot AS (
+      SELECT md5(span) AS h FROM nonempty
+      WHERE len(span) >= {SPAN_MIN_CHARS}
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+      SELECT doc_id, pos, span FROM nonempty
+      WHERE len(span) < {SPAN_MIN_CHARS} OR md5(span) NOT IN (SELECT h FROM hot)
+    )
+    SELECT a.doc_id,
+           CAST(a.n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.cleaned_text, '') AS cleaned_text
+    FROM (SELECT doc_id, COUNT(CASE WHEN span <> '' THEN 1 END) AS n_spans
+          FROM spans GROUP BY 1) a
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
+                      string_agg(span, '. ' ORDER BY pos) AS cleaned_text
+               FROM kept GROUP BY 1) k USING (doc_id)
+    """,
+)
+def dedup_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACT on the dedup_paragraph map: re-emit every document with its
+    cross-document boilerplate spans removed (spans >= {SPAN_MIN_CHARS}
+    chars normalized-identical in more than one distinct doc), keeping
+    in-document repeats and short spans. The boilerplate set is computed
+    shuffling only 16-byte hashes and doc counters, then rides to the
+    executors as ONE broadcast array so the rewrite is a map-side array
+    filter — document text never shuffles, and span order (hence the
+    cleaned text) is the original document order by construction.
+
+    Scale note: the broadcast set holds only spans repeated across
+    docs; if a corpus's boilerplate vocabulary outgrew the broadcast
+    budget the fallback is explode -> left-anti join on span hash ->
+    regroup by (doc_id, pos) — one corpus shuffle, same output. A bloom
+    over the hot set cannot replace exact membership here: a false
+    positive would DELETE a good span (contrast the contamination
+    screen, where the exact join removes bloom false positives)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    norm = F.transform(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda s: F.trim(F.regexp_replace(F.lower(s), r"\s+", " ")),
+    )
+    base = lazy_persist(docs.select("doc_id", norm.alias("spans")))
+    hot = (
+        base.select("doc_id", F.explode("spans").alias("span"))
+        .filter((F.col("span") != "") & (F.length("span") >= SPAN_MIN_CHARS))
+        .groupBy(F.md5("span").alias("h"))
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .filter(F.col("d") > 1)
+        .agg(F.sort_array(F.collect_list("h")).alias("hot"))
+    )
+    nonempty = F.filter(F.col("spans"), lambda s: s != "")
+    kept = F.filter(
+        nonempty,
+        lambda s: (F.length(s) < SPAN_MIN_CHARS)
+        | ~F.array_contains(F.col("hot"), F.md5(s)),
+    )
+    return base.crossJoin(F.broadcast(hot)).select(
+        "doc_id",
+        F.size(nonempty).cast("bigint").alias("n_spans"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.concat_ws(". ", kept).alias("cleaned_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash (60-bit, md5-derived) — Arrow-batched pandas UDF fast path
 # --------------------------------------------------------------------------

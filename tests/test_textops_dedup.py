@@ -40,6 +40,7 @@ DEDUP = [
     "dedup_ngram_jaccard_df_pruned",
     "dedup_lsh_jaccard",
     "dedup_paragraph",
+    "dedup_paragraph_clean",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_canonical",
@@ -312,3 +313,35 @@ def test_gopher_rules_each_trigger(spark):
     assert not out[3].keep and out[3].alpha_word_ratio < 0.8
     assert not out[4].keep and out[4].n_stop_hits == 0
     assert not out[5].keep and out[5].mean_word_len < 3.0
+
+
+def test_paragraph_clean_strips_cross_doc_boilerplate(spark):
+    """The testdata corpus has no sentence punctuation (1 span/doc, no
+    cross-doc span dups — the oracle run is vacuous there), so the
+    rewrite behavior is proven on synthetic docs: a shared boilerplate
+    sentence is stripped from every doc, unique sentences and
+    IN-document repeats survive, and short spans are never candidates."""
+    import os
+    import tempfile
+
+    from disco_spark.dedup.dedup import dedup_paragraph_clean
+
+    boiler = "accept our cookies to continue reading this site"
+    uniq = "the quick brown fox jumped over the extremely lazy dog number {}"
+    rows = [
+        (1, f"{boiler}. {uniq.format(1)}."),
+        (2, f"{uniq.format(2)}! {boiler}? also short."),
+        # in-doc repeat of a long sentence, unique to this doc: kept twice
+        (3, f"{uniq.format(3)}. {uniq.format(3)}."),
+    ]
+    tmp = tempfile.mkdtemp(prefix="paraclean_")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in dedup_paragraph_clean(spark, tmp).collect()}
+    assert out[1].cleaned_text == uniq.format(1)
+    assert out[2].cleaned_text == f"{uniq.format(2)}. also short"
+    assert (out[1].n_spans, out[1].n_kept) == (2, 1)
+    assert (out[2].n_spans, out[2].n_kept) == (3, 2)  # short span kept
+    assert out[3].cleaned_text == f"{uniq.format(3)}. {uniq.format(3)}"
+    assert (out[3].n_spans, out[3].n_kept) == (2, 2)  # in-doc repeat kept
