@@ -215,16 +215,28 @@ def contamination_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is bit-identical to the unfiltered join — which is
     exactly what the oracle runs."""
     t = load_tables(spark, sf_dir)
-    sh = shingle_df(with_toks(t["documents"])).withColumn(
-        "b", hash_bucket(F.col("doc_id"))
+    docs = with_toks(t["documents"]).withColumn("b", hash_bucket(F.col("doc_id")))
+    test_sh = (
+        shingle_df(docs.filter(F.col("b") < _TEST_HI))
+        .select("shingle")
+        .distinct()
     )
-    test_sh = sh.filter(F.col("b") < _TEST_HI).select("shingle").distinct()
-    train_sh = sh.filter(F.col("b") >= _TRAIN_LO).select("doc_id", "shingle")
+    # train side stays OCCURRENCES (distinct=False) through the bloom
+    # probe: shingle_df's per-doc distinct is itself a full-corpus
+    # shuffle, and running it before the filter re-creates exactly the
+    # exchange the prefilter exists to avoid (caught in the plan audit —
+    # the Exchange sat UNDER the bloom Filter). Dedupe only the
+    # survivors: distinct(filter(x)) == filter(distinct(x)) for a
+    # per-row predicate, so the result is unchanged.
+    train_occ = shingle_df(
+        docs.filter(F.col("b") >= _TRAIN_LO), distinct=False
+    ).select("doc_id", "shingle")
     bloom, m = bloom_build(spark, test_sh, "shingle")
     survivors = (
-        train_sh.crossJoin(F.broadcast(bloom))
+        train_occ.crossJoin(F.broadcast(bloom))
         .filter(bloom_might_contain("bloom", "shingle", m))
         .drop("bloom")
+        .distinct()
     )
     return (
         survivors.join(test_sh, "shingle")
