@@ -534,7 +534,11 @@ def dedup_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), r"[.!?]+"),
         lambda s: F.trim(F.regexp_replace(F.lower(s), r"\s+", " ")),
     )
-    base = lazy_persist(docs.select("doc_id", norm.alias("spans")))
+    # null text: the oracle's unnest drops such docs entirely; without
+    # this filter Spark would emit them with size(NULL) = -1 span counts
+    base = lazy_persist(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", norm.alias("spans"))
+    )
     hot = (
         base.select("doc_id", F.explode("spans").alias("span"))
         .filter((F.col("span") != "") & (F.length("span") >= SPAN_MIN_CHARS))
