@@ -92,6 +92,8 @@ HEADLINE = [
     "streaming_contamination_screen",
     "zorder_orders_key",
     "text_quality_gopher",
+    "rollup_histogram_quantiles_6h",
+    "dedup_paragraph_clean",
 ]
 
 
