@@ -545,7 +545,7 @@ def dedup_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.md5("span").alias("h"))
         .agg(F.count_distinct("doc_id").alias("d"))
         .filter(F.col("d") > 1)
-        .agg(F.sort_array(F.collect_list("h")).alias("hot"))
+        .agg(F.collect_list("h").alias("hot"))
     )
     nonempty = F.filter(F.col("spans"), lambda s: s != "")
     kept = F.filter(

@@ -39,15 +39,32 @@ def hourly_grains(events: DataFrame) -> DataFrame:
     )
 
 
+def epoch_bucket(col: str, hours: int) -> "F.Column":
+    """Epoch-aligned `hours`-wide bucket start for a timestamp column.
+    Spark's unix_timestamp truncates sub-second parts toward zero; the
+    matching DuckDB fragment is _EPOCH_BUCKET_SQL — which must FLOOR
+    epoch(ts) explicitly, because DuckDB's double->BIGINT cast ROUNDS
+    and would push events in the last half-second of a window into the
+    next bucket."""
+    width = hours * 3600
+    return F.timestamp_seconds(
+        F.unix_timestamp(col) - F.pmod(F.unix_timestamp(col), F.lit(width))
+    )
+
+
+def _epoch_bucket_sql(col: str, hours: int) -> str:
+    width = hours * 3600
+    e = f"CAST(FLOOR(epoch({col})) AS BIGINT)"
+    return f"CAST(to_timestamp({e} - {e} % {width}) AS TIMESTAMP)"
+
+
 def rollup_grains(grains: DataFrame, hours: int) -> DataFrame:
     """Re-aggregate grain rows into `hours`-wide buckets (bucket start =
     epoch-aligned). Input is the (already tiny) grain table — raw events
     are never re-scanned."""
-    width = hours * 3600
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp("bucket") - F.pmod(F.unix_timestamp("bucket"), F.lit(width)))
-    )
-    return grains.groupBy(bucket.alias("bucket"), "event_type").agg(
+    return grains.groupBy(
+        epoch_bucket("bucket", hours).alias("bucket"), "event_type"
+    ).agg(
         F.sum("n_events").alias("n_events"),
         F.sum("value_micro_sum").alias("value_micro_sum"),
     )
@@ -71,9 +88,8 @@ def rollup_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_events_6h_from_hourly",
-    oracle="""
-    SELECT CAST(to_timestamp(epoch(ts)::BIGINT - epoch(ts)::BIGINT % 21600) AS TIMESTAMP)
-             AS bucket,
+    oracle=f"""
+    SELECT {_epoch_bucket_sql("ts", 6)} AS bucket,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro_sum
@@ -158,8 +174,7 @@ def histogram_grains(events: DataFrame) -> DataFrame:
     "rollup_histogram_quantiles_6h",
     oracle=f"""
     WITH b AS (
-      SELECT CAST(to_timestamp(epoch(ts)::BIGINT - epoch(ts)::BIGINT % 21600)
-                  AS TIMESTAMP) AS bucket,
+      SELECT {_epoch_bucket_sql("ts", 6)} AS bucket,
              LEAST({_H_BINS - 1}, CAST(FLOOR(value / {_H_WIDTH}) AS INT)) AS bin,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2
@@ -191,11 +206,9 @@ def rollup_histogram_quantiles_6h(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     hourly = histogram_grains(t["events"])
-    width = 6 * 3600
-    b6 = F.timestamp_seconds(
-        F.unix_timestamp("bucket") - F.pmod(F.unix_timestamp("bucket"), F.lit(width))
-    )
-    merged = hourly.groupBy(b6.alias("bucket"), "bin").agg(F.sum("n").alias("n"))
+    merged = hourly.groupBy(
+        epoch_bucket("bucket", 6).alias("bucket"), "bin"
+    ).agg(F.sum("n").alias("n"))
     w_cum = (
         Window.partitionBy("bucket").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)

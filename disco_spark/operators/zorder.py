@@ -74,6 +74,9 @@ def zorder_write(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).first()
+    if lo_a is None or lo_b is None:  # empty input: nothing to cluster
+        df.write.mode("overwrite").parquet(path)
+        return
     zkey = zorder_key(
         rank_expr(a, lo_a, hi_a, bits),
         rank_expr(b, lo_b, hi_b, bits),
@@ -141,6 +144,8 @@ def zorder_orders_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_a, hi_a, lo_b, hi_b = o.agg(
         F.min("o_custkey"), F.max("o_custkey"), F.min("__days"), F.max("__days")
     ).first()
+    if lo_a is None:  # empty table: anchors are arbitrary, result has no rows
+        lo_a = hi_a = lo_b = hi_b = 0
     return o.select(
         "o_orderkey",
         zorder_key(

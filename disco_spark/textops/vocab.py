@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from disco_spark.dedup.dedup import _SHINGLES_SQL, shingle_df
 from disco_spark.registry import query
 from disco_spark.sampling import BUCKETS, _bucket_sql, hash_bucket
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 from disco_spark.textops.analysis import _TOKS_SQL, with_toks
 
 TOP_K = 20
@@ -216,7 +216,10 @@ def contamination_train_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the oracle runs."""
     t = load_tables(spark, sf_dir)
     docs = with_toks(t["documents"]).withColumn("b", hash_bucket(F.col("doc_id")))
-    test_sh = (
+    # persisted: bloom_build runs two actions on it (count + word
+    # collect) and the exact-verify join reads it a third time —
+    # without the persist each one re-scans and re-distincts documents
+    test_sh = lazy_persist(
         shingle_df(docs.filter(F.col("b") < _TEST_HI))
         .select("shingle")
         .distinct()
@@ -283,7 +286,11 @@ def streaming_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFram
     static_sh = shingle_df(with_toks(t["documents"])).withColumn(
         "b", hash_bucket(F.col("doc_id"))
     )
-    test_sh = static_sh.filter(F.col("b") < _TEST_HI).select("shingle").distinct()
+    # persisted: bloom_build runs two actions, and every micro-batch
+    # re-evaluates the broadcast verify side without it
+    test_sh = lazy_persist(
+        static_sh.filter(F.col("b") < _TEST_HI).select("shingle").distinct()
+    )
     bloom, m = bloom_build(spark, test_sh, "shingle")
     bloom_keyed = bloom.withColumn("__k", F.lit(1))
 

@@ -93,3 +93,17 @@ def test_zorder_layout_prunes_2d_box(spark):
         for r in spark.read.parquet(z_path).filter(pred).select("o_orderkey").collect()
     }
     assert got == want and want
+
+
+def test_zorder_write_empty_input(spark):
+    """An empty input must produce an empty (readable) table, not a
+    TypeError from None min/max anchors."""
+    import tempfile
+
+    t = load_tables(spark, SF_001)
+    empty = t["orders"].filter(F.lit(False)).withColumn(
+        "__days", F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    )
+    path = tempfile.mkdtemp(prefix="disco_spark_zorder_empty_")
+    zorder_write(empty, ("o_custkey", "__days"), path, 4)
+    assert spark.read.parquet(path).count() == 0
