@@ -127,10 +127,12 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_SQL},
+# shared oracle CTE chain: shingles -> minhash signatures -> LSH bands ->
+# distinct candidate pairs. Reused by dedup_minhash_lsh and by
+# sampling.split_leakage_audit, so the two oracles can never diverge
+# from each other (same single-point-of-truth rule as
+# rollup._epoch_bucket_sql).
+_MINHASH_PAIRS_SQL = f"""{_SHINGLES_SQL},
     sig AS (
       SELECT doc_id,
              {", ".join(f"min(md5(concat('s{i} ', shingle))) AS mh{i}" for i in range(N_HASHES))}
@@ -142,11 +144,20 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
       SELECT doc_id, 1, md5(concat(mh2, mh3)) FROM sig
       UNION ALL
       SELECT doc_id, 2, md5(concat(mh4, mh5)) FROM sig
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
+    ),
+    lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_SQL}
+    SELECT doc_a, doc_b FROM lsh_pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -250,3 +250,69 @@ def sample_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     kept = stratified_balance(t["documents"], "lang", "doc_id")
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "split_leakage_audit",
+    oracle=None,  # set below — the CTE chain lives in dedup.dedup
+)
+def split_leakage_audit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Near-duplicate pairs that STRADDLE the train/test boundary — the
+    data-leakage check a split pipeline must run: a benchmark ('test')
+    document whose near-dup lives in train inflates eval scores exactly
+    like verbatim contamination. Candidate pairs come from the same
+    banded MinHash-LSH plan as dedup_minhash_lsh (never the n^2 cross
+    space); the split labels are the same hash buckets the split
+    queries ship, so this audits exactly the artifacts the pipeline
+    produces. Output is one row per leaking pair, test side first.
+    Downstream remediation either drops the train member or moves the
+    whole near-dup cluster to one side (cluster-aware splitting)."""
+    from disco_spark.dedup.dedup import (
+        band_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+    from disco_spark.textops.analysis import with_toks
+
+    test_hi = int(0.1 * BUCKETS)
+    train_lo = int(0.2 * BUCKETS)
+    t = load_tables(spark, sf_dir)
+    pairs = band_candidates(
+        minhash_signatures(shingle_df(with_toks(t["documents"])))
+    )
+    ba, bb = hash_bucket(F.col("doc_a")), hash_bucket(F.col("doc_b"))
+    a_is_test = ba < test_hi
+    return (
+        pairs.filter(
+            (a_is_test & (bb >= train_lo)) | ((bb < test_hi) & (ba >= train_lo))
+        )
+        .select(
+            F.when(a_is_test, F.col("doc_a")).otherwise(F.col("doc_b")).alias("test_doc"),
+            F.when(a_is_test, F.col("doc_b")).otherwise(F.col("doc_a")).alias("train_doc"),
+        )
+    )
+
+
+def _leakage_oracle() -> str:
+    from disco_spark.dedup.dedup import _MINHASH_PAIRS_SQL
+
+    test_hi = int(0.1 * BUCKETS)
+    train_lo = int(0.2 * BUCKETS)
+    return f"""
+    WITH {_MINHASH_PAIRS_SQL},
+    lab AS (
+      SELECT doc_a, doc_b,
+             {_bucket_sql("doc_a")} AS ba, {_bucket_sql("doc_b")} AS bb
+      FROM lsh_pairs
+    )
+    SELECT CASE WHEN ba < {test_hi} THEN doc_a ELSE doc_b END AS test_doc,
+           CASE WHEN ba < {test_hi} THEN doc_b ELSE doc_a END AS train_doc
+    FROM lab
+    WHERE (ba < {test_hi} AND bb >= {train_lo})
+       OR (bb < {test_hi} AND ba >= {train_lo})
+    """
+
+
+from disco_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLES["split_leakage_audit"] = _leakage_oracle()

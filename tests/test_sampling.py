@@ -62,3 +62,38 @@ def test_stratified_balance_equalizes(spark):
     # big stratum downsampled to ~minority size (hash-binomial noise)
     assert 30 <= kept["big"] <= 70
     assert 30 <= kept["small"] <= 50
+
+
+def test_split_leakage_audit_oracle(spark):
+    compare_query(spark, "split_leakage_audit", SF_SMOKE)
+
+
+def test_split_leakage_audit_finds_planted_leak(spark):
+    """A near-dup pair planted across the train/test boundary must be
+    reported (test side first); near-dups within one split must not."""
+    import os
+    import tempfile
+
+    from disco_spark.sampling import BUCKETS, hash_bucket
+    from disco_spark.sampling import split_leakage_audit
+    from pyspark.sql import functions as F
+
+    # find doc ids landing in each split bucket range deterministically
+    ids = spark.range(0, 3000).select(
+        F.col("id"), hash_bucket(F.col("id")).alias("b")
+    )
+    test_ids = [r.id for r in ids.filter(F.col("b") < int(0.1 * BUCKETS)).head(2)]
+    train_ids = [r.id for r in ids.filter(F.col("b") >= int(0.2 * BUCKETS)).head(2)]
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (test_ids[0], base),                      # test member of the pair
+        (train_ids[0], base),                     # train member -> LEAK
+        (train_ids[1], "totally different words about query engines"),
+        (test_ids[1], "unrelated test split document with other content"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="leak_")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "documents.parquet"))
+    got = {(r.test_doc, r.train_doc) for r in split_leakage_audit(spark, tmp).collect()}
+    assert got == {(test_ids[0], train_ids[0])}
