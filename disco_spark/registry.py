@@ -113,6 +113,7 @@ PRIORITY: list[str] = [
     "rollup_histogram_quantiles_6h",  # new post-window; rotate in round 5
     "dedup_paragraph_clean",  # new post-window; rotate in round 5
     "split_leakage_audit",  # new post-window; rotate in round 5
+    "split_cluster_aware",  # new post-window; rotate in round 5
     "ann_knn_graph", "montecarlo_pi", "letter_freq", "classic_grep",
     "ann_pq_topk", "ann_ivfpq_topk",
     "corpus_curation_pipeline", "q1_pricing_summary",

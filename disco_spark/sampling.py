@@ -316,3 +316,84 @@ def _leakage_oracle() -> str:
 from disco_spark import registry as _registry  # noqa: E402
 
 _registry.ORACLES["split_leakage_audit"] = _leakage_oracle()
+
+
+@query(
+    "split_cluster_aware",
+    oracle=None,  # set below — needs dedup.dedup's CTE chain
+)
+def split_cluster_aware(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The REMEDIATION for split_leakage_audit: assign every near-dup
+    CLUSTER wholly to one split. Clusters are the connected components
+    of the LSH candidate pairs; every member adopts the split of the
+    cluster's canonical representative (min doc_id), unclustered docs
+    keep their own hash split. By construction no near-dup pair can
+    straddle a boundary, at the cost of slightly uneven split sizes
+    (clusters move as units — the standard trade).
+
+    Scale shape: pairs are LSH-banded (never n^2), components run on
+    the pruned edge set (dedup/cc.py's hybrid union-find / large-small
+    star), and the final label is one broadcast-sized left join against
+    the component map (near-dup clusters are a small fraction of any
+    real corpus)."""
+    from disco_spark.dedup.cc import connected_components
+    from disco_spark.dedup.dedup import (
+        band_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+    from disco_spark.textops.analysis import with_toks
+
+    test_hi = int(0.1 * BUCKETS)
+    val_hi = int(0.2 * BUCKETS)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    lab = docs.select("doc_id").join(
+        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+    )
+    b = hash_bucket(F.coalesce(F.col("comp"), F.col("doc_id")))
+    return lab.select(
+        "doc_id",
+        F.when(b < test_hi, "test")
+        .when(b < val_hi, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def _cluster_split_oracle() -> str:
+    """Transitive closure via a recursive CTE (pair sets are tiny at
+    oracle scale), then min-reachable-id per node = the component."""
+    from disco_spark.dedup.dedup import _MINHASH_PAIRS_SQL
+
+    test_hi = int(0.1 * BUCKETS)
+    val_hi = int(0.2 * BUCKETS)
+    anchor = "COALESCE(c.comp, d.doc_id)"
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+      UNION SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      WHERE e.b <> r.a
+    ),
+    comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           CASE WHEN {_bucket_sql(anchor)} < {test_hi} THEN 'test'
+                WHEN {_bucket_sql(anchor)} < {val_hi} THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+_registry.ORACLES["split_cluster_aware"] = _cluster_split_oracle()

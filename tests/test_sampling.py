@@ -97,3 +97,39 @@ def test_split_leakage_audit_finds_planted_leak(spark):
     ).parquet(os.path.join(tmp, "documents.parquet"))
     got = {(r.test_doc, r.train_doc) for r in split_leakage_audit(spark, tmp).collect()}
     assert got == {(test_ids[0], train_ids[0])}
+
+
+def test_cluster_aware_split_oracle(spark):
+    compare_query(spark, "split_cluster_aware", SF_SMOKE)
+
+
+def test_cluster_aware_split_eliminates_leakage(spark):
+    """After cluster-aware splitting, NO LSH near-dup pair may straddle
+    any split boundary (the property the plain hash split violates —
+    split_leakage_audit finds rows on the same data)."""
+    from disco_spark import registry
+    from disco_spark.dedup.dedup import (
+        band_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+    from disco_spark.session import load_tables
+    from disco_spark.textops.analysis import with_toks
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    sf = SF_SMOKE
+    # the plain split leaks on this data (precondition for a real test)
+    assert registry.QUERIES["split_leakage_audit"](spark, sf).count() > 0
+
+    split = registry.QUERIES["split_cluster_aware"](spark, sf)
+    pairs = band_candidates(
+        minhash_signatures(shingle_df(with_toks(load_tables(spark, sf)["documents"])))
+    )
+    sa = split.toDF("doc_a", "split_a")
+    sb = split.toDF("doc_b", "split_b")
+    crossing = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert crossing.count() == 0
