@@ -94,6 +94,8 @@ HEADLINE = [
     "text_quality_gopher",
     "rollup_histogram_quantiles_6h",
     "dedup_paragraph_clean",
+    "split_leakage_audit",
+    "split_cluster_aware",
 ]
 
 
