@@ -229,3 +229,127 @@ def rollup_histogram_quantiles_6h(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("p95_lo"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable heavy hitters: count-min sketch rollup. Completes the sketch
+# family — HLL for distinct, fixed-bin histograms for quantiles, count-min
+# for per-key counts: an hourly (bucket, seed, col, n) grain table merges
+# into any coarser window by pure addition, and a key's count estimate is
+# the MIN over seeds of its hashed cell — never re-reading raw events.
+# Hashes are md5-derived (the hash_bucket parity family), so DuckDB can
+# replay the sketch arithmetic bit-for-bit: the oracle verifies the
+# ESTIMATES, not the true counts (count-min overestimates on collisions
+# by design; the estimate itself is deterministic).
+# --------------------------------------------------------------------------
+_CM_DEPTH = 4     # independent hash rows
+_CM_WIDTH = 1024  # cells per row
+_CM_TOPK = 20
+
+
+def _cm_col(key, seed: int):
+    """Cell index for `key` under hash row `seed` — same md5 family as
+    sampling.hash_bucket, replayable in DuckDB."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cm{seed} "), key.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint") % _CM_WIDTH
+
+
+def _cm_col_sql(key: str, seed: int) -> str:
+    return (
+        f"(('0x' || substr(md5('cm{seed} ' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_CM_WIDTH})"
+    )
+
+
+def cm_sketch_grains(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Hourly count-min grain rows: (bucket, seed, col, n). One scan;
+    at most depth x width rows per hour regardless of event volume."""
+    rows = F.array(*[
+        F.struct(F.lit(s).alias("seed"), _cm_col(F.col(key), s).alias("col"))
+        for s in range(_CM_DEPTH)
+    ])
+    return (
+        events.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.explode(rows).alias("r"),
+        )
+        .groupBy("bucket", F.col("r.seed").alias("seed"), F.col("r.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_CM_CELL_CASE = " ".join(
+    "WHEN {s} THEN {expr}".format(s=s, expr=_cm_col_sql("user_id", s))
+    for s in range(_CM_DEPTH)
+)
+_CM_PROBE_CASE = " ".join(
+    "WHEN {s} THEN {expr}".format(s=s, expr=_cm_col_sql("k.user_id", s))
+    for s in range(_CM_DEPTH)
+)
+
+
+@query(
+    "rollup_cmsketch_top_users_6h",
+    oracle=f"""
+    WITH cells AS (
+      SELECT {_epoch_bucket_sql("ts", 6)} AS bucket, seed,
+             CASE seed {_CM_CELL_CASE} END AS col,
+             COUNT(*) AS n
+      FROM events, (SELECT unnest(generate_series(0, {_CM_DEPTH - 1})) AS seed)
+      GROUP BY 1, 2, 3
+    ),
+    candidates AS (
+      SELECT user_id FROM events GROUP BY 1
+      ORDER BY COUNT(*) DESC, user_id LIMIT {_CM_TOPK}
+    ),
+    est AS (
+      SELECT c.bucket, k.user_id, MIN(c.n) AS est_n
+      FROM candidates k
+      JOIN cells c
+        ON c.col = CASE c.seed {_CM_PROBE_CASE} END
+      GROUP BY 1, 2
+    )
+    SELECT bucket, user_id, CAST(est_n AS BIGINT) AS est_n FROM est
+    """,
+)
+def rollup_cmsketch_top_users_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-6h-window activity estimates for the corpus's heavy-hitter
+    users, answered from MERGED hourly count-min grains: the 6h cells
+    are sums of hourly cells (mergeable by addition, like every sketch
+    in this family), and a user's estimate is the min over the sketch's
+    hash rows. Candidates come from one exact global top-{_CM_TOPK}
+    pass (count-min estimates counts for known keys; it cannot
+    enumerate keys — the standard pairing is a candidate tracker plus
+    the sketch). The oracle replays the sketch arithmetic exactly —
+    estimates are deterministic even where collisions inflate them."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    hourly = cm_sketch_grains(ev)
+    merged = hourly.groupBy(
+        epoch_bucket("bucket", 6).alias("bucket"), "seed", "col"
+    ).agg(F.sum("n").alias("n"))
+    candidates = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(_CM_TOPK)
+        .select("user_id")
+    )
+    probes = candidates.select(
+        "user_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("seed"), _cm_col(F.col("user_id"), s).alias("col")
+                )
+                for s in range(_CM_DEPTH)
+            ])
+        ).alias("p"),
+    ).select("user_id", F.col("p.seed").alias("seed"), F.col("p.col").alias("col"))
+    return (
+        merged.join(F.broadcast(probes), ["seed", "col"])
+        .groupBy("bucket", "user_id")
+        .agg(F.min("n").cast("bigint").alias("est_n"))
+    )

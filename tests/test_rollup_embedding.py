@@ -18,6 +18,7 @@ registry.load_all()
         "rollup_events_hourly",
         "rollup_events_6h_from_hourly",
         "rollup_histogram_quantiles_6h",
+        "rollup_cmsketch_top_users_6h",
         "embedding_l2_stats",
         "embedding_quantize_int8",
     ],
@@ -95,3 +96,25 @@ def test_hll_error_bound_at_dense_cardinality(spark):
     exact = ids.select("uid").distinct().count()
     assert abs(single - exact) / exact < 0.03
     assert merged == single  # sketch merge is lossless vs one-pass
+
+
+def test_cmsketch_estimates_upper_bound_truth(spark):
+    """Count-min never under-counts: every (window, user) estimate must
+    be >= the true count, and equal for most cells at this load factor
+    (the sketch is 4x1024 cells vs ~150 users/hour)."""
+    from disco_spark import registry
+    from disco_spark.operators.rollup import epoch_bucket
+    from disco_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    est = registry.QUERIES["rollup_cmsketch_top_users_6h"](spark, SF_SMOKE)
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    truth = ev.groupBy(
+        epoch_bucket("ts", 6).alias("bucket"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("true_n"))
+    j = est.join(truth, ["bucket", "user_id"]).collect()
+    assert j  # candidates exist in the truth set
+    assert all(r.est_n >= r.true_n for r in j)  # no under-counting, ever
+    exact = sum(r.est_n == r.true_n for r in j)
+    assert exact / len(j) > 0.9  # sparse regime: collisions are rare
