@@ -96,6 +96,7 @@ HEADLINE = [
     "dedup_paragraph_clean",
     "split_leakage_audit",
     "split_cluster_aware",
+    "rollup_cmsketch_top_users_6h",
 ]
 
 

@@ -127,30 +127,40 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-# shared oracle CTE chain: shingles -> minhash signatures -> LSH bands ->
-# distinct candidate pairs. Reused by dedup_minhash_lsh and by
-# sampling.split_leakage_audit, so the two oracles can never diverge
-# from each other (same single-point-of-truth rule as
-# rollup._epoch_bucket_sql).
-_MINHASH_PAIRS_SQL = f"""{_SHINGLES_SQL},
-    sig AS (
-      SELECT doc_id,
-             {", ".join(f"min(md5(concat('s{i} ', shingle))) AS mh{i}" for i in range(N_HASHES))}
-      FROM shingles GROUP BY doc_id
-    ),
+def _bands_sql() -> str:
+    """DuckDB CTEs `sig` + `bands` + `cands` matching band_candidates()
+    over the `shingles` CTE (same md5-salted hash family both sides)."""
+    mins = ", ".join(
+        f"min(md5(concat('s{i} ', shingle))) AS mh{i}" for i in range(N_HASHES)
+    )
+    parts = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = ", ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        head = "0 AS band_idx, md5(concat({c})) AS band_key" if b == 0 else "{b}, md5(concat({c}))"
+        parts.append(
+            f"SELECT doc_id, {head.format(b=b, c=cols)} FROM sig"
+        )
+    union = "\n      UNION ALL\n      ".join(parts)
+    return f"""
+    sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, 0 AS band_idx, md5(concat(mh0, mh1)) AS band_key FROM sig
-      UNION ALL
-      SELECT doc_id, 1, md5(concat(mh2, mh3)) FROM sig
-      UNION ALL
-      SELECT doc_id, 2, md5(concat(mh4, mh5)) FROM sig
+      {union}
     ),
-    lsh_pairs AS (
+    cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     )"""
+
+
+# shared oracle CTE chain: shingles -> minhash signatures -> LSH bands ->
+# distinct candidate pairs, COMPOSED from _bands_sql (the single source
+# of the band chain — dedup_minhash_lsh, dedup_lsh_jaccard, cc's cluster
+# oracle, and sampling's split-integrity oracles all read the same
+# text, so none can diverge).
+_MINHASH_PAIRS_SQL = f"""{_SHINGLES_SQL},{_bands_sql()},
+    lsh_pairs AS (SELECT doc_a, doc_b FROM cands)"""
 
 
 @query(
@@ -269,31 +279,6 @@ def _jaccard_select(common: DataFrame, sizes: DataFrame) -> DataFrame:
 # verify only on candidates — the 100 TB shape (pair space = band
 # collisions, not posting-list blowup)
 # --------------------------------------------------------------------------
-def _bands_sql() -> str:
-    """DuckDB CTEs `sig` + `bands` + `cands` matching band_candidates()
-    over the `shingles` CTE (same md5-salted hash family both sides)."""
-    mins = ", ".join(
-        f"min(md5(concat('s{i} ', shingle))) AS mh{i}" for i in range(N_HASHES)
-    )
-    parts = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = ", ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
-        head = "0 AS band_idx, md5(concat({c})) AS band_key" if b == 0 else "{b}, md5(concat({c}))"
-        parts.append(
-            f"SELECT doc_id, {head.format(b=b, c=cols)} FROM sig"
-        )
-    union = "\n      UNION ALL\n      ".join(parts)
-    return f"""
-    sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
-    bands AS (
-      {union}
-    ),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    )"""
 
 
 @query(

@@ -310,6 +310,7 @@ _CM_PROBE_CASE = " ".join(
       JOIN cells c
         ON c.col = CASE c.seed {_CM_PROBE_CASE} END
       GROUP BY 1, 2
+      HAVING COUNT(*) = {_CM_DEPTH}  -- a missing cell is a zero: est = 0, no row
     )
     SELECT bucket, user_id, CAST(est_n AS BIGINT) AS est_n FROM est
     """,
@@ -319,11 +320,20 @@ def rollup_cmsketch_top_users_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     users, answered from MERGED hourly count-min grains: the 6h cells
     are sums of hourly cells (mergeable by addition, like every sketch
     in this family), and a user's estimate is the min over the sketch's
-    hash rows. Candidates come from one exact global top-{_CM_TOPK}
-    pass (count-min estimates counts for known keys; it cannot
-    enumerate keys — the standard pairing is a candidate tracker plus
-    the sketch). The oracle replays the sketch arithmetic exactly —
-    estimates are deterministic even where collisions inflate them."""
+    hash rows. Candidates come from one exact global top-K pass
+    (K = _CM_TOPK; count-min estimates counts for known keys — it
+    cannot enumerate keys, so the standard pairing is a candidate
+    tracker plus the sketch). The oracle replays the sketch arithmetic
+    exactly — estimates are deterministic even where collisions
+    inflate them.
+
+    A probe must find ALL of its depth cells in the window's sketch:
+    the grain table stores only touched cells, so a missing cell IS a
+    zero — min(..., 0) = 0 — and a (window, user) with any absent cell
+    has estimate 0 and is emitted as no row. Without that condition the
+    inner join silently took the min over occupied cells only, which
+    reported phantom activity for users with zero events in a window
+    (25% of output rows at sf0.01 before the fix)."""
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     hourly = cm_sketch_grains(ev)
@@ -351,5 +361,10 @@ def rollup_cmsketch_top_users_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.join(F.broadcast(probes), ["seed", "col"])
         .groupBy("bucket", "user_id")
-        .agg(F.min("n").cast("bigint").alias("est_n"))
+        .agg(
+            F.min("n").cast("bigint").alias("est_n"),
+            F.count(F.lit(1)).alias("__cells"),
+        )
+        .filter(F.col("__cells") == _CM_DEPTH)
+        .drop("__cells")
     )

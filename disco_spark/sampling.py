@@ -252,21 +252,49 @@ def sample_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+from disco_spark.dedup.dedup import _MINHASH_PAIRS_SQL  # noqa: E402
+
+_TEST_HI = int(0.1 * BUCKETS)
+_VAL_HI = int(0.2 * BUCKETS)
+
+_SPLIT_CASE = (
+    f"CASE WHEN {{b}} < {_TEST_HI} THEN 'test' "
+    f"WHEN {{b}} < {_VAL_HI} THEN 'val' ELSE 'train' END"
+)
+
+
+def _split_col(key) -> Column:
+    b = hash_bucket(key)
+    return (
+        F.when(b < _TEST_HI, "test").when(b < _VAL_HI, "val").otherwise("train")
+    )
+
+
 @query(
     "split_leakage_audit",
-    oracle=None,  # set below — the CTE chain lives in dedup.dedup
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_SQL},
+    lab AS (
+      SELECT doc_a, doc_b,
+             {_SPLIT_CASE.format(b=_bucket_sql("doc_a"))} AS split_a,
+             {_SPLIT_CASE.format(b=_bucket_sql("doc_b"))} AS split_b
+      FROM lsh_pairs
+    )
+    SELECT doc_a, split_a, doc_b, split_b FROM lab WHERE split_a <> split_b
+    """,
 )
 def split_leakage_audit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Near-duplicate pairs that STRADDLE the train/test boundary — the
+    """Near-duplicate pairs that STRADDLE any split boundary — the
     data-leakage check a split pipeline must run: a benchmark ('test')
     document whose near-dup lives in train inflates eval scores exactly
-    like verbatim contamination. Candidate pairs come from the same
-    banded MinHash-LSH plan as dedup_minhash_lsh (never the n^2 cross
-    space); the split labels are the same hash buckets the split
-    queries ship, so this audits exactly the artifacts the pipeline
-    produces. Output is one row per leaking pair, test side first.
-    Downstream remediation either drops the train member or moves the
-    whole near-dup cluster to one side (cluster-aware splitting)."""
+    like verbatim contamination, and a val<->train twin corrupts model
+    selection the same way, so ALL boundary crossings are reported (not
+    just test<->train). Candidate pairs come from the same banded
+    MinHash-LSH plan as dedup_minhash_lsh (never the n^2 cross space);
+    the split labels are the same hash buckets the split queries ship,
+    so this audits exactly the artifacts the pipeline produces. Output
+    is one row per leaking pair with both sides' splits. Remediation:
+    split_cluster_aware (whole clusters move to one split)."""
     from disco_spark.dedup.dedup import (
         band_candidates,
         minhash_signatures,
@@ -274,106 +302,22 @@ def split_leakage_audit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     from disco_spark.textops.analysis import with_toks
 
-    test_hi = int(0.1 * BUCKETS)
-    train_lo = int(0.2 * BUCKETS)
     t = load_tables(spark, sf_dir)
     pairs = band_candidates(
         minhash_signatures(shingle_df(with_toks(t["documents"])))
     )
-    ba, bb = hash_bucket(F.col("doc_a")), hash_bucket(F.col("doc_b"))
-    a_is_test = ba < test_hi
-    return (
-        pairs.filter(
-            (a_is_test & (bb >= train_lo)) | ((bb < test_hi) & (ba >= train_lo))
-        )
-        .select(
-            F.when(a_is_test, F.col("doc_a")).otherwise(F.col("doc_b")).alias("test_doc"),
-            F.when(a_is_test, F.col("doc_b")).otherwise(F.col("doc_a")).alias("train_doc"),
-        )
+    out = pairs.select(
+        "doc_a",
+        _split_col(F.col("doc_a")).alias("split_a"),
+        "doc_b",
+        _split_col(F.col("doc_b")).alias("split_b"),
     )
-
-
-def _leakage_oracle() -> str:
-    from disco_spark.dedup.dedup import _MINHASH_PAIRS_SQL
-
-    test_hi = int(0.1 * BUCKETS)
-    train_lo = int(0.2 * BUCKETS)
-    return f"""
-    WITH {_MINHASH_PAIRS_SQL},
-    lab AS (
-      SELECT doc_a, doc_b,
-             {_bucket_sql("doc_a")} AS ba, {_bucket_sql("doc_b")} AS bb
-      FROM lsh_pairs
-    )
-    SELECT CASE WHEN ba < {test_hi} THEN doc_a ELSE doc_b END AS test_doc,
-           CASE WHEN ba < {test_hi} THEN doc_b ELSE doc_a END AS train_doc
-    FROM lab
-    WHERE (ba < {test_hi} AND bb >= {train_lo})
-       OR (bb < {test_hi} AND ba >= {train_lo})
-    """
-
-
-from disco_spark import registry as _registry  # noqa: E402
-
-_registry.ORACLES["split_leakage_audit"] = _leakage_oracle()
+    return out.filter(F.col("split_a") != F.col("split_b"))
 
 
 @query(
     "split_cluster_aware",
-    oracle=None,  # set below — needs dedup.dedup's CTE chain
-)
-def split_cluster_aware(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """The REMEDIATION for split_leakage_audit: assign every near-dup
-    CLUSTER wholly to one split. Clusters are the connected components
-    of the LSH candidate pairs; every member adopts the split of the
-    cluster's canonical representative (min doc_id), unclustered docs
-    keep their own hash split. By construction no near-dup pair can
-    straddle a boundary, at the cost of slightly uneven split sizes
-    (clusters move as units — the standard trade).
-
-    Scale shape: pairs are LSH-banded (never n^2), components run on
-    the pruned edge set (dedup/cc.py's hybrid union-find / large-small
-    star), and the final label is one broadcast-sized left join against
-    the component map (near-dup clusters are a small fraction of any
-    real corpus)."""
-    from disco_spark.dedup.cc import connected_components
-    from disco_spark.dedup.dedup import (
-        band_candidates,
-        minhash_signatures,
-        shingle_df,
-    )
-    from disco_spark.textops.analysis import with_toks
-
-    test_hi = int(0.1 * BUCKETS)
-    val_hi = int(0.2 * BUCKETS)
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    pairs = band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    lab = docs.select("doc_id").join(
-        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
-    )
-    b = hash_bucket(F.coalesce(F.col("comp"), F.col("doc_id")))
-    return lab.select(
-        "doc_id",
-        F.when(b < test_hi, "test")
-        .when(b < val_hi, "val")
-        .otherwise("train")
-        .alias("split"),
-    )
-
-
-def _cluster_split_oracle() -> str:
-    """Transitive closure via a recursive CTE (pair sets are tiny at
-    oracle scale), then min-reachable-id per node = the component."""
-    from disco_spark.dedup.dedup import _MINHASH_PAIRS_SQL
-
-    test_hi = int(0.1 * BUCKETS)
-    val_hi = int(0.2 * BUCKETS)
-    anchor = "COALESCE(c.comp, d.doc_id)"
-    return f"""
+    oracle=f"""
     WITH RECURSIVE {_MINHASH_PAIRS_SQL},
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
@@ -389,11 +333,44 @@ def _cluster_split_oracle() -> str:
       SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
     )
     SELECT d.doc_id,
-           CASE WHEN {_bucket_sql(anchor)} < {test_hi} THEN 'test'
-                WHEN {_bucket_sql(anchor)} < {val_hi} THEN 'val'
-                ELSE 'train' END AS split
+           {_SPLIT_CASE.format(b=_bucket_sql("COALESCE(c.comp, d.doc_id)"))} AS split
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-    """
+    """,
+)
+def split_cluster_aware(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The REMEDIATION for split_leakage_audit: assign every near-dup
+    CLUSTER wholly to one split. Clusters are the connected components
+    of the LSH candidate pairs; every member adopts the split of the
+    cluster's canonical representative (min doc_id), unclustered docs
+    keep their own hash split. By construction no near-dup pair can
+    straddle a boundary, at the cost of slightly uneven split sizes
+    (clusters move as units — the standard trade). The oracle replays
+    the component labels with a recursive-CTE transitive closure (pair
+    sets are tiny at oracle scale).
 
+    Scale shape: pairs are LSH-banded (never n^2), components run on
+    the pruned edge set (dedup/cc.py's hybrid union-find / large-small
+    star), and the final label is one broadcast-sized left join against
+    the component map (near-dup clusters are a small fraction of any
+    real corpus)."""
+    from disco_spark.dedup.cc import connected_components
+    from disco_spark.dedup.dedup import (
+        band_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+    from disco_spark.textops.analysis import with_toks
 
-_registry.ORACLES["split_cluster_aware"] = _cluster_split_oracle()
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    lab = docs.select("doc_id").join(
+        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+    )
+    return lab.select(
+        "doc_id",
+        _split_col(F.coalesce(F.col("comp"), F.col("doc_id"))).alias("split"),
+    )

@@ -113,6 +113,10 @@ def test_cmsketch_estimates_upper_bound_truth(spark):
     truth = ev.groupBy(
         epoch_bucket("ts", 6).alias("bucket"), "user_id"
     ).agg(F.count(F.lit(1)).alias("true_n"))
+    # NO phantom rows: a (window, user) the user never touched must not
+    # appear (the all-cells-present rule — a missing sketch cell is a 0)
+    assert est.join(truth, ["bucket", "user_id"], "left_anti").count() == 0
+
     j = est.join(truth, ["bucket", "user_id"]).collect()
     assert j  # candidates exist in the truth set
     assert all(r.est_n >= r.true_n for r in j)  # no under-counting, ever

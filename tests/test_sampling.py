@@ -70,7 +70,7 @@ def test_split_leakage_audit_oracle(spark):
 
 def test_split_leakage_audit_finds_planted_leak(spark):
     """A near-dup pair planted across the train/test boundary must be
-    reported (test side first); near-dups within one split must not."""
+    reported with both sides' splits; near-dups within one split must not."""
     import os
     import tempfile
 
@@ -95,8 +95,13 @@ def test_split_leakage_audit_finds_planted_leak(spark):
     spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
         "overwrite"
     ).parquet(os.path.join(tmp, "documents.parquet"))
-    got = {(r.test_doc, r.train_doc) for r in split_leakage_audit(spark, tmp).collect()}
-    assert got == {(test_ids[0], train_ids[0])}
+    got = {
+        frozenset([(r.doc_a, r.split_a), (r.doc_b, r.split_b)])
+        for r in split_leakage_audit(spark, tmp).collect()
+    }
+    assert got == {
+        frozenset([(test_ids[0], "test"), (train_ids[0], "train")])
+    }
 
 
 def test_cluster_aware_split_oracle(spark):
