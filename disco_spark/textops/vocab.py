@@ -128,6 +128,7 @@ _BLOOM_MIN_BITS = 1 << 13
 def bloom_build(
     spark: SparkSession, keys: DataFrame, col: str,
     k: int = _BLOOM_K, bits_per_key: int = _BLOOM_BITS_PER_KEY,
+    m_bits: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Fold a (small) key column into an m-bit bloom bitset.
 
@@ -146,10 +147,13 @@ def bloom_build(
     the same JVM expression the membership test replays, so build and
     probe can never disagree.
     """
-    n = keys.count()
-    m = _BLOOM_MIN_BITS
-    while m < bits_per_key * n:
-        m *= 2
+    if m_bits is not None:
+        m = m_bits  # caller pins m (required for bloom_merge compatibility)
+    else:
+        n = keys.count()
+        m = _BLOOM_MIN_BITS
+        while m < bits_per_key * n:
+            m *= 2
     # seeds must be BIGINT on both sides: xxhash64 hashes by input type,
     # so lit(i) (int) and `iL` (bigint) would disagree silently.
     pos = F.explode(
@@ -316,4 +320,28 @@ def streaming_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFram
         spark, sf_dir, screen,
         output_mode="complete", watermark=None,
         source_file="documents.parquet", state_partitions=8,
+    )
+
+
+def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
+    """OR same-sized bloom bitsets into one — blooms are mergeable like
+    every sketch in this repo's rollup family, and the merge is EXACT:
+    build(A) | build(B) is bit-identical to build(A UNION B) because a
+    key's bit positions depend only on (key, m). Use case: benchmark
+    suite v2 lands — merge its bloom into the standing one instead of
+    rebuilding over the union. Inputs must share m (pin it via
+    bloom_build(m_bits=...)); word-wise bit_or runs JVM-side, so blooms
+    of any size merge without visiting the driver."""
+    u = blooms[0]
+    for b in blooms[1:]:
+        u = u.unionAll(b)
+    words = (
+        u.select(F.posexplode("bloom").alias("i", "w"))
+        .groupBy("i")
+        .agg(F.bit_or("w").alias("w"))
+    )
+    return words.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]
+        ).alias("bloom")
     )

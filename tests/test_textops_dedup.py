@@ -345,3 +345,32 @@ def test_paragraph_clean_strips_cross_doc_boilerplate(spark):
     assert (out[2].n_spans, out[2].n_kept) == (3, 2)  # short span kept
     assert out[3].cleaned_text == f"{uniq.format(3)}. {uniq.format(3)}"
     assert (out[3].n_spans, out[3].n_kept) == (2, 2)  # in-doc repeat kept
+
+
+def test_bloom_merge_identity(spark):
+    """build(A) | build(B) must be BIT-IDENTICAL to build(A UNION B)
+    at the same m, and the merged bloom must contain every key of both
+    sets (mergeability is exact, not approximate)."""
+    from disco_spark.textops.vocab import (
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    a = spark.createDataFrame([(f"ka{i}",) for i in range(200)], "k string")
+    b = spark.createDataFrame([(f"kb{i}",) for i in range(300)], "k string")
+    m = 1 << 14
+    bl_a, _ = bloom_build(spark, a, "k", m_bits=m)
+    bl_b, _ = bloom_build(spark, b, "k", m_bits=m)
+    bl_union, _ = bloom_build(spark, a.unionAll(b), "k", m_bits=m)
+
+    merged = bloom_merge([bl_a, bl_b])
+    assert merged.collect()[0]["bloom"] == bl_union.collect()[0]["bloom"]
+
+    survivors = (
+        a.unionAll(b)
+        .crossJoin(F.broadcast(merged))
+        .filter(bloom_might_contain("bloom", "k", m))
+        .count()
+    )
+    assert survivors == 500  # no false negatives across the merge
