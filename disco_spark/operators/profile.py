@@ -88,3 +88,64 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan column profile of the orders table (5 columns)."""
     t = load_tables(spark, sf_dir)
     return profile_table(t["orders"].select(*_PROFILE_ORACLE_COLS))
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' [old revision]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 7
+    ),
+    cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3)
+    SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN md5(c.text) <> md5(p.text) THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two corpus snapshots — the QA pass between ingest drops:
+    one row per doc_id in either snapshot with status added / removed /
+    changed / unchanged, decided by content hash. The two snapshots are
+    derived deterministically from the documents table (docs with
+    id % 10 = 7 absent from prev = 'added'; id % 11 = 3 absent from
+    cur = 'removed'; every 13th doc's text perturbed in prev =
+    'changed') so both engines see identical inputs and every status
+    branch fires. Physical shape: ONE full
+    outer shuffle join on doc_id comparing 16-byte hashes — text never
+    joins, only (doc_id, md5) pairs, which is what keeps a 100 TB
+    snapshot diff shuffle-light; at scale both sides would also be
+    bucketed on doc_id, making the join co-located (see
+    bucketed_colocated_join)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    cur = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    prev = (
+        docs.filter(F.col("doc_id") % 10 != 7)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.col("text"), F.lit(" [old revision]")),
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    c, p = cur.alias("c"), prev.alias("p")
+    j = c.join(p, F.col("c.doc_id") == F.col("p.doc_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("c.doc_id"), F.col("p.doc_id")).alias("doc_id"),
+        F.when(F.col("p.doc_id").isNull(), "added")
+        .when(F.col("c.doc_id").isNull(), "removed")
+        .when(F.col("c.h") != F.col("p.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

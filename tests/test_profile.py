@@ -62,3 +62,10 @@ def test_registered_query_releases_prior_persists(spark):
     registry.QUERIES["profile_orders_columns"](spark, SF_SMOKE).count()
     # profile defers nothing, so the release-on-entry left the list empty
     assert len(S._DEFERRED_PERSISTS) == 0
+
+
+def test_snapshot_diff_oracle(spark):
+    from disco_spark.testing import compare_query
+    from tests.conftest import SF_SMOKE
+
+    compare_query(spark, "corpus_snapshot_diff", SF_SMOKE)
