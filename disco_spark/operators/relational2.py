@@ -828,3 +828,50 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --------------------------------------------------------------------------
+# pivot (wide reshaping — the report-facing complement of rollup/cube)
+# --------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+@query(
+    "pivot_orders_status_by_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, {cols}
+    FROM orders GROUP BY 1
+    """.format(
+        cols=", ".join(
+            f"CAST(COUNT(CASE WHEN o_orderpriority = '{v}' THEN 1 END) AS BIGINT)"
+            f" AS {c}"
+            for v, c in zip(_PRIORITIES, _PRIORITY_COLS)
+        )
+    ),
+)
+def pivot_orders_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts as a status x priority matrix — PIVOT, the
+    report-facing reshape (rollup/cube produce long-format groupings;
+    dashboards want the wide matrix). The pivot values are passed
+    EXPLICITLY: without them Spark first runs a blocking distinct job
+    over the pivot column to discover values — an extra full scan, and
+    a footgun at 100 TB if the column has unbounded cardinality.
+    Explicit values make the plan a single partial/final aggregation
+    with one CASE branch per output column, exactly what the oracle
+    writes by hand."""
+    t = load_tables(spark, sf_dir)
+    wide = (
+        t["orders"]
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renamed = wide.select(
+        "status",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(c)
+            for v, c in zip(_PRIORITIES, _PRIORITY_COLS)
+        ],
+    )
+    return renamed

@@ -116,6 +116,7 @@ PRIORITY: list[str] = [
     "split_cluster_aware",  # new post-window; rotate in round 5
     "rollup_cmsketch_top_users_6h",  # new post-window; rotate in round 5
     "corpus_snapshot_diff",  # new post-window; rotate in round 5
+    "pivot_orders_status_by_priority",  # new post-window; rotate in round 5
     "ann_knn_graph", "montecarlo_pi", "letter_freq", "classic_grep",
     "ann_pq_topk", "ann_ivfpq_topk",
     "corpus_curation_pipeline", "q1_pricing_summary",

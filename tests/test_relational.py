@@ -50,6 +50,7 @@ RELATIONAL = [
     "range_histogram_totalprice",
     "group_all_stats",
     "rollup_orders_by_status_priority",
+    "pivot_orders_status_by_priority",
     "cube_orders_by_status_priority",
     "percentiles_totalprice_by_priority",
     "window_top_order_per_customer",
