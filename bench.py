@@ -97,6 +97,8 @@ HEADLINE = [
     "split_leakage_audit",
     "split_cluster_aware",
     "rollup_cmsketch_top_users_6h",
+    "corpus_snapshot_diff",
+    "pivot_orders_status_by_priority",
 ]
 
 

@@ -148,7 +148,20 @@ def bloom_build(
     probe can never disagree.
     """
     if m_bits is not None:
-        m = m_bits  # caller pins m (required for bloom_merge compatibility)
+        # caller pins m (required for bloom_merge compatibility) — but a
+        # pinned m must still hold the structural invariant (word-packed
+        # bitset: 64 | m) and the fpr guarantee (>= bits_per_key per key;
+        # callers accepting a higher fpr say so by lowering bits_per_key)
+        if m_bits < 64 or m_bits % 64 != 0:
+            raise ValueError(f"m_bits={m_bits} must be a positive multiple of 64")
+        n = keys.count()
+        if m_bits < bits_per_key * n:
+            raise ValueError(
+                f"m_bits={m_bits} undersized for {n} keys at {bits_per_key} "
+                "bits/key — the fpr guarantee is void; pass a lower "
+                "bits_per_key to accept a higher fpr explicitly"
+            )
+        m = m_bits
     else:
         n = keys.count()
         m = _BLOOM_MIN_BITS
@@ -329,19 +342,29 @@ def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
     build(A) | build(B) is bit-identical to build(A UNION B) because a
     key's bit positions depend only on (key, m). Use case: benchmark
     suite v2 lands — merge its bloom into the standing one instead of
-    rebuilding over the union. Inputs must share m (pin it via
-    bloom_build(m_bits=...)); word-wise bit_or runs JVM-side, so blooms
-    of any size merge without visiting the driver."""
-    u = blooms[0]
+    rebuilding over the union.
+
+    Mixed-m inputs are REJECTED loudly (the size probe is one 1-row
+    action per input): ORing bitsets built under different moduli
+    yields a bloom with false negatives — the one guarantee a bloom
+    must never break — so silent acceptance is the worst outcome. The
+    merge itself is a zip_with word-wise OR folded across the 1-row
+    frames: no explode, no shuffle, no driver visit — the shape that
+    still works when each bitset is hundreds of MB."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one bloom")
+    sizes = [b.select(F.size("bloom").alias("s")).first()["s"] for b in blooms]
+    if len(set(sizes)) != 1:
+        raise ValueError(
+            "bloom_merge: mismatched m across inputs "
+            f"(m = {sorted({s * 64 for s in sizes})}); ORing different-m "
+            "bitsets would produce false negatives"
+        )
+    merged = blooms[0].select("bloom")
     for b in blooms[1:]:
-        u = u.unionAll(b)
-    words = (
-        u.select(F.posexplode("bloom").alias("i", "w"))
-        .groupBy("i")
-        .agg(F.bit_or("w").alias("w"))
-    )
-    return words.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]
-        ).alias("bloom")
-    )
+        merged = merged.crossJoin(
+            b.select(F.col("bloom").alias("__other"))
+        ).select(
+            F.zip_with("bloom", "__other", lambda x, y: x.bitwiseOR(y)).alias("bloom")
+        )
+    return merged

@@ -374,3 +374,24 @@ def test_bloom_merge_identity(spark):
         .count()
     )
     assert survivors == 500  # no false negatives across the merge
+
+
+def test_bloom_merge_and_build_guards(spark):
+    """Misuse must fail loudly: empty merge list, mismatched-m inputs
+    (silently ORing them would create false negatives), non-word-packed
+    m_bits, and a pinned m too small for the key set's fpr guarantee."""
+    import pytest
+
+    from disco_spark.textops.vocab import bloom_build, bloom_merge
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(100)], "k string")
+    with pytest.raises(ValueError, match="at least one"):
+        bloom_merge([])
+    small, _ = bloom_build(spark, keys, "k", m_bits=1 << 13)
+    big, _ = bloom_build(spark, keys, "k", m_bits=1 << 14)
+    with pytest.raises(ValueError, match="mismatched m"):
+        bloom_merge([small, big])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(spark, keys, "k", m_bits=1000)
+    with pytest.raises(ValueError, match="undersized"):
+        bloom_build(spark, keys, "k", m_bits=64)
