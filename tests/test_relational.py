@@ -60,3 +60,28 @@ RELATIONAL = [
 @pytest.mark.parametrize("name", RELATIONAL)
 def test_relational_oracle(spark, name):
     compare_query(spark, name, SF_SMOKE)
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """Melting the pivot matrix back to long format must reproduce the
+    direct groupBy counts exactly (unpivot is the inverse reshape)."""
+    from disco_spark.operators.relational2 import (
+        _PRIORITIES,
+        _PRIORITY_COLS,
+        pivot_orders_status_by_priority,
+    )
+    from disco_spark.session import load_tables
+
+    wide = pivot_orders_status_by_priority(spark, SF_SMOKE)
+    long = wide.unpivot("status", _PRIORITY_COLS, "pcol", "n")
+    got = {
+        (r.status, r.pcol): r.n for r in long.collect() if r.n and r.n > 0
+    }
+    orders = load_tables(spark, SF_SMOKE)["orders"]
+    col_of = dict(zip(_PRIORITIES, _PRIORITY_COLS))
+    want = {
+        (r.o_orderstatus, col_of[r.o_orderpriority]): r["count"]
+        for r in orders.groupBy("o_orderstatus", "o_orderpriority").count().collect()
+        if r["count"] > 0
+    }
+    assert got == want and want
