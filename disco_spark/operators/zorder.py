@@ -47,39 +47,51 @@ def rank_expr(col_name: str, mn: int, mx: int, bits: int = Z_BITS) -> Column:
     )
 
 
-def zorder_key(a_rank: Column, b_rank: Column, bits: int = Z_BITS) -> Column:
-    """Interleave the bits of two ranks (a gets even positions, b odd).
-    2*bits constant shift/mask terms OR-folded — all JVM integer ops
-    inside whole-stage codegen; no UDF, no shuffle."""
+def zorder_key_n(ranks: list[Column], bits: int = Z_BITS) -> Column:
+    """Round-robin bit interleave of D ranks: bit i of rank d lands at
+    position i*D + d. D*bits constant shift/mask terms OR-folded — all
+    JVM integer ops inside whole-stage codegen; no UDF, no shuffle.
+    D*bits must fit a signed 64-bit key (e.g. 3 dims x 16 bits = 48)."""
+    d = len(ranks)
+    if not (1 <= d and d * bits <= 63):
+        raise ValueError(f"{d} dims x {bits} bits won't fit a signed long key")
     z: Column | None = None
     for i in range(bits):
-        ta = F.shiftleft(F.shiftright(a_rank, i).bitwiseAND(F.lit(1)), 2 * i)
-        tb = F.shiftleft(F.shiftright(b_rank, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        z = ta.bitwiseOR(tb) if z is None else z.bitwiseOR(ta).bitwiseOR(tb)
+        for j, r in enumerate(ranks):
+            t = F.shiftleft(F.shiftright(r, i).bitwiseAND(F.lit(1)), i * d + j)
+            z = t if z is None else z.bitwiseOR(t)
     assert z is not None
     return z
 
 
+def zorder_key(a_rank: Column, b_rank: Column, bits: int = Z_BITS) -> Column:
+    """Interleave the bits of two ranks (a gets even positions, b odd) —
+    the 2-d case of zorder_key_n, kept for the oracle-checked query."""
+    return zorder_key_n([a_rank, b_rank], bits)
+
+
 def zorder_write(
     df: DataFrame,
-    dims: tuple[str, str],
+    dims: "tuple[str, ...] | list[str]",
     path: str,
     n_files: int,
     bits: int = Z_BITS,
 ) -> None:
-    """Write `df` as parquet clustered on the Z curve of two integer
-    dimension columns. One bounded action (4 scalars) anchors the rank
-    scaling; the data itself moves once through a range shuffle."""
-    a, b = dims
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(a), F.max(a), F.min(b), F.max(b)
+    """Write `df` as parquet clustered on the Z curve of D integer
+    dimension columns (D*bits must fit a long key). One bounded action
+    (2D scalars) anchors the rank scaling; the data itself moves once
+    through a range shuffle."""
+    anchors = df.agg(
+        *[f for c in dims for f in (F.min(c), F.max(c))]
     ).first()
-    if lo_a is None or lo_b is None:  # empty input: nothing to cluster
+    if any(v is None for v in anchors):  # empty input: nothing to cluster
         df.write.mode("overwrite").parquet(path)
         return
-    zkey = zorder_key(
-        rank_expr(a, lo_a, hi_a, bits),
-        rank_expr(b, lo_b, hi_b, bits),
+    zkey = zorder_key_n(
+        [
+            rank_expr(c, anchors[2 * i], anchors[2 * i + 1], bits)
+            for i, c in enumerate(dims)
+        ],
         bits,
     )
     (

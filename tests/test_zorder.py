@@ -107,3 +107,49 @@ def test_zorder_write_empty_input(spark):
     path = tempfile.mkdtemp(prefix="disco_spark_zorder_empty_")
     zorder_write(empty, ("o_custkey", "__days"), path, 4)
     assert spark.read.parquet(path).count() == 0
+
+
+def test_zorder_3d_prunes_box(spark):
+    """The N-dim generalization: lineitem clustered on (orderkey-range,
+    partkey, suppkey) must let a 3-d box predicate skip most files by
+    min/max stats, where round-robin reads all of them."""
+    import tempfile
+
+    from disco_spark.operators.zorder import zorder_write
+
+    li = load_tables(spark, SF_001)["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="disco_spark_z3_")
+    z_path, rr_path = os.path.join(tmp, "z"), os.path.join(tmp, "rr")
+    n_files = 64
+    zorder_write(li, ("l_orderkey", "l_partkey", "l_suppkey"), z_path, n_files)
+    li.repartition(n_files).write.mode("overwrite").parquet(rr_path)
+
+    los = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    box = {}
+    for i, c in enumerate(("l_orderkey", "l_partkey", "l_suppkey")):
+        lo, hi = los[2 * i], los[2 * i + 1]
+        # middle 25% per dim -> ~1.6% of the 3-d volume
+        box[c] = (lo + int(0.375 * (hi - lo)), lo + int(0.625 * (hi - lo)))
+
+    def overlapping(path):
+        files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        hit = 0
+        for f in files:
+            pdf = pd.read_parquet(f, columns=list(box))
+            if pdf.empty:
+                continue
+            if all(pdf[c].min() <= hi and pdf[c].max() >= lo
+                   for c, (lo, hi) in box.items()):
+                hit += 1
+        return hit, len(files)
+
+    z_hit, z_total = overlapping(z_path)
+    rr_hit, rr_total = overlapping(rr_path)
+    assert z_total == n_files and rr_hit == rr_total == n_files
+    assert z_hit <= n_files // 2, f"3-d z-order read {z_hit}/{z_total} files"
