@@ -131,18 +131,31 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "warmup_sec": warm_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "warmup_sec": warm_sec,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query detail goes to a file: the driver records only the
+    # tail of stdout, and an 80+-query JSON line outgrows that buffer
+    # (BENCH_r04.json parsed=null). The FINAL stdout line is kept compact
+    # (slowest 12 queries only) so it always survives tail capture and
+    # parses; the detail file holds the rest.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(payload, f)
+    except OSError as e:
+        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:12])
+    compact = dict(payload)
+    compact["queries"] = slowest
+    compact["n_queries"] = len(times)
+    compact["queries_detail_file"] = detail_path
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -707,19 +707,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COS_MIN}
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs within label blocks (the label column is
-    the coarse quantizer: pair space is per-block, not global n^2)."""
+def embedding_cosine_block_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks — the EXACT
+    within-block baseline the adaptive plan's recall is gated against
+    in pytest. NOT registered since round 5: fixed-cardinality label
+    blocks are quadratic per block (measured 71x pair-work at a 10x
+    scale-up, PERFORMANCE.md round 4); the registered
+    `dedup_embedding_cosine` is the adaptive sqrt(n)-cell plan
+    (similarity/ann.py)."""
     t = load_tables(spark, sf_dir)
     # norms are computed once per ROW before the join (2N array walks),
     # not once per PAIR after it (2·N² walks); the arithmetic

@@ -57,69 +57,65 @@ def query(name: str, oracle: str | None = None):
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (observed: CORRECTNESS_r0N.json stops at 50 entries in registration
 # order). Rounds 1-3 rotated the full 117-query surface through the
-# window — every query's latest driver row is green. Round 4
-# front-loads (a) the 22 queries whose freshest green row is still
-# round 1 (the r3 verdict's only verification debt), (b) every query
-# whose implementation was touched this round (external pipe rewrite,
-# classic fan-out fallback, table-cache rework ⇒ all classic/pipe
-# paths), and (c) this round's new queries as they land. Names absent
-# from this list keep registration order after the prioritized block;
-# unknown names here are ignored.
+# window; round 4 re-verified everything touched that round plus the
+# 22 round-1-stale rows (48/50 green). Round 5 front-loads (a) the 15
+# queries that have never had a driver row — the 13 late-round-4
+# additions plus the two adaptive queries, which gain probe-replay
+# oracles this round, (b) every query whose implementation round 5
+# touches (promoted adaptive embedding dedup, bloom-bitset JVM-side
+# build, shared split constants), and (c) this round's new queries as
+# they land. The remaining slots drain the round-2-stale pool (39
+# queries whose latest green row is round 2); what doesn't fit rotates
+# in round 6. Names absent from this list keep registration order
+# after the prioritized block; unknown names here are ignored.
 PRIORITY: list[str] = [
-    # --- implementations touched in round 4: external-pipe harness
-    #     rewrite (pipe_table/pipe_binary), classic _fan_out fallback,
-    #     load_tables cache rework
-    "external_pipe_upper", "external_binary_md5", "classic_wordcount",
-    "classic_sort_reduce", "classic_innerjoin",
-    "classic_partition_histogram",
-    # --- round-4 new queries (appended as they land)
-    "discodb_multiset_wordcount", "pack_manifest_documents",
-    "pack_sequence_stats", "sample_mixture_temperature",
-    "text_quality_logistic", "sample_training_shards",
-    "naive_bayes_lang_scores", "source_xml_records",
-    "ann_knn_graph_adaptive", "dedup_embedding_cosine_adaptive",
-    "streaming_stream_stream_join",
-    "rollup_hll_daily_users", "catalog_tag_walk",
-    "sink_partitioned_roundtrip", "tsp_nations_bruteforce",
-    "profile_orders_columns", "source_chunked_ingest",
-    "bucketed_colocated_join",
-    # --- the 22 stale rows: latest green is round 1; code unchanged
-    #     or additive since, but a fresh row retires the debt
-    "topk_orders", "global_sort_orders", "union_all_keys",
-    "intersect_customers", "except_customers",
-    "semi_join_active_customers", "anti_join_idle_customers",
-    "theta_join_nation_pairs", "group_all_stats",
-    "window_top_order_per_customer", "window_cumulative_revenue",
-    "window_order_gap_days", "rollup_orders_by_status_priority",
-    "cube_orders_by_status_priority",
-    "percentiles_totalprice_by_priority", "dedup_exact",
-    "dedup_minhash_lsh", "text_token_stats", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "text_repetition_ratio",
-    # --- outputs/plans materially changed this round: a fresh driver
-    #     row guards them (kmeans means are decimal-accumulated now;
-    #     pagerank iterates on integer ids; the two-pass rank/prefix
-    #     harness was unified; simhash is the in-row HOF fold)
-    "dedup_simhash", "pagerank_supplier_part",
-    "kmeans_embedding_clusters", "window_price_decile",
-    # ---- exactly 50 entries above this line. Everything below is
-    #      overflow that slides in only if earlier entries are removed —
-    #      all carry green rows from earlier rounds, or (montecarlo_pi,
-    #      letter_freq, classic_grep) this round's local verification;
-    #      ann_knn_graph's round-4 change is asserted bit-identical.
-    "contamination_train_bloom",  # new post-window; rotate in round 5
-    "streaming_contamination_screen",  # new post-window; rotate in round 5
-    "zorder_orders_key",  # new post-window; rotate in round 5
-    "text_quality_gopher",  # new post-window; rotate in round 5
-    "rollup_histogram_quantiles_6h",  # new post-window; rotate in round 5
-    "dedup_paragraph_clean",  # new post-window; rotate in round 5
-    "split_leakage_audit",  # new post-window; rotate in round 5
-    "split_cluster_aware",  # new post-window; rotate in round 5
-    "rollup_cmsketch_top_users_6h",  # new post-window; rotate in round 5
-    "corpus_snapshot_diff",  # new post-window; rotate in round 5
-    "pivot_orders_status_by_priority",  # new post-window; rotate in round 5
-    "ann_knn_graph", "montecarlo_pi", "letter_freq", "classic_grep",
-    "ann_pq_topk", "ann_ivfpq_topk",
-    "corpus_curation_pipeline", "q1_pricing_summary",
+    # --- never driver-verified: the 13 late-round-4 queries ...
+    "contamination_train_bloom", "streaming_contamination_screen",
+    "zorder_orders_key", "text_quality_gopher",
+    "rollup_histogram_quantiles_6h", "rollup_cmsketch_top_users_6h",
+    "dedup_paragraph_clean", "split_leakage_audit",
+    "split_cluster_aware", "corpus_snapshot_diff",
+    "pivot_orders_status_by_priority", "montecarlo_pi", "letter_freq",
+    # --- ... plus the adaptive queries, now with full-replay oracles
+    #     (round-4 verdict item 2; `dedup_embedding_cosine_adaptive`
+    #     was folded into `dedup_embedding_cosine` when the adaptive
+    #     plan was promoted to the registered surface — verdict item 4)
+    "ann_knn_graph_adaptive",
+    # --- implementations touched in round 5: adaptive plan promoted to
+    #     the registered embedding-dedup surface; bloom bitset now
+    #     aggregated JVM-side (never collected to the driver); split
+    #     thresholds unified into shared constants
+    "dedup_embedding_cosine", "split_documents_counts",
+    "vocab_top_bigrams", "sample_documents_10pct",
+    # --- round-5 new queries (appended as they land)
+    "profile_orders_columns_approx", "ann_index_load_topk",
+    "classic_oob_sorted_reduce",
+    # --- round-2-stale pool (latest green row is round 2); drain as
+    #     many as fit
+    "corpus_source_stats", "dedup_ngram_jaccard", "dedup_lsh_jaccard",
+    "dedup_ngram_jaccard_df_pruned", "dedup_paragraph",
+    "contamination_test_vs_train", "dedup_cluster_canonical",
+    "discodb_query_and", "discodb_query_or_not", "discodb_unique_keys",
+    "discodb_metaquery", "discodb_unique_values",
+    "classic_chain_common_words", "pipeline_wordcount",
+    "pipeline_node_label_condense", "pipeline_group_all_top3",
+    "events_tumbling_window", "events_sliding_window",
+    "events_session_window", "events_dedup_by_key",
+    "dedup_incremental_watermark", "streaming_stateful_user_totals",
+    "events_funnel_view_purchase", "events_last_action_per_user",
+    "streaming_static_join_value_by_segment",
+    "streaming_foreachbatch_user_totals", "source_re_reader",
+    "source_netstring", "udaf_weighted_avg_price",
+    # ---- ~50 entries above this line (new-query names count once they
+    #      register). Everything below is overflow that slides in only
+    #      if earlier entries are missing — all carry green rows from
+    #      earlier rounds. The 7 remaining round-2-stale queries lead
+    #      the overflow so they rotate first in round 6.
+    "classic_grep", "corpus_curation_pipeline", "ann_cosine_topk",
+    "multimodal_pixel_stats", "source_raw_literals",
+    "dedup_ngram_jaccard", "discodb_items",
+    "ann_knn_graph", "ann_pq_topk", "ann_ivfpq_topk",
+    "q1_pricing_summary",
     "q9_product_profit", "q18_large_orders", "asof_purchase_after_view",
     "streaming_tumbling_window", "multimodal_frame_sample",
     "discodb_metaquery_recursive", "rollup_events_6h_from_hourly",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from disco_spark.dedup.dedup import cosine, dot, norm
+from disco_spark.dedup.dedup import COS_MIN, cosine, dot, norm
 from disco_spark.registry import query
 from disco_spark.session import default_parallelism, load_tables
 
@@ -337,10 +337,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~100x candidate pairs. The fix is a quantizer whose cell count GROWS
 # with the corpus: k-means cells with k = ceil(sqrt(n)) keep the expected
 # per-cell population at sqrt(n), so sum(cell^2) ~ n * sqrt(n) per probe
-# — flat per-row candidate cost as n grows. Iterative + data-dependent k
-# means no static SQL oracle; correctness is gated by recall tests
-# against the exact baseline (tests/test_similarity.py).
+# — flat per-row candidate cost as n grows.
+#
+# Oracle (round-4 verdict item 2): the whole adaptive path IS
+# SQL-replayable. Every step of adaptive_cells is deterministic (init =
+# first k by vec_id, one Lloyd step, decimal-accumulated means,
+# first-index argmin tie-break) and the one data-dependent input — k =
+# max(8, ceil(sqrt(n))) — is itself a SQL scalar DuckDB accepts inside
+# LIMIT. So the oracle chains the unrolled kmeans CTEs (kmeans.
+# kmeans_ctes with a COUNT(*) subquery as k) with the same
+# probe/score/top-k replay ann_knn_graph's oracle already proved
+# bit-exact. Recall vs the exact baseline stays gated in pytest.
 # --------------------------------------------------------------------------
+_ADAPTIVE_K_SQL = (
+    "SELECT CAST(GREATEST(8, CEIL(SQRT(COUNT(*)))) AS BIGINT) FROM embeddings"
+)
+
+
+def _adaptive_knn_sql(nprobe: int, k: int) -> str:
+    """Replay knn_graph over adaptive sqrt(n) k-means cells: converged
+    assignments from the unrolled Lloyd CTEs, per-cell mean centroids,
+    top-nprobe cell probes per vector, exact cosine within probed cells,
+    top-k per source. Returns a full SELECT (src_id, dst_id, cos_sim)."""
+    from disco_spark.similarity.kmeans import kmeans_ctes
+
+    return f"""
+    WITH {kmeans_ctes(_ADAPTIVE_K_SQL, iters=1)},
+    cells AS (
+      SELECT e.vec_id, e.embedding, a.cluster AS label
+      FROM embeddings e JOIN afinal a USING (vec_id)
+    ),
+    cents AS (
+      SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(val) AS mean_val FROM (
+          SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding)::DOUBLE AS val
+          FROM cells
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    probes AS (
+      SELECT src_id, q_emb, label FROM (
+        SELECT v.vec_id AS src_id, v.embedding AS q_emb, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], c.centroid) DESC,
+                          c.label
+               ) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.src_id, m.vec_id AS dst_id,
+             ROUND(list_cosine_similarity(p.q_emb::DOUBLE[], m.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM probes p JOIN cells m
+        ON m.label = p.label AND m.vec_id <> p.src_id
+    )
+    SELECT src_id, dst_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                   ORDER BY cos_sim DESC, dst_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
 def adaptive_cells(e: DataFrame, iters: int = 1) -> DataFrame:
     """(vec_id, label) cell assignment with k = ceil(sqrt(n)) k-means
     cells. The count() is one bounded action; at real scale the trainer
@@ -361,19 +420,7 @@ def adaptive_cells(e: DataFrame, iters: int = 1) -> DataFrame:
     )
 
 
-@query("ann_knn_graph_adaptive")
-def ann_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """knn_graph over adaptive sqrt(n)-cardinality k-means cells — the
-    shape that stays linear-per-row at 100 TB where the fixed-label
-    variant goes quadratic (measured 22.6x at a 10x scale-up). No SQL
-    oracle (iterative, data-dependent k); the driver records rows-only
-    and pytest gates recall vs the exact baseline. NOTE on the recall
-    level: the synthetic embeddings are near-uniform in 16-d, the
-    hardest case for any IVF quantizer — recall@5 is ~0.52 probing 4 of
-    15 cells at sf0.01, and the gate (>=0.45) exists to catch
-    regressions, not to claim state-of-the-art ANN on random data; on
-    naturally clustered embeddings the same plan probes the generative
-    clusters (cf. ann_ivf_topk's label cells, where recall is ~1)."""
+def _adaptive_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     cells = adaptive_cells(e)
@@ -381,20 +428,40 @@ def ann_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(e2, k=TOP_K, nprobe=4)
 
 
-@query("dedup_embedding_cosine_adaptive")
-def dedup_embedding_cosine_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at scale: the adaptive-cell k-NN graph
-    filtered to the same COS_MIN threshold as the exact label-block join
-    (dedup_embedding_cosine, which went 71x at a 10x scale-up; this
-    variant's pair space is capped per cell). Pair recall vs the exact
-    join is gated in pytest; pairs are emitted once (src < dst)."""
-    t = load_tables(spark, sf_dir)
-    e = t["embeddings"]
-    cells = adaptive_cells(e)
-    e2 = e.drop("label").join(cells, "vec_id").select("vec_id", "embedding", "label")
-    from disco_spark.dedup.dedup import COS_MIN
+@query("ann_knn_graph_adaptive", oracle=_adaptive_knn_sql(nprobe=4, k=TOP_K))
+def ann_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_graph over adaptive sqrt(n)-cardinality k-means cells — the
+    shape that stays linear-per-row at 100 TB where the fixed-label
+    variant goes quadratic (measured 22.6x at a 10x scale-up). The
+    oracle replays the full deterministic path (see _adaptive_knn_sql).
+    NOTE on the recall level: the synthetic embeddings are near-uniform
+    in 16-d, the hardest case for any IVF quantizer — recall@5 is ~0.52
+    probing 4 of sqrt(n) cells at sf0.01, and the pytest gate (>=0.45)
+    exists to catch regressions, not to claim state-of-the-art ANN on
+    random data; on naturally clustered embeddings the same plan probes
+    the generative clusters (cf. ann_ivf_topk's label cells, where
+    recall is ~1)."""
+    return _adaptive_knn(spark, sf_dir)
 
-    g = knn_graph(e2, k=TOP_K, nprobe=4)
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH knn AS ({_adaptive_knn_sql(nprobe=4, k=TOP_K)})
+    SELECT src_id AS vec_a, dst_id AS vec_b, cos_sim FROM knn
+    WHERE cos_sim >= {COS_MIN} AND src_id < dst_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: the adaptive-cell k-NN graph filtered
+    to the COS_MIN threshold, pairs emitted once (src < dst).
+
+    This is the registered (user-facing) plan since round 5: the former
+    fixed-label block join — retained in dedup.dedup as the test-only
+    exact recall baseline (embedding_cosine_block_exact) — measured 71x
+    at a 10x scale-up (quadratic per block, PERFORMANCE.md round 4);
+    the adaptive sqrt(n)-cell pair space stays ~n*sqrt(n)/probe."""
+    g = _adaptive_knn(spark, sf_dir)
     return (
         g.filter((F.col("cos_sim") >= COS_MIN) & (F.col("src_id") < F.col("dst_id")))
         .select(

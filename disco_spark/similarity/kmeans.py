@@ -96,13 +96,15 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     return out
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
-    """Unroll Lloyd's fixed-iteration loop as chained CTEs. Everything in
-    kmeans_assign is deterministic (init = first k by vec_id, fixed
-    iteration count, first-index argmin tie-break), so the oracle can
-    replay it exactly. `list_distance` (sqrt-L2) replaces the engine's
-    squared-L2 for the per-vector argmin — sqrt is monotone, so the
-    ranking (and therefore the integer assignment output) is identical."""
+def kmeans_ctes(k_expr: str | int, iters: int) -> str:
+    """Unrolled Lloyd CTE chain (no WITH / final SELECT): c0 init,
+    a{i}/n{i}/c{i} per iteration, `afinal` = (vec_id, cluster).
+
+    `k_expr` may be an int literal or any SQL scalar expression DuckDB
+    accepts inside LIMIT — e.g. a subquery computing ceil(sqrt(n)), which
+    is how the adaptive-cell oracles replay a data-dependent k
+    (similarity/ann.py). Composable: callers append their own CTEs after
+    this chain and select from `afinal`."""
 
     def assign(name: str, centers: str) -> str:
         return f"""
@@ -117,6 +119,7 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
       ) WHERE rn = 1
     )"""
 
+    k = f"({k_expr})" if isinstance(k_expr, str) else k_expr
     parts = [
         f"""
     c0 AS (
@@ -144,7 +147,12 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
       FROM c{i - 1} p LEFT JOIN n{i} n USING (cluster)
     )""")
     parts.append(assign("afinal", f"c{iters}"))
-    return "WITH" + ",".join(parts) + "\n    SELECT vec_id, cluster FROM afinal"
+    return ",".join(parts)
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Full replay oracle for kmeans_assign — see kmeans_ctes."""
+    return "WITH" + kmeans_ctes(k, iters) + "\n    SELECT vec_id, cluster FROM afinal"
 
 
 @query("kmeans_embedding_clusters", oracle=_kmeans_oracle_sql(k=8, iters=3))

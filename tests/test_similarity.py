@@ -296,13 +296,15 @@ def test_adaptive_near_dup_recall(spark):
     # sf0.01, not the sf0.001 smoke dir: the 50-vector smoke corpus
     # yields a near-empty pair baseline where one boundary pair swings
     # the ratio by 20 points
+    from disco_spark.dedup.dedup import embedding_cosine_block_exact
+
     exact = {
         (r.vec_a, r.vec_b)
-        for r in registry.QUERIES["dedup_embedding_cosine"](spark, SF_CORRECT).collect()
+        for r in embedding_cosine_block_exact(spark, SF_CORRECT).collect()
     }
     approx = {
         (r.vec_a, r.vec_b)
-        for r in registry.QUERIES["dedup_embedding_cosine_adaptive"](
+        for r in registry.QUERIES["dedup_embedding_cosine"](
             spark, SF_CORRECT
         ).collect()
     }
