@@ -85,9 +85,71 @@ def _profile_oracle() -> str:
 
 @query("profile_orders_columns", oracle=_profile_oracle())
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan column profile of the orders table (5 columns)."""
+    """Single-scan column profile of the orders table (5 columns).
+
+    Exact n_distinct is what makes this oracle-checkable, but it is
+    also the plan's one scale cost: five count_distincts in one agg go
+    through a Catalyst Expand (the scan is replicated per distinct
+    column and shuffled). At 100 TB call profile_table(approx=True)
+    — or the registered profile_orders_columns_approx — whose HLL
+    sketches keep the whole profile a single partial/final agg with no
+    Expand and no data shuffle (PERFORMANCE.md, round 5)."""
     t = load_tables(spark, sf_dir)
     return profile_table(t["orders"].select(*_PROFILE_ORACLE_COLS))
+
+
+def _profile_approx_oracle() -> str:
+    """Same exact profile, plus the literal invariant bit (see below)."""
+    parts = []
+    for c in _PROFILE_ORACLE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS column,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           MIN(CAST({c} AS VARCHAR)) AS min_repr,
+           MAX(CAST({c} AS VARCHAR)) AS max_repr,
+           ROUND(AVG(LENGTH(CAST({c} AS VARCHAR))), 6) AS avg_len,
+           TRUE AS distinct_within_5pct
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_orders_columns_approx", oracle=_profile_approx_oracle())
+def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the approx (HLL-sketch) profile path.
+
+    Sketch estimates are engine-specific — Spark's DataSketches HLL and
+    DuckDB's HLL disagree in the last digits — so hashing the raw
+    estimate cross-engine can never be green. Instead the checked
+    output IS the operator's accuracy contract: every exact column of
+    the profile, plus `distinct_within_5pct` = (|HLL estimate − exact
+    n_distinct| / exact ≤ 5%). The oracle emits the same exact profile
+    with a literal TRUE, so an HLL regression (or a plan change that
+    breaks the sketch input) flips the boolean and fails the hash gate.
+    The demo intentionally runs BOTH plans at test scale to compare
+    them; production calls profile_table(approx=True) alone — a single
+    no-Expand, no-shuffle agg."""
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(*_PROFILE_ORACLE_COLS)
+    exact = profile_table(base).select(
+        "column", F.col("n_distinct").alias("nd_exact")
+    )
+    approx = profile_table(base, approx=True)
+    return (
+        approx.join(F.broadcast(exact), "column")
+        .withColumn(
+            "distinct_within_5pct",
+            (
+                F.abs(F.col("n_distinct") - F.col("nd_exact"))
+                / F.col("nd_exact")
+                <= F.lit(0.05)
+            ),
+        )
+        .select(
+            "column", "n_rows", "n_nulls", "min_repr", "max_repr",
+            "avg_len", "distinct_within_5pct",
+        )
+    )
 
 
 @query(

@@ -223,6 +223,7 @@ def ivfpq_search(
     k: int = TOP_K,
     nprobe: int = 3,
     shortlist: int = 50,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full large-scale ANN architecture in one plan —
     coarse cells bound WHERE to look (partition-pruned at real scale),
@@ -233,13 +234,16 @@ def ivfpq_search(
     ``codes_df`` must carry (vec_id, codes, label). Probed cells come
     from the same per-label centroid quantizer as ann_ivf_search; ADC
     scoring joins the (broadcast) per-query LUT + probe set against only
-    the probed cells' codes."""
+    the probed cells' codes. Pass ``cents`` to serve from a PERSISTED
+    coarse quantizer (index_store.ann_index_load) instead of recomputing
+    it from ``e`` — ``e`` is then only the rerank's raw-vector source."""
     from disco_spark.dedup.dedup import dot, norm
     from disco_spark.similarity.ann import ivf_centroids
     from disco_spark.dedup.dedup import cosine
 
     m, ksub, dsub = codebooks.shape
-    cents = ivf_centroids(e)
+    if cents is None:
+        cents = ivf_centroids(e)
     q_rows = []
     for qid, vec in queries:
         v = np.asarray(vec, dtype=np.float64)
@@ -291,13 +295,13 @@ def ivfpq_search(
     )
 
 
-@query(
-    "ann_ivfpq_topk",
-    # exact-within-probed-cells replay (same SQL as ann_ivf_topk): valid
-    # because the ADC shortlist provably recovers the in-cell top-k at
-    # the gated scales and the rerank recomputes EXACT cosine — a recall
-    # regression surfaces as a value mismatch here
-    oracle=f"""
+# exact-within-probed-cells replay (same SQL as ann_ivf_topk): valid
+# because the ADC shortlist provably recovers the in-cell top-k at
+# the gated scales and the rerank recomputes EXACT cosine — a recall
+# regression surfaces as a value mismatch. Shared by ann_ivfpq_topk and
+# ann_index_load_topk (index_store): the load path must be bit-identical
+# to the fresh-trained path, so one oracle serves both.
+IVFPQ_ORACLE = f"""
     WITH dims AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
              unnest(embedding)::DOUBLE AS val
@@ -335,8 +339,10 @@ def ivfpq_search(
                                    ORDER BY cos_sim DESC, neighbor_id) AS rn
       FROM scored
     ) WHERE rn <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("ann_ivfpq_topk", oracle=IVFPQ_ORACLE)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
