@@ -61,6 +61,21 @@ def _parse_bytes(raw: str) -> int:
     return int(s) * mult
 
 
+class _OOBDictParam:
+    """AccumulatorParam merging OOB key->value dicts (duck-typed; pyspark
+    only calls zero/addInPlace). Same-key puts keep the later write, like
+    the reference's OOB blob overwrite (lib/disco/task.py:122-145); since
+    a retried task re-puts identical values, merge is idempotent under
+    Spark task retries."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
 class _Out:
     """reduce's ``out.add(k, v)`` collector (reference func.py:73-91)."""
 
@@ -115,6 +130,7 @@ class DiscoJob:
         partitions: int | None = None,
         sort: bool = False,
         save: str | None = None,
+        oob: bool = False,
         params=None,
         map_output: str = "key string, value bigint",
         reduce_output: str = "key string, value bigint",
@@ -128,6 +144,8 @@ class DiscoJob:
         self.partitions = partitions
         self.sort = sort
         self.save = save
+        self.oob = oob
+        self._oob_acc = None
         self.params = params
         self.map_output = map_output
         self.reduce_output = reduce_output
@@ -258,6 +276,8 @@ class DiscoJob:
         ordinary DataFrame actions — SURVEY §3.1 steps 7-8).
         """
         df = input
+        if self.oob:
+            self._attach_oob(input.sparkSession)
         if self.map is not None:
             df = self._map_stage(self._fan_out(df))
         if self.reduce is not None:
@@ -274,6 +294,36 @@ class DiscoJob:
             TagCatalog(df.sparkSession).push(self.save, df, mode="overwrite")
             return df.sparkSession.table(self.save)
         return df
+
+
+    # -- OOB side-channel --------------------------------------------------
+    # Reference tasks call the globals put(key, blob)/get(key) and clients
+    # call job.oob_get/oob_list over HTTP (lib/disco/task.py:122-145,
+    # lib/disco/util.py:301-311; tests/test_oob.py). Spark mapping:
+    # executor-side puts flow through a dict-merge accumulator (the one
+    # sanctioned executor->driver side-channel that doesn't shuffle or
+    # collect data rows); within-job cross-stage get is subsumed by the
+    # shuffle itself — reduce already receives the mapped records, so
+    # the OOBJob1-style `assert v == get(k)` contract is the shuffle's
+    # delivery guarantee. Cross-JOB get (load_oob) is `other_job.oob_get`
+    # after that job's action, same as the reference's completed-job read.
+    def _attach_oob(self, spark) -> None:
+        acc = spark.sparkContext.accumulator({}, _OOBDictParam())
+        self._oob_acc = acc
+        if self.params is None:
+            from disco_spark.functions.library import Params
+
+            self.params = Params()
+        self.params.oob_put = lambda k, v: acc.add({k: v})
+
+    def oob_list(self) -> list:
+        """OOB keys put so far (valid after an action on the result —
+        accumulators materialize on job completion, like the reference's
+        results-ready barrier)."""
+        return sorted(self._oob_acc.value) if self._oob_acc is not None else []
+
+    def oob_get(self, key):
+        return self._oob_acc.value[key] if self._oob_acc is not None else None
 
 
 def disco_job(**kwargs) -> DiscoJob:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from disco_spark.functions.library import kvgroup, sum_combiner, sum_reduce
 from disco_spark.operators.classic import DiscoJob
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 
 
 def _wc_map(entry, params):
@@ -98,6 +98,69 @@ def classic_sort_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce_output="key string, value bigint",
     )
     return job.run(t["customer"].select("c_mktsegment"))
+
+
+def _pair_map(entry, params):
+    yield str(entry[0]), int(entry[1])
+
+
+def _oob_sum_reduce(iter, out, params):
+    # strictly-ascending group keys prove the compat layer really
+    # delivered a byte-sorted stream (sort=True contract, reference
+    # lib/disco/worker/classic/worker.py:397-404 + tests/test_pipeline_sort.py)
+    last = None
+    for key, vals in kvgroup(iter):
+        if last is not None and not key > last:
+            raise ValueError(f"sort=True violated: {key!r} after {last!r}")
+        last = key
+        n = total = 0
+        for v in vals:
+            n += 1
+            total += v
+        out.add(key, total)
+        # OOB side-output: one record-count blob per reduce group
+        # (reference tests/test_oob.py OOBJob1.reduce put pattern)
+        params.oob_put("groups:" + key, n)
+
+
+@query(
+    "classic_oob_sorted_reduce",
+    oracle="""
+    SELECT o_orderpriority AS key, SUM(o_orderkey)::BIGINT AS value
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'groups:' || o_orderpriority AS key, COUNT(*) AS value
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def classic_oob_sorted_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort=True reduce + OOB put/get + result_iterator, end-to-end:
+    the reduce asserts byte-sorted delivery, puts per-group counts on
+    the OOB channel, the driver streams results via result_iterator
+    (never collect) and verifies the OOB rows against the data by
+    returning BOTH through one oracle (reference tests/test_oob.py,
+    tests/test_pipeline_sort.py; lib/disco/task.py:122-145)."""
+    from disco_spark.sources.readers import result_iterator
+
+    t = load_tables(spark, sf_dir)
+    job = DiscoJob(
+        map=_pair_map,
+        reduce=_oob_sum_reduce,
+        sort=True,
+        oob=True,
+        partitions=4,
+        map_output="key string, value bigint",
+        reduce_output="key string, value bigint",
+    )
+    res = lazy_persist(job.run(t["orders"].select("o_orderpriority", "o_orderkey")))
+    # the action that completes the job and materializes OOB; streams
+    # partition-by-partition, nothing collects driver-side
+    for _ in result_iterator(res):
+        pass
+    oob_rows = [(k, int(job.oob_get(k))) for k in job.oob_list()]
+    return res.unionAll(
+        spark.createDataFrame(oob_rows, "key string, value bigint")
+    )
 
 
 def _join_reduce(iter, out, params):

@@ -1,0 +1,87 @@
+"""Persisted ANN index (build-then-load, DiscoDB parity) + OOB job
+side-channel + registry PRIORITY hygiene."""
+
+from __future__ import annotations
+
+import pytest
+
+from disco_spark import registry
+from disco_spark.session import load_tables
+from disco_spark.similarity.index_store import ensure_index
+from disco_spark.testing import compare_query
+
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def test_index_load_matches_fresh_trained(spark, tmp_path):
+    """The load path must be BIT-identical to the fresh-trained path
+    (same oracle serves both) — reference scheme_discodb build-then-load
+    contract: querying the persisted index equals querying the builder."""
+    fresh = {
+        tuple(r)
+        for r in registry.QUERIES["ann_ivfpq_topk"](spark, SF_SMOKE).collect()
+    }
+    loaded = {
+        tuple(r)
+        for r in registry.QUERIES["ann_index_load_topk"](spark, SF_SMOKE).collect()
+    }
+    assert fresh == loaded
+
+
+def test_index_builds_once_then_serves(spark, tmp_path):
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    path = str(tmp_path / "idx")
+    assert ensure_index(e, path) is True  # cold: build runs
+    assert ensure_index(e, path) is False  # warm: manifest match, no build
+
+
+def test_index_stale_manifest_rebuilds(spark, tmp_path):
+    import json
+    import os
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    path = str(tmp_path / "idx")
+    ensure_index(e, path)
+    mf = os.path.join(path, "manifest.json")
+    with open(mf) as fh:
+        m = json.load(fh)
+    m["input_files"] = ["gone.parquet"]
+    with open(mf, "w") as fh:
+        json.dump(m, fh)
+    assert ensure_index(e, path) is True  # corpus changed -> rebuild
+
+
+def test_oob_sorted_reduce_oracle(spark):
+    compare_query(spark, "classic_oob_sorted_reduce", SF_SMOKE)
+
+
+def test_oob_put_get_list(spark):
+    """job.oob_get/oob_list after an action — reference tests/test_oob.py
+    test_large contract (all puts visible, keyed, values intact)."""
+    from disco_spark.operators.classic import DiscoJob
+
+    def put_map(entry, params):
+        params.oob_put(f"k-{entry}", f"val:{entry}")
+        yield str(entry), 1
+
+    job = DiscoJob(map=put_map, oob=True, map_output="key string, value bigint")
+    df = spark.createDataFrame([(i,) for i in range(10)], "v bigint")
+    job.run(df).count()
+    assert job.oob_list() == [f"k-{i}" for i in range(10)]
+    assert job.oob_get("k-3") == "val:3"
+
+
+def test_priority_rejects_duplicates_and_unknown():
+    snap = list(registry.PRIORITY)
+    try:
+        registry.PRIORITY.append(registry.PRIORITY[0])
+        with pytest.raises(AssertionError):
+            registry.finalize_order()
+        registry.PRIORITY[:] = snap + ["no_such_query_xyz"]
+        with pytest.raises(AssertionError, match="no_such_query_xyz"):
+            registry.finalize_order()
+    finally:
+        registry.PRIORITY[:] = snap
+        registry.finalize_order()
