@@ -99,6 +99,11 @@ HEADLINE = [
     "rollup_cmsketch_top_users_6h",
     "corpus_snapshot_diff",
     "pivot_orders_status_by_priority",
+    # round 5/6: HLL profile (no-Expand plan), persisted-index ANN serve,
+    # OOB + sorted classic reduce
+    "profile_orders_columns_approx",
+    "ann_index_load_topk",
+    "classic_oob_sorted_reduce",
 ]
 
 

@@ -159,14 +159,14 @@ def _bands_sql() -> str:
 # of the band chain — dedup_minhash_lsh, dedup_lsh_jaccard, cc's cluster
 # oracle, and sampling's split-integrity oracles all read the same
 # text, so none can diverge).
-_MINHASH_PAIRS_SQL = f"""{_SHINGLES_SQL},{_bands_sql()},
+MINHASH_PAIRS_SQL = f"""{_SHINGLES_SQL},{_bands_sql()},
     lsh_pairs AS (SELECT doc_a, doc_b FROM cands)"""
 
 
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH {_MINHASH_PAIRS_SQL}
+    WITH {MINHASH_PAIRS_SQL}
     SELECT doc_a, doc_b FROM lsh_pairs
     """,
 )
@@ -702,8 +702,8 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays, computed in double (JVM
     higher-order functions; no UDF). For pairwise workloads prefer
     precomputing `norm()` per row BEFORE the join (see
-    dedup_embedding_cosine) — this form re-walks both arrays three
-    times per pair."""
+    embedding_cosine_block_exact below) — this form re-walks both
+    arrays three times per pair."""
     return dot(a, b) / (norm(a) * norm(b))
 
 

@@ -139,7 +139,11 @@ def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         approx.join(F.broadcast(exact), "column")
         .withColumn(
             "distinct_within_5pct",
-            (
+            # all-null column: 0/0 would make this NULL, not a verdict —
+            # define it as "sketch also says 0"
+            F.when(
+                F.col("nd_exact") == 0, F.col("n_distinct") == 0
+            ).otherwise(
                 F.abs(F.col("n_distinct") - F.col("nd_exact"))
                 / F.col("nd_exact")
                 <= F.lit(0.05)

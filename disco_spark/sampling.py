@@ -21,6 +21,16 @@ from disco_spark.session import load_tables
 
 BUCKETS = 10_000
 
+# THE split boundaries — the single definition site every split producer
+# and auditor shares (round-5 verdict: drifting re-derivations of the
+# 0.1/0.2 fractions would silently break split_leakage_audit's "audits
+# exactly what the pipeline produces" guarantee). bucket < TEST_HI ->
+# 'test'; < VAL_HI -> 'val'; else 'train'.
+TEST_FRAC = 0.1
+VAL_FRAC = 0.1
+TEST_HI = int(TEST_FRAC * BUCKETS)
+VAL_HI = int((TEST_FRAC + VAL_FRAC) * BUCKETS)
+
 
 def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
     """Deterministic bucket in [0, buckets): md5-derived, engine-portable
@@ -37,7 +47,7 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
 
 
 def train_val_test_split(
-    df: DataFrame, key: str, val: float = 0.1, test: float = 0.1
+    df: DataFrame, key: str, val: float = VAL_FRAC, test: float = TEST_FRAC
 ) -> DataFrame:
     """Add a `split` column: 'test' | 'val' | 'train' by hash range —
     disjoint, exhaustive, stable."""
@@ -70,8 +80,8 @@ def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_documents_counts",
     oracle=f"""
     WITH s AS (
-      SELECT CASE WHEN {_bucket_sql("doc_id")} < {int(0.1 * BUCKETS)} THEN 'test'
-                  WHEN {_bucket_sql("doc_id")} < {int(0.2 * BUCKETS)} THEN 'val'
+      SELECT CASE WHEN {_bucket_sql("doc_id")} < {TEST_HI} THEN 'test'
+                  WHEN {_bucket_sql("doc_id")} < {VAL_HI} THEN 'val'
                   ELSE 'train' END AS split
       FROM documents
     )
@@ -81,7 +91,7 @@ def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
-        train_val_test_split(t["documents"], "doc_id", val=0.1, test=0.1)
+        train_val_test_split(t["documents"], "doc_id")
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -252,28 +262,25 @@ def sample_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-from disco_spark.dedup.dedup import _MINHASH_PAIRS_SQL  # noqa: E402
-
-_TEST_HI = int(0.1 * BUCKETS)
-_VAL_HI = int(0.2 * BUCKETS)
+from disco_spark.dedup.dedup import MINHASH_PAIRS_SQL  # noqa: E402
 
 _SPLIT_CASE = (
-    f"CASE WHEN {{b}} < {_TEST_HI} THEN 'test' "
-    f"WHEN {{b}} < {_VAL_HI} THEN 'val' ELSE 'train' END"
+    f"CASE WHEN {{b}} < {TEST_HI} THEN 'test' "
+    f"WHEN {{b}} < {VAL_HI} THEN 'val' ELSE 'train' END"
 )
 
 
 def _split_col(key) -> Column:
     b = hash_bucket(key)
     return (
-        F.when(b < _TEST_HI, "test").when(b < _VAL_HI, "val").otherwise("train")
+        F.when(b < TEST_HI, "test").when(b < VAL_HI, "val").otherwise("train")
     )
 
 
 @query(
     "split_leakage_audit",
     oracle=f"""
-    WITH {_MINHASH_PAIRS_SQL},
+    WITH {MINHASH_PAIRS_SQL},
     lab AS (
       SELECT doc_a, doc_b,
              {_SPLIT_CASE.format(b=_bucket_sql("doc_a"))} AS split_a,
@@ -318,7 +325,7 @@ def split_leakage_audit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 @query(
     "split_cluster_aware",
     oracle=f"""
-    WITH RECURSIVE {_MINHASH_PAIRS_SQL},
+    WITH RECURSIVE {MINHASH_PAIRS_SQL},
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
       UNION SELECT doc_b, doc_a FROM lsh_pairs

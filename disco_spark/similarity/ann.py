@@ -84,11 +84,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_centroids(e: DataFrame) -> DataFrame:
     """Per-cell centroids: element-wise mean of embeddings per label
     (posexplode + groupBy keeps this a pure shuffle-agg; at scale this
-    is the one-time 'train' pass of the coarse quantizer)."""
+    is the one-time 'train' pass of the coarse quantizer).
+
+    Decimal-accumulated mean, matching kmeans_assign: a plain double
+    avg() is shuffle-order-dependent, and with adaptive sqrt(n) cells
+    the probe decision boundaries are dense enough that 1-ulp centroid
+    jitter can flip probe choices between engines/runs. Exact decimal
+    sums make the centroid — and every oracle that replays it — value-
+    stable at any scale."""
     dims = (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(38,18)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("mean_val")
+        )
     )
     return dims.groupBy("label").agg(
         F.array_sort(
@@ -107,10 +121,13 @@ def ann_ivf_search(
     queries: (query_id, q_emb). Returns (query_id, neighbor_id, cos_sim).
     """
     cents = ivf_centroids(e)
-    # rank cells per query by centroid cosine; keep nprobe cells
+    # rank cells per query by centroid cosine, ROUNDED to 6 decimals on
+    # both engines: the probe choice must not hinge on sub-1e-6 cross-
+    # engine arithmetic jitter (label tie-break resolves rounded ties
+    # identically — same robustness idiom as the scored stage)
     qc = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("c_sim", cosine(F.col("q_emb"), F.col("centroid")))
+        .withColumn("c_sim", F.round(cosine(F.col("q_emb"), F.col("centroid")), 6))
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("label"))
     probe = (
@@ -184,12 +201,19 @@ def knn_graph(e: DataFrame, k: int = TOP_K, nprobe: int = 2) -> DataFrame:
     v = e.select("vec_id", _dbl(F.col("embedding")).alias("emb")).withColumn(
         "nrm", F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
     )
+    # probe-ranking key rounded to 6 decimals on both engines (see
+    # ann_ivf_search): cell choice never hinges on 1-ulp jitter
     ranked_cells = v.crossJoin(F.broadcast(cents)).withColumn(
         "c_sim",
-        _dot_raw(F.col("emb"), F.col("centroid"))
-        / (
-            F.col("nrm")
-            * F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x))
+        F.round(
+            _dot_raw(F.col("emb"), F.col("centroid"))
+            / (
+                F.col("nrm")
+                * F.sqrt(
+                    F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+                )
+            ),
+            6,
         ),
     )
     wc = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
@@ -244,7 +268,7 @@ def knn_graph(e: DataFrame, k: int = TOP_K, nprobe: int = 2) -> DataFrame:
     ),
     cents AS (
       SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
-        SELECT label, pos, avg(val) AS mean_val FROM dims GROUP BY label, pos
+        SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE) AS mean_val FROM dims GROUP BY label, pos
       ) GROUP BY label
     ),
     probes AS (
@@ -252,7 +276,7 @@ def knn_graph(e: DataFrame, k: int = TOP_K, nprobe: int = 2) -> DataFrame:
         SELECT v.vec_id AS src_id, v.embedding AS q_emb, c.label,
                ROW_NUMBER() OVER (
                  PARTITION BY v.vec_id
-                 ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], c.centroid) DESC,
+                 ORDER BY ROUND(list_cosine_similarity(v.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.label
                ) AS rn
         FROM embeddings v CROSS JOIN cents c
@@ -290,7 +314,7 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cents AS (
       SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
-        SELECT label, pos, avg(val) AS mean_val FROM dims GROUP BY label, pos
+        SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE) AS mean_val FROM dims GROUP BY label, pos
       ) GROUP BY label
     ),
     q AS (
@@ -302,7 +326,7 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.query_id, q.q_emb, c.label,
                ROW_NUMBER() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY list_cosine_similarity(q.q_emb::DOUBLE[], c.centroid) DESC,
+                 ORDER BY ROUND(list_cosine_similarity(q.q_emb::DOUBLE[], c.centroid), 6) DESC,
                           c.label
                ) AS rn
         FROM q CROSS JOIN cents c
@@ -369,7 +393,7 @@ def _adaptive_knn_sql(nprobe: int, k: int) -> str:
     ),
     cents AS (
       SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
-        SELECT label, pos, avg(val) AS mean_val FROM (
+        SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE) AS mean_val FROM (
           SELECT label, generate_subscripts(embedding, 1) AS pos,
                  unnest(embedding)::DOUBLE AS val
           FROM cells
@@ -381,7 +405,7 @@ def _adaptive_knn_sql(nprobe: int, k: int) -> str:
         SELECT v.vec_id AS src_id, v.embedding AS q_emb, c.label,
                ROW_NUMBER() OVER (
                  PARTITION BY v.vec_id
-                 ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], c.centroid) DESC,
+                 ORDER BY ROUND(list_cosine_similarity(v.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.label
                ) AS rn
         FROM embeddings v CROSS JOIN cents c
@@ -420,12 +444,42 @@ def adaptive_cells(e: DataFrame, iters: int = 1) -> DataFrame:
     )
 
 
-def _adaptive_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _adaptive_knn(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 4
+) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     cells = adaptive_cells(e)
     e2 = e.drop("label").join(cells, "vec_id").select("vec_id", "embedding", "label")
-    return knn_graph(e2, k=TOP_K, nprobe=4)
+    return knn_graph(e2, k=k, nprobe=nprobe)
+
+
+def embedding_dedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COS_MIN,
+    k: int = TOP_K,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Parameterized embedding near-dup entry point: adaptive-cell k-NN
+    edges >= ``threshold``, each pair once (vec_a < vec_b).
+
+    The graph is CAPPED, not thresholded-complete: each vector
+    contributes at most ``k`` outgoing edges, so a vector sitting in a
+    dense duplicate cluster with more than ``k`` neighbors above
+    ``threshold`` drops the excess pairs. Raise ``k`` when downstream
+    consumers need the complete >=threshold pair set within probed
+    cells (cost grows linearly in k); the registered query pins
+    k=TOP_K to match its replay oracle."""
+    g = _adaptive_knn(spark, sf_dir, k=k, nprobe=nprobe)
+    return (
+        g.filter((F.col("cos_sim") >= threshold) & (F.col("src_id") < F.col("dst_id")))
+        .select(
+            F.col("src_id").alias("vec_a"),
+            F.col("dst_id").alias("vec_b"),
+            "cos_sim",
+        )
+    )
 
 
 @query("ann_knn_graph_adaptive", oracle=_adaptive_knn_sql(nprobe=4, k=TOP_K))
@@ -460,13 +514,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-label block join — retained in dedup.dedup as the test-only
     exact recall baseline (embedding_cosine_block_exact) — measured 71x
     at a 10x scale-up (quadratic per block, PERFORMANCE.md round 4);
-    the adaptive sqrt(n)-cell pair space stays ~n*sqrt(n)/probe."""
-    g = _adaptive_knn(spark, sf_dir)
-    return (
-        g.filter((F.col("cos_sim") >= COS_MIN) & (F.col("src_id") < F.col("dst_id")))
-        .select(
-            F.col("src_id").alias("vec_a"),
-            F.col("dst_id").alias("vec_b"),
-            "cos_sim",
-        )
-    )
+    the adaptive sqrt(n)-cell pair space stays ~n*sqrt(n)/probe.
+
+    Per-vector edge cap: pairs come from the k=TOP_K-capped k-NN graph,
+    not a complete >=COS_MIN enumeration — see embedding_dedup_pairs
+    for the tunable-k entry point and the cap semantics."""
+    return embedding_dedup_pairs(spark, sf_dir)

@@ -55,7 +55,9 @@ def _manifest(e: DataFrame, m: int, ksub: int) -> dict:
         "input_files": sorted(e.inputFiles()),
         "m": m,
         "ksub": ksub,
-        "version": 1,
+        # bump when index-build arithmetic changes (v2: decimal-mean
+        # centroids + rounded probe keys) — stale indexes must rebuild
+        "version": 2,
     }
 
 

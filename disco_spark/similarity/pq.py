@@ -254,7 +254,7 @@ def ivfpq_search(
     wc = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("label"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("c_sim", cosine(F.col("q_emb"), F.col("centroid")))
+        .withColumn("c_sim", F.round(cosine(F.col("q_emb"), F.col("centroid")), 6))
         .withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_emb", "lut", "label")
@@ -309,7 +309,7 @@ IVFPQ_ORACLE = f"""
     ),
     cents AS (
       SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
-        SELECT label, pos, avg(val) AS mean_val FROM dims GROUP BY label, pos
+        SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE) AS mean_val FROM dims GROUP BY label, pos
       ) GROUP BY label
     ),
     q AS (
@@ -321,7 +321,7 @@ IVFPQ_ORACLE = f"""
         SELECT q.query_id, q.q_emb, c.label,
                ROW_NUMBER() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY list_cosine_similarity(q.q_emb::DOUBLE[], c.centroid) DESC,
+                 ORDER BY ROUND(list_cosine_similarity(q.q_emb::DOUBLE[], c.centroid), 6) DESC,
                           c.label
                ) AS rn
         FROM q CROSS JOIN cents c

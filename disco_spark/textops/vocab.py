@@ -38,13 +38,15 @@ from pyspark.sql import functions as F
 
 from disco_spark.dedup.dedup import _SHINGLES_SQL, shingle_df
 from disco_spark.registry import query
-from disco_spark.sampling import BUCKETS, _bucket_sql, hash_bucket
+from disco_spark.sampling import TEST_HI, VAL_HI, _bucket_sql, hash_bucket
 from disco_spark.session import lazy_persist, load_tables
 from disco_spark.textops.analysis import _TOKS_SQL, with_toks
 
 TOP_K = 20
-_TEST_HI = int(0.1 * BUCKETS)   # bucket < 1000  -> 'test'
-_TRAIN_LO = int(0.2 * BUCKETS)  # bucket >= 2000 -> 'train' (val in between)
+# shared split boundaries (sampling.py is the single definition site):
+# bucket < TEST_HI -> 'test'; >= VAL_HI -> 'train' (val in between)
+_TEST_HI = TEST_HI
+_TRAIN_LO = VAL_HI
 
 
 @query(

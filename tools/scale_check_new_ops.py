@@ -1,37 +1,54 @@
-"""Measure the session's new operators at sf0.1 vs the 10x replicated
-sf1 set (tools/make_scaled_data.py) and print per-query scale factors —
-the same experiment PERFORMANCE.md's round-4 table records for the rest
-of the surface."""
+"""Measure a set of queries at a base scale vs the 10x replicated set
+(tools/make_scaled_data.py) and print per-query scale factors — the
+same experiment PERFORMANCE.md's round-4 table records for the rest of
+the surface.
 
+Usage:
+    python tools/scale_check_new_ops.py [query ...] \
+        [--base DIR] [--scaled DIR]
+
+Defaults: base=/root/testdata/sf0.1, scaled=<repo>/benchdata/sf1,
+queries = this round's new/changed operators.
+"""
+
+import argparse
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 from disco_spark import registry  # noqa: E402
 from disco_spark.session import get_spark, load_tables  # noqa: E402
 
-NEW_OPS = [
-    "zorder_orders_key",
-    "text_quality_gopher",
-    "rollup_histogram_quantiles_6h",
-    "contamination_train_bloom",
-    "dedup_paragraph_clean",
-    "streaming_contamination_screen",
+DEFAULT_OPS = [
+    "ann_index_load_topk",
+    "classic_oob_sorted_reduce",
+    "dedup_embedding_cosine",
+    "profile_orders_columns_approx",
 ]
 
+ap = argparse.ArgumentParser()
+ap.add_argument("queries", nargs="*", default=None)
+ap.add_argument("--base", default="/root/testdata/sf0.1")
+ap.add_argument("--scaled", default=os.path.join(REPO, "benchdata", "sf1"))
+args = ap.parse_args()
+ops = args.queries or DEFAULT_OPS
+
 registry.load_all()
+unknown = [q for q in ops if q not in registry.QUERIES]
+assert not unknown, f"unknown queries: {unknown}"
 spark = get_spark("scale_check")
 results = {}
-for sf_dir in ("/root/testdata/sf0.1", "/root/repo/benchdata/sf1"):
+for sf_dir in (args.base, args.scaled):
     load_tables(spark, sf_dir)
-    for name in NEW_OPS:
+    for name in ops:
         t0 = time.perf_counter()
         n = registry.QUERIES[name](spark, sf_dir).count()
         dt = time.perf_counter() - t0
         results.setdefault(name, []).append((dt, n))
         print(f"{sf_dir.split('/')[-1]} {name}: {dt:.2f}s rows={n}", flush=True)
-print("\n== scale factors (sf1 / sf0.1) ==")
+print("\n== scale factors (scaled / base) ==")
 for name, ((t01, n01), (t1, n1)) in results.items():
     print(f"{name}: {t1 / t01:.1f}x wall ({t01:.2f}s -> {t1:.2f}s), "
           f"rows {n01} -> {n1}")
