@@ -104,6 +104,8 @@ HEADLINE = [
     "profile_orders_columns_approx",
     "ann_index_load_topk",
     "classic_oob_sorted_reduce",
+    "ann_index_add_topk",
+    "dedup_incremental_lsh",
 ]
 
 

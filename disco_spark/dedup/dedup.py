@@ -176,6 +176,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_candidates(minhash_signatures(shingle_df(with_toks(t["documents"]))))
 
 
+def band_keys_df(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows from minhash signatures — the
+    join-ready LSH posting shape shared by the self-join candidate
+    generator (band_candidates) and the persisted signature store
+    (dedup/incremental.py)."""
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(*[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
 def band_candidates(sig: DataFrame) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded minhash signatures:
     docs collide when one whole band of their signatures matches. The
@@ -185,15 +201,7 @@ def band_candidates(sig: DataFrame) -> DataFrame:
     The band keys come from ONE posexplode over an array expression
     (not a UNION of per-band selects, which would re-evaluate the
     signature aggregation once per band — 3 shuffles instead of 1)."""
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat(*[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    bands = band_keys_df(sig)
     a = bands.toDF("doc_a", "band_idx", "band_key")
     b = bands.toDF("doc_b", "band_idx", "band_key")
     return (

@@ -1,0 +1,113 @@
+"""Incremental dedup against a PERSISTED corpus signature store — the
+shape a real crawl-ingest pipeline runs: the existing corpus's MinHash
+band keys are written once (a few bytes per doc), and every incoming
+batch deduplicates against the STORE, never re-reading or re-shingling
+the corpus text.
+
+Reference parity: DiscoDB's build-then-query contract applied to dedup
+(build an index job once, later jobs query it —
+lib/disco/schemes/scheme_discodb.py:5-28); the band store here is the
+LSH analog of those persisted indices.
+
+Scale story: at 100 TB corpus / 1 TB daily ingest, re-running full-
+corpus LSH per batch is a 100x overread. With the store, a batch costs
+shingle+sign the BATCH only, then one equi-join on (band_idx, band_key)
+against a bucketed band table — corpus text is never touched. The store
+is written bucketed-by-band_key at real scale so the probe join is
+co-located (here: plain parquet, same plan shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.dedup.dedup import (
+    MINHASH_PAIRS_SQL,
+    band_keys_df,
+    minhash_signatures,
+    shingle_df,
+)
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+from disco_spark.textops.analysis import with_toks
+
+SIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "benchdata", "sig_store")
+
+
+def signature_store_save(docs: DataFrame, path: str) -> None:
+    """Persist the corpus's LSH band keys: (doc_id, band_idx, band_key).
+    One shingle+minhash pass over the corpus, then only these ~100-byte
+    rows live on; text is not stored."""
+    bands = band_keys_df(minhash_signatures(shingle_df(with_toks(docs))))
+    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump({"input_files": sorted(docs.inputFiles()), "version": 1}, fh)
+
+
+def ensure_signature_store(docs: DataFrame, path: str) -> bool:
+    """Build the store unless a manifest-matching one exists. Returns
+    True when a build ran (test hook)."""
+    mf = os.path.join(path, "manifest.json")
+    want = {"input_files": sorted(docs.inputFiles()), "version": 1}
+    try:
+        with open(mf) as fh:
+            if json.load(fh) == want:
+                return False
+    except (OSError, ValueError):
+        pass
+    signature_store_save(docs, path)
+    return True
+
+
+def dedup_against_store(
+    incoming: DataFrame, spark: SparkSession, path: str
+) -> DataFrame:
+    """(incoming_doc, corpus_doc) candidate near-dup pairs: the incoming
+    batch's band keys equi-joined against the persisted store. Only the
+    batch is shingled; the corpus side is a scan of the band table."""
+    store = spark.read.parquet(os.path.join(path, "bands")).toDF(
+        "corpus_doc", "band_idx", "band_key"
+    )
+    new_bands = band_keys_df(
+        minhash_signatures(shingle_df(with_toks(incoming)))
+    ).toDF("incoming_doc", "band_idx", "band_key")
+    return (
+        new_bands.join(store, ["band_idx", "band_key"])
+        .select("incoming_doc", "corpus_doc")
+        .distinct()
+    )
+
+
+@query(
+    "dedup_incremental_lsh",
+    # the store is an implementation detail — results must equal a full
+    # LSH run restricted to cross-(corpus, incoming) pairs, so the
+    # oracle replays the shared band chain and filters by parity
+    oracle=f"""
+    WITH {MINHASH_PAIRS_SQL}
+    SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS incoming_doc,
+           CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS corpus_doc
+    FROM lsh_pairs
+    WHERE (doc_a % 2) <> (doc_b % 2)
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even doc_ids play the existing corpus (signature store persisted
+    on first call), odd doc_ids play the incoming batch; emit incoming
+    docs that LSH-collide with a corpus doc. The oracle proves store
+    round-tripping is lossless: a full two-sided LSH replay filtered to
+    cross-side pairs must match exactly."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    path = os.path.join(
+        SIG_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_evencorpus"
+    )
+    ensure_signature_store(corpus, path)
+    return dedup_against_store(incoming, spark, path)

@@ -60,16 +60,20 @@ def query(name: str, oracle: str | None = None):
 # window; round 4 re-verified the round-1-stale rows; round 5 greened
 # every never-driver-verified query (after it, all 148 queries were
 # green at their latest check). Round 6 front-loads (a) this round's
-# two new queries (persisted ANN index load; OOB + sorted reduce), then
+# four new queries (persisted ANN index load + incremental add; OOB +
+# sorted reduce; signature-store incremental LSH dedup), then
 # (b) drains the staleness debt: the 4 queries whose latest green row
-# is round 2, then 44 of the 46 round-3-stale queries (all 22 TPC-H
+# is round 2, then 42 of the 46 round-3-stale queries (all 22 TPC-H
 # shapes, the base ANN family, asof/interval, text ops). The remaining
-# 2 round-3-stale queries (text_pii_scrub, text_url_stats) lead the
-# overflow so round 7's rotation picks them up first. Names absent
+# 4 round-3-stale queries (streaming_tumbling_window, text_bpe_pretokens,
+# text_pii_scrub, text_url_stats) lead the overflow so round 7's
+# rotation picks them up first. Names absent
 # from this list keep registration order after the prioritized block.
 PRIORITY: list[str] = [
-    # --- round-6 new queries
+    # --- round-6 new queries (incl. incremental index-add / persisted
+    #     signature-store dedup)
     "ann_index_load_topk", "classic_oob_sorted_reduce",
+    "ann_index_add_topk", "dedup_incremental_lsh",
     # --- round-2-stale (latest green row: round 2)
     "ann_cosine_topk", "discodb_items", "multimodal_pixel_stats",
     "source_raw_literals",
@@ -94,10 +98,10 @@ PRIORITY: list[str] = [
     "native_lib_cbrt", "range_histogram_totalprice",
     "rollup_events_6h_from_hourly", "rollup_events_hourly",
     "sample_stratified_balance", "source_redis",
-    "streaming_tumbling_window", "text_bpe_pretokens",
     # ---- 50 entries above this line. Everything below is overflow that
-    #      slides in only if earlier entries are missing; the 2 deferred
+    #      slides in only if earlier entries are missing; the 4 deferred
     #      round-3-stale queries lead it for the round-7 rotation.
+    "streaming_tumbling_window", "text_bpe_pretokens",
     "text_pii_scrub", "text_url_stats",
     "classic_grep", "corpus_curation_pipeline", "dedup_embedding_cosine",
     "ann_knn_graph_adaptive", "profile_orders_columns_approx",
@@ -135,6 +139,7 @@ def load_all() -> None:
     from disco_spark.textops import vocab  # noqa: F401
     from disco_spark.dedup import dedup  # noqa: F401
     from disco_spark.dedup import cc  # noqa: F401
+    from disco_spark.dedup import incremental  # noqa: F401
     from disco_spark.similarity import ann  # noqa: F401
     from disco_spark.index import discodb_demo  # noqa: F401
     from disco_spark.operators import classic_demo  # noqa: F401

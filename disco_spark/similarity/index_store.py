@@ -39,6 +39,7 @@ from disco_spark.similarity.ann import N_QUERIES, TOP_K, ivf_centroids
 from disco_spark.similarity.pq import (
     IVFPQ_ORACLE,
     M_SUBSPACES,
+    ivfpq_oracle_sql,
     ivfpq_search,
     pq_encode,
     pq_train,
@@ -129,6 +130,40 @@ def ensure_index(e: DataFrame, path: str) -> bool:
     return True
 
 
+def ann_index_add(e_new: DataFrame, path: str) -> None:
+    """Incremental add (FAISS ``index.add()`` parity): encode NEW
+    vectors with the index's persisted codebooks — no retraining, no
+    touch of existing codes — and overwrite the delta partition.
+    Overwrite (not append) keeps the operation idempotent under
+    retries; a real ingest would write one delta dir per batch id.
+
+    At 100 TB this is the only way new data enters an ANN index:
+    re-training on every ingest would re-read the corpus. The trade,
+    exactly as in FAISS/IVF practice: centroids and codebooks drift
+    from the true distribution as the corpus grows; the operator's
+    contract is 'cells chosen by the BASE quantizer', and a periodic
+    full rebuild (ann_index_save) re-centers it."""
+    spark = e_new.sparkSession
+    _, _, books = ann_index_load(spark, path)
+    new_codes = pq_encode(e_new, books).join(
+        e_new.select("vec_id", "label"), "vec_id"
+    )
+    new_codes.write.partitionBy("label").mode("overwrite").parquet(
+        os.path.join(path, "codes_delta")
+    )
+
+
+def ann_index_load_all_codes(spark: SparkSession, path: str) -> DataFrame:
+    """Base codes plus any delta batches added after the build."""
+    base = spark.read.parquet(os.path.join(path, "codes"))
+    delta_dir = os.path.join(path, "codes_delta")
+    if os.path.isdir(delta_dir):
+        base = base.unionByName(spark.read.parquet(delta_dir))
+    return base.select(
+        "vec_id", "codes", F.col("label").cast("int").alias("label")
+    )
+
+
 @query("ann_index_load_topk", oracle=IVFPQ_ORACLE)
 def ann_index_load_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve IVF-PQ top-k from the PERSISTED index: no training in the
@@ -143,6 +178,40 @@ def ann_index_load_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
     ensure_index(e, path)
     cents, codes, books = ann_index_load(spark, path)
+    queries = [
+        (r.vec_id, np.array(r.embedding))
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_search(
+        e, codes, queries, books, spark, k=TOP_K, nprobe=3, cents=cents
+    )
+
+
+@query(
+    "ann_index_add_topk",
+    oracle=ivfpq_oracle_sql(base_where="vec_id % 2 = 0"),
+)
+def ann_index_add_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the index on HALF the corpus (even vec_ids), incrementally
+    add the other half with the persisted codebooks (ann_index_add —
+    no retraining), then serve top-k over the full corpus. The oracle
+    replays exactly that: coarse centroids from the even base only,
+    exact rerank over every vector in the probed cells — so a bug in
+    the add path (wrong codebooks, missed delta, re-trained centroids)
+    shows up as a value mismatch."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    added = e.filter(F.col("vec_id") % 2 == 1)
+    path = os.path.join(
+        INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_evenbase"
+    )
+    ensure_index(base, path)
+    ann_index_add(added, path)
+    cents, _, books = ann_index_load(spark, path)
+    codes = ann_index_load_all_codes(spark, path)
     queries = [
         (r.vec_id, np.array(r.embedding))
         for r in e.filter(F.col("vec_id") < N_QUERIES)

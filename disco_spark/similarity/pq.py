@@ -60,9 +60,17 @@ def pq_train(
     approximate cosine. Deterministic => cached per (application, input
     files, params): ann_pq_topk and ann_ivfpq_topk share one training
     pass, like FAISS reusing a trained index."""
+    # the logical-plan text distinguishes FILTERED views of the same
+    # files (e.g. index_store's even-vec_id base) — input files alone
+    # would alias them and hand the base trainer full-corpus codebooks
+    try:
+        plan = e._jdf.queryExecution().logical().toString()
+    except Exception:
+        plan = ""  # Spark Connect: fall back to files-only keying
     key = (
         e.sparkSession.sparkContext.applicationId,
         tuple(sorted(e.inputFiles())),
+        plan,
         m, ksub, iters, sample_cap,
     )
     hit = _TRAIN_CACHE.get(key)
@@ -298,14 +306,20 @@ def ivfpq_search(
 # exact-within-probed-cells replay (same SQL as ann_ivf_topk): valid
 # because the ADC shortlist provably recovers the in-cell top-k at
 # the gated scales and the rerank recomputes EXACT cosine — a recall
-# regression surfaces as a value mismatch. Shared by ann_ivfpq_topk and
-# ann_index_load_topk (index_store): the load path must be bit-identical
-# to the fresh-trained path, so one oracle serves both.
-IVFPQ_ORACLE = f"""
+# regression surfaces as a value mismatch. Shared by ann_ivfpq_topk,
+# ann_index_load_topk and (with base_where) ann_index_add_topk
+# (index_store): load/add paths must be value-identical to the
+# fresh-trained path, so one oracle text serves all.
+def ivfpq_oracle_sql(base_where: str = "TRUE") -> str:
+    """IVF-PQ replay oracle. ``base_where`` restricts the rows the
+    coarse quantizer (centroids) was trained on — the add path trains
+    on the base subset but serves over ALL rows (scored stage always
+    joins the full table)."""
+    return f"""
     WITH dims AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
              unnest(embedding)::DOUBLE AS val
-      FROM embeddings
+      FROM embeddings WHERE {base_where}
     ),
     cents AS (
       SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
@@ -340,6 +354,9 @@ IVFPQ_ORACLE = f"""
       FROM scored
     ) WHERE rn <= {TOP_K}
     """
+
+
+IVFPQ_ORACLE = ivfpq_oracle_sql()
 
 
 @query("ann_ivfpq_topk", oracle=IVFPQ_ORACLE)

@@ -53,6 +53,32 @@ def test_index_stale_manifest_rebuilds(spark, tmp_path):
     assert ensure_index(e, path) is True  # corpus changed -> rebuild
 
 
+def test_index_add_oracle(spark):
+    compare_query(spark, "ann_index_add_topk", SF_SMOKE)
+
+
+def test_index_add_serves_added_vectors(spark):
+    """The delta half (odd vec_ids) must be searchable — a missed delta
+    would still pass a base-only oracle if the oracle were wrong, so
+    assert the property directly."""
+    res = registry.QUERIES["ann_index_add_topk"](spark, SF_SMOKE).collect()
+    assert any(r.neighbor_id % 2 == 1 for r in res)
+
+
+def test_incremental_lsh_oracle(spark):
+    compare_query(spark, "dedup_incremental_lsh", SF_SMOKE)
+
+
+def test_signature_store_builds_once(spark, tmp_path):
+    from disco_spark.dedup.incremental import ensure_signature_store
+    from disco_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    path = str(tmp_path / "sig")
+    assert ensure_signature_store(docs, path) is True
+    assert ensure_signature_store(docs, path) is False
+
+
 def test_oob_sorted_reduce_oracle(spark):
     compare_query(spark, "classic_oob_sorted_reduce", SF_SMOKE)
 
