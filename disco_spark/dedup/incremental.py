@@ -39,28 +39,43 @@ SIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "benchdata", "sig_store")
 
 
-def signature_store_save(docs: DataFrame, path: str) -> None:
+def _store_manifest(docs: DataFrame, subset: str) -> dict:
+    # (path, size, mtime) fingerprints + the filter convention, same
+    # staleness contract as index_store._manifest: an in-place rewrite
+    # or a changed corpus filter must invalidate the store
+    from disco_spark.similarity.index_store import _file_fingerprints
+
+    return {
+        "input_files": _file_fingerprints(docs.inputFiles()),
+        "subset": subset,
+        "version": 2,
+    }
+
+
+def signature_store_save(docs: DataFrame, path: str, subset: str = "all") -> None:
     """Persist the corpus's LSH band keys: (doc_id, band_idx, band_key).
     One shingle+minhash pass over the corpus, then only these ~100-byte
     rows live on; text is not stored."""
     bands = band_keys_df(minhash_signatures(shingle_df(with_toks(docs))))
     bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
     with open(os.path.join(path, "manifest.json"), "w") as fh:
-        json.dump({"input_files": sorted(docs.inputFiles()), "version": 1}, fh)
+        json.dump(_store_manifest(docs, subset), fh)
 
 
-def ensure_signature_store(docs: DataFrame, path: str) -> bool:
+def ensure_signature_store(
+    docs: DataFrame, path: str, subset: str = "all"
+) -> bool:
     """Build the store unless a manifest-matching one exists. Returns
     True when a build ran (test hook)."""
     mf = os.path.join(path, "manifest.json")
-    want = {"input_files": sorted(docs.inputFiles()), "version": 1}
+    want = _store_manifest(docs, subset)
     try:
         with open(mf) as fh:
             if json.load(fh) == want:
                 return False
     except (OSError, ValueError):
         pass
-    signature_store_save(docs, path)
+    signature_store_save(docs, path, subset)
     return True
 
 
@@ -70,12 +85,12 @@ def dedup_against_store(
     """(incoming_doc, corpus_doc) candidate near-dup pairs: the incoming
     batch's band keys equi-joined against the persisted store. Only the
     batch is shingled; the corpus side is a scan of the band table."""
-    store = spark.read.parquet(os.path.join(path, "bands")).toDF(
-        "corpus_doc", "band_idx", "band_key"
+    store = spark.read.parquet(os.path.join(path, "bands")).select(
+        F.col("doc_id").alias("corpus_doc"), "band_idx", "band_key"
     )
     new_bands = band_keys_df(
         minhash_signatures(shingle_df(with_toks(incoming)))
-    ).toDF("incoming_doc", "band_idx", "band_key")
+    ).select(F.col("doc_id").alias("incoming_doc"), "band_idx", "band_key")
     return (
         new_bands.join(store, ["band_idx", "band_key"])
         .select("incoming_doc", "corpus_doc")
@@ -109,5 +124,5 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         SIG_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_evencorpus"
     )
-    ensure_signature_store(corpus, path)
+    ensure_signature_store(corpus, path, subset="even")
     return dedup_against_store(incoming, spark, path)

@@ -308,12 +308,13 @@ class DiscoJob:
     # delivery guarantee. Cross-JOB get (load_oob) is `other_job.oob_get`
     # after that job's action, same as the reference's completed-job read.
     def _attach_oob(self, spark) -> None:
+        from disco_spark.functions.library import Params
+
         acc = spark.sparkContext.accumulator({}, _OOBDictParam())
         self._oob_acc = acc
-        if self.params is None:
-            from disco_spark.functions.library import Params
-
-            self.params = Params()
+        # copy the caller's params bag: rebinding oob_put on a SHARED
+        # Params would cross-wire puts between jobs (last run() wins)
+        self.params = Params(**(self.params.__dict__ if self.params else {}))
         self.params.oob_put = lambda k, v: acc.add({k: v})
 
     def oob_list(self) -> list:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 
@@ -38,6 +39,7 @@ from disco_spark.session import load_tables
 from disco_spark.similarity.ann import N_QUERIES, TOP_K, ivf_centroids
 from disco_spark.similarity.pq import (
     IVFPQ_ORACLE,
+    K_SUB,
     M_SUBSPACES,
     ivfpq_oracle_sql,
     ivfpq_search,
@@ -51,23 +53,46 @@ INDEX_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "benchdata", "ann_index")
 
 
-def _manifest(e: DataFrame, m: int, ksub: int) -> dict:
+def _file_fingerprints(files: list[str]) -> list:
+    """(path, size, mtime) per input file when stat is possible — an
+    in-place rewrite of the same file names must invalidate the store,
+    not silently serve stale codes/bands. Remote URIs fall back to the
+    bare path (a real deployment would use the store's etags)."""
+    out = []
+    for f in sorted(files):
+        local = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            st = os.stat(local)
+            out.append([f, st.st_size, int(st.st_mtime)])
+        except OSError:
+            out.append([f, None, None])
+    return out
+
+
+def _manifest(e: DataFrame, m: int, ksub: int, subset: str = "all") -> dict:
     return {
-        "input_files": sorted(e.inputFiles()),
+        "input_files": _file_fingerprints(e.inputFiles()),
+        # the filter convention of a partial-corpus index (inputFiles
+        # alone can't distinguish a filtered view of the same files)
+        "subset": subset,
         "m": m,
         "ksub": ksub,
         # bump when index-build arithmetic changes (v2: decimal-mean
-        # centroids + rounded probe keys) — stale indexes must rebuild
-        "version": 2,
+        # centroids + rounded probe keys; v3: stat fingerprints+subset)
+        "version": 3,
     }
 
 
-def ann_index_save(e: DataFrame, path: str) -> None:
+def ann_index_save(e: DataFrame, path: str, subset: str = "all") -> None:
     """Build the full IVF-PQ index from (vec_id, embedding, label) rows
     and persist it under ``path``. One distributed encode pass + one
     centroid agg; codebook training is the bounded driver-side sample
     pass (pq_train docstring)."""
     spark = e.sparkSession
+    # a rebuild orphans any delta batches: their codes were assigned
+    # under the OLD codebooks and would ADC-score as garbage against
+    # the new LUTs — drop them with the old index
+    shutil.rmtree(os.path.join(path, "codes_delta"), ignore_errors=True)
     books = pq_train(e)
     m, ksub, dsub = books.shape
     codes = pq_encode(e, books).join(e.select("vec_id", "label"), "vec_id")
@@ -87,7 +112,7 @@ def ann_index_save(e: DataFrame, path: str) -> None:
         book_rows, "subspace int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
     with open(os.path.join(path, "manifest.json"), "w") as fh:
-        json.dump(_manifest(e, m, ksub), fh)
+        json.dump(_manifest(e, m, ksub, subset), fh)
 
 
 def ann_index_load(
@@ -115,22 +140,22 @@ def ann_index_load(
     return cents, codes, books
 
 
-def ensure_index(e: DataFrame, path: str) -> bool:
+def ensure_index(e: DataFrame, path: str, subset: str = "all") -> bool:
     """Build the index at ``path`` unless a manifest-matching one exists.
     Returns True when a build ran (test hook)."""
     mf = os.path.join(path, "manifest.json")
-    want = _manifest(e, M_SUBSPACES, 64)
+    want = _manifest(e, M_SUBSPACES, K_SUB, subset)
     try:
         with open(mf) as fh:
             if json.load(fh) == want:
                 return False
     except (OSError, ValueError):
         pass
-    ann_index_save(e, path)
+    ann_index_save(e, path, subset)
     return True
 
 
-def ann_index_add(e_new: DataFrame, path: str) -> None:
+def ann_index_add(e_new: DataFrame, path: str, books=None) -> None:
     """Incremental add (FAISS ``index.add()`` parity): encode NEW
     vectors with the index's persisted codebooks — no retraining, no
     touch of existing codes — and overwrite the delta partition.
@@ -143,8 +168,8 @@ def ann_index_add(e_new: DataFrame, path: str) -> None:
     from the true distribution as the corpus grows; the operator's
     contract is 'cells chosen by the BASE quantizer', and a periodic
     full rebuild (ann_index_save) re-centers it."""
-    spark = e_new.sparkSession
-    _, _, books = ann_index_load(spark, path)
+    if books is None:
+        _, _, books = ann_index_load(e_new.sparkSession, path)
     new_codes = pq_encode(e_new, books).join(
         e_new.select("vec_id", "label"), "vec_id"
     )
@@ -208,9 +233,11 @@ def ann_index_add_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_evenbase"
     )
-    ensure_index(base, path)
-    ann_index_add(added, path)
+    ensure_index(base, path, subset="even")
+    # one load serves the whole call: books feed the delta encode, cents
+    # the probe ranking; only the code table is re-read (with the delta)
     cents, _, books = ann_index_load(spark, path)
+    ann_index_add(added, path, books=books)
     codes = ann_index_load_all_codes(spark, path)
     queries = [
         (r.vec_id, np.array(r.embedding))

@@ -62,20 +62,23 @@ def pq_train(
     pass, like FAISS reusing a trained index."""
     # the logical-plan text distinguishes FILTERED views of the same
     # files (e.g. index_store's even-vec_id base) — input files alone
-    # would alias them and hand the base trainer full-corpus codebooks
+    # would alias them and hand the base trainer full-corpus codebooks.
+    # When any key component is unavailable (Spark Connect has neither
+    # _jdf nor sparkContext) the only safe degradation is NO caching:
+    # a files-only key would reintroduce exactly that aliasing.
     try:
-        plan = e._jdf.queryExecution().logical().toString()
+        key = (
+            e.sparkSession.sparkContext.applicationId,
+            tuple(sorted(e.inputFiles())),
+            e._jdf.queryExecution().logical().toString(),
+            m, ksub, iters, sample_cap,
+        )
     except Exception:
-        plan = ""  # Spark Connect: fall back to files-only keying
-    key = (
-        e.sparkSession.sparkContext.applicationId,
-        tuple(sorted(e.inputFiles())),
-        plan,
-        m, ksub, iters, sample_cap,
-    )
-    hit = _TRAIN_CACHE.get(key)
-    if hit is not None:
-        return hit
+        key = None
+    if key is not None:
+        hit = _TRAIN_CACHE.get(key)
+        if hit is not None:
+            return hit
     sample = np.array(
         [
             r.embedding
@@ -107,7 +110,8 @@ def pq_train(
                 else:  # reseed empty cluster at the worst-served point
                     cents[c] = sub[d2.min(axis=1).argmax()]
         books[j] = cents
-    _TRAIN_CACHE[key] = books
+    if key is not None:
+        _TRAIN_CACHE[key] = books
     return books
 
 

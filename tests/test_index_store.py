@@ -79,6 +79,49 @@ def test_signature_store_builds_once(spark, tmp_path):
     assert ensure_signature_store(docs, path) is False
 
 
+def test_rebuild_drops_stale_delta(spark, tmp_path):
+    """A rebuilt index must not serve delta codes encoded under the OLD
+    codebooks (code-review finding: rebuild orphaned codes_delta)."""
+    import os
+
+    from disco_spark.similarity.index_store import ann_index_add, ann_index_save
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    path = str(tmp_path / "idx")
+    ann_index_save(e.filter("vec_id % 2 = 0"), path, subset="even")
+    ann_index_add(e.filter("vec_id % 2 = 1"), path)
+    assert os.path.isdir(os.path.join(path, "codes_delta"))
+    ann_index_save(e.filter("vec_id % 2 = 0"), path, subset="even")
+    assert not os.path.isdir(os.path.join(path, "codes_delta"))
+
+
+def test_oob_shared_params_not_cross_wired(spark):
+    """Two jobs sharing one Params bag must keep separate OOB channels
+    (code-review finding: _attach_oob rebound oob_put on the shared
+    object, sending job A's puts to job B's accumulator)."""
+    from disco_spark.functions.library import Params
+    from disco_spark.operators.classic import DiscoJob
+
+    def put_a(entry, params):
+        params.oob_put(f"a-{entry}", 1)
+        yield str(entry), 1
+
+    def put_b(entry, params):
+        params.oob_put(f"b-{entry}", 1)
+        yield str(entry), 1
+
+    shared = Params(tag="shared")
+    job_a = DiscoJob(map=put_a, oob=True, params=shared)
+    job_b = DiscoJob(map=put_b, oob=True, params=shared)
+    df = spark.createDataFrame([(1,), (2,)], "v bigint")
+    dfa = job_a.run(df)
+    dfb = job_b.run(df)  # runs AFTER job_a.run but BEFORE its action
+    dfa.count()
+    dfb.count()
+    assert job_a.oob_list() == ["a-1", "a-2"]
+    assert job_b.oob_list() == ["b-1", "b-2"]
+
+
 def test_oob_sorted_reduce_oracle(spark):
     compare_query(spark, "classic_oob_sorted_reduce", SF_SMOKE)
 
