@@ -373,6 +373,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe/score/top-k replay ann_knn_graph's oracle already proved
 # bit-exact. Recall vs the exact baseline stays gated in pytest.
 # --------------------------------------------------------------------------
+_N_CACHE: dict[tuple, int] = {}
+
 _ADAPTIVE_K_SQL = (
     "SELECT CAST(GREATEST(8, CEIL(SQRT(COUNT(*)))) AS BIGINT) FROM embeddings"
 )
@@ -435,9 +437,18 @@ def adaptive_cells(e: DataFrame, iters: int = 1) -> DataFrame:
     convergence, is what the cells are for."""
     import math
 
-    from disco_spark.similarity.kmeans import kmeans_assign
+    from disco_spark.similarity.kmeans import _plan_key, kmeans_assign
 
-    n = e.count()
+    # the bounded count is cached per (application, input) alongside the
+    # centers cache: the adaptive k-NN graph and the embedding dedup
+    # share one quantizer, so the second caller trains nothing and
+    # counts nothing
+    ckey = _plan_key(e, "adaptive_n")
+    n = _N_CACHE.get(ckey) if ckey is not None else None
+    if n is None:
+        n = e.count()
+        if ckey is not None:
+            _N_CACHE[ckey] = n
     k = max(8, math.isqrt(max(n - 1, 0)) + 1)
     return kmeans_assign(e, k=k, iters=iters).select(
         "vec_id", F.col("cluster").alias("label")

@@ -49,13 +49,47 @@ def _nearest(centers: list[list[float]]):
     return F.array_position(dists, F.array_min(dists)) - 1
 
 
+_CENTERS_CACHE: dict[tuple, list] = {}
+
+
+def _plan_key(e: DataFrame, *params):
+    """Cache key for deterministic driver-side training state — same
+    contract as pq_train's codebook cache: (application, input files,
+    LOGICAL PLAN, params). The plan text distinguishes filtered views of
+    the same files; when any component is unavailable (Spark Connect),
+    return None and the caller skips caching."""
+    try:
+        return (
+            e.sparkSession.sparkContext.applicationId,
+            tuple(sorted(e.inputFiles())),
+            e._jdf.queryExecution().logical().toString(),
+            *params,
+        )
+    except Exception:
+        return None
+
+
 def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     """Lloyd's algorithm; returns (vec_id, cluster) assignments.
 
     The estimate step is pure column expressions (whole-stage codegen);
     the maximize step is posexplode + groupBy(cluster, pos) mean — one
     shuffle of k·dim partial aggregates per iteration.
-    """
+
+    Training is deterministic, so the CONVERGED CENTERS are cached per
+    (application, input, k, iters) — the k-centroid literals are the
+    only driver state (a few KB). Queries sharing a quantizer (the
+    adaptive k-NN graph and the embedding dedup both call
+    adaptive_cells on the same table) train ONCE per session and every
+    later call is a single lazy codegen pass with zero driver actions —
+    the 'train once, serve many' shape index_store persists across
+    sessions, applied within one."""
+    key = _plan_key(e, k, iters)
+    cached = _CENTERS_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        return e.select("vec_id", "embedding").withColumn(
+            "cluster", _nearest(cached)
+        ).select("vec_id", "cluster")
     e = e.select("vec_id", "embedding").persist()
     centers = [
         [float(x) for x in r["embedding"]]
@@ -93,6 +127,8 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
         ]
     out = e.withColumn("cluster", _nearest(centers)).select("vec_id", "cluster")
     e.unpersist()
+    if key is not None:
+        _CENTERS_CACHE[key] = centers
     return out
 
 
