@@ -327,6 +327,15 @@ class DiscoJob:
         return self._oob_acc.value[key] if self._oob_acc is not None else None
 
 
+def load_oob(job: "DiscoJob", key):
+    """Read a completed job's OOB blob (reference lib/disco/util.py:301-311
+    ``load_oob(master, jobname, key)`` — the cross-JOB read path used by
+    tests/test_oob.py OOBJob2). Here the completed job object IS the
+    handle; ship the returned value into a later job via Params or a
+    broadcast, exactly as the reference ships it via the master URL."""
+    return job.oob_get(key)
+
+
 def disco_job(**kwargs) -> DiscoJob:
     """Convenience constructor mirroring ``disco.job.Job`` keyword style."""
     return DiscoJob(**kwargs)

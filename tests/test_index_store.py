@@ -142,6 +142,32 @@ def test_oob_put_get_list(spark):
     assert job.oob_get("k-3") == "val:3"
 
 
+def test_load_oob_cross_job(spark):
+    """Reference tests/test_oob.py chain contract: job B consumes job
+    A's OOB blobs after A completes (load_oob)."""
+    from disco_spark.operators.classic import DiscoJob, load_oob
+
+    def put_map(entry, params):
+        params.oob_put(f"k-{entry}", entry * 10)
+        yield str(entry), 1
+
+    a = DiscoJob(map=put_map, oob=True, map_output="key string, value bigint")
+    a.run(spark.createDataFrame([(1,), (2,)], "v bigint")).count()
+
+    val = load_oob(a, "k-2")  # ships to job B via Params/broadcast
+
+    def consume_map(entry, params):
+        yield str(entry), int(params.seed)
+
+    b = DiscoJob(
+        map=consume_map,
+        params=__import__("disco_spark.functions.library", fromlist=["Params"]).Params(seed=val),
+        map_output="key string, value bigint",
+    )
+    rows = b.run(spark.createDataFrame([(7,)], "v bigint")).collect()
+    assert rows[0].value == 20
+
+
 def test_priority_rejects_duplicates_and_unknown():
     snap = list(registry.PRIORITY)
     try:
