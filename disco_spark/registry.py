@@ -102,7 +102,7 @@ PRIORITY: list[str] = [
     #      slides in only if earlier entries are missing; the 4 deferred
     #      round-3-stale queries lead it for the round-7 rotation.
     "streaming_tumbling_window", "text_bpe_pretokens",
-    "text_pii_scrub", "text_url_stats",
+    "text_pii_scrub", "text_url_stats", "ops_job_group_rollup",
     "classic_grep", "corpus_curation_pipeline", "dedup_embedding_cosine",
     "ann_knn_graph_adaptive", "profile_orders_columns_approx",
     "dedup_ngram_jaccard", "dedup_lsh_jaccard", "dedup_simhash",
@@ -143,6 +143,7 @@ def load_all() -> None:
     from disco_spark.similarity import ann  # noqa: F401
     from disco_spark.index import discodb_demo  # noqa: F401
     from disco_spark.operators import classic_demo  # noqa: F401
+    from disco_spark.operators import ops_demo  # noqa: F401
     from disco_spark.plans import pipeline_demo  # noqa: F401
     from disco_spark.streaming import windows  # noqa: F401
     from disco_spark.streaming import sinks  # noqa: F401

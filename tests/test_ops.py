@@ -70,3 +70,11 @@ def test_concurrent_jobs_fair_pools(spark):
     with ThreadPoolExecutor(max_workers=4) as ex:
         results = list(ex.map(one_job, range(4)))
     assert results == [7, 7, 7, 7]
+
+
+def test_ops_job_group_rollup_oracle(spark):
+    from disco_spark import registry
+    from disco_spark.testing import compare_query
+
+    registry.load_all()
+    compare_query(spark, "ops_job_group_rollup", "/root/testdata/sf0.001")
