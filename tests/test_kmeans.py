@@ -52,3 +52,18 @@ def test_kmeans_registered_query_shape(spark):
     assert len(rows) == 500  # one assignment per vector at sf0.001? see below
     assert set(df.columns) == {"vec_id", "cluster"}
     assert all(0 <= r["cluster"] < 8 for r in rows)
+
+
+def test_kmeans_centers_cache_bit_identical(spark):
+    """Warm (cached centers) and cold paths must assign identically —
+    the cache returns the SAME converged centers, so the lazy
+    re-assignment is the same codegen expression."""
+    from disco_spark.session import load_tables
+    from disco_spark.similarity.kmeans import _CENTERS_CACHE, kmeans_assign
+
+    e = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    _CENTERS_CACHE.clear()
+    cold = sorted(map(tuple, kmeans_assign(e, k=8, iters=2).collect()))
+    assert _CENTERS_CACHE  # cold call populated the cache
+    warm = sorted(map(tuple, kmeans_assign(e, k=8, iters=2).collect()))
+    assert cold == warm
