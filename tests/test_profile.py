@@ -69,3 +69,24 @@ def test_snapshot_diff_oracle(spark):
     from tests.conftest import SF_SMOKE
 
     compare_query(spark, "corpus_snapshot_diff", SF_SMOKE)
+
+
+def test_approx_profile_plan_no_expand(spark):
+    """The PERFORMANCE.md round-5 claim as a gate: the HLL profile plans
+    as ONE partial/final agg — no Catalyst Expand (the exact
+    multi-count_distinct plan has one), at most the single-row final
+    merge exchange."""
+    from disco_spark.operators.profile import profile_table
+    from disco_spark.session import load_tables
+
+    base = load_tables(spark, "/root/testdata/sf0.001")["orders"]
+    plan = (
+        profile_table(base, approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 1
+    exact_plan = (
+        profile_table(base)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the contrast the docstring documents
