@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     #      round-3-stale queries lead it for the round-7 rotation.
     "streaming_tumbling_window", "text_bpe_pretokens",
     "text_pii_scrub", "text_url_stats", "ops_job_group_rollup",
+    "dedup_embedding_cosine_deep",
     "classic_grep", "corpus_curation_pipeline", "dedup_embedding_cosine",
     "ann_knn_graph_adaptive", "profile_orders_columns_approx",
     "dedup_ngram_jaccard", "dedup_lsh_jaccard", "dedup_simhash",

@@ -493,6 +493,27 @@ def embedding_dedup_pairs(
     )
 
 
+@query(
+    "dedup_embedding_cosine_deep",
+    # same full-replay oracle, k=20: the per-vector edge cap is a REAL
+    # parameter (ADVICE round 5) — this registered variant proves the
+    # tunable path end-to-end for consumers that need the (near-)
+    # complete >=COS_MIN pair set within probed cells
+    oracle=f"""
+    WITH knn AS ({_adaptive_knn_sql(nprobe=4, k=20)})
+    SELECT src_id AS vec_a, dst_id AS vec_b, cos_sim FROM knn
+    WHERE cos_sim >= {COS_MIN} AND src_id < dst_id
+    """,
+)
+def dedup_embedding_cosine_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_dedup_pairs at k=20 (vs the default k=TOP_K cap): a
+    vector in a dense duplicate cluster keeps up to 20 >=COS_MIN edges
+    instead of 5. Cost grows linearly in k (the top-k window widens;
+    the pair space is unchanged), so deep-k is a per-consumer choice,
+    not a plan change."""
+    return embedding_dedup_pairs(spark, sf_dir, k=20)
+
+
 @query("ann_knn_graph_adaptive", oracle=_adaptive_knn_sql(nprobe=4, k=TOP_K))
 def ann_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_graph over adaptive sqrt(n)-cardinality k-means cells — the

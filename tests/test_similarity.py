@@ -313,3 +313,18 @@ def test_adaptive_near_dup_recall(spark):
     # deterministic 3/5 at sf0.01 (kmeans is decimal-exact, so this is
     # stable run-to-run); the gate has margin below that observed value
     assert recall >= 0.55, f"near-dup recall collapsed: {recall:.2f}"
+
+
+def test_dedup_deep_superset_of_default(spark):
+    """k=20 pairs must contain every k=TOP_K pair: widening the per-
+    vector edge cap only ADDS edges (same cells, same threshold)."""
+    registry.load_all()
+    base = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE).collect()
+    }
+    deep = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["dedup_embedding_cosine_deep"](spark, SF_SMOKE).collect()
+    }
+    assert base <= deep
