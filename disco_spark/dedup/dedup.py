@@ -73,7 +73,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # shingles (shared by minhash + jaccard)
 # --------------------------------------------------------------------------
-def shingle_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+# the default shingle width; exported so persisted-store manifests
+# (dedup/incremental.py) record the actual parameter
+SHINGLE_K = 3
+
+
+def shingle_df(
+    docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True
+) -> DataFrame:
     """k-token shingles per doc: (doc_id, shingle), deduped per doc by
     default. ``distinct=False`` keeps every occurrence AND keeps the
     plan stateless — streaming callers need that (distinct is a

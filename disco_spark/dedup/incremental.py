@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.dedup.dedup import (
+    BAND_SIZE,
     MINHASH_PAIRS_SQL,
+    N_HASHES,
+    SHINGLE_K,
     band_keys_df,
     minhash_signatures,
     shingle_df,
@@ -40,15 +43,25 @@ SIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def _store_manifest(docs: DataFrame, subset: str) -> dict:
-    # (path, size, mtime) fingerprints + the filter convention, same
+    # (path, size, mtime_ns) fingerprints + the filter convention, same
     # staleness contract as index_store._manifest: an in-place rewrite
     # or a changed corpus filter must invalidate the store
-    from disco_spark.similarity.index_store import _file_fingerprints
+    from disco_spark.session import file_fingerprints
 
     return {
-        "input_files": _file_fingerprints(docs.inputFiles()),
+        "input_files": file_fingerprints(docs.inputFiles()),
         "subset": subset,
-        "version": 2,
+        # the ACTUAL LSH parameters: stored band keys are only
+        # comparable to a probe computed with identical hashing, so a
+        # change to any of these must invalidate the store by itself
+        # (not rely on someone remembering to bump "version")
+        "params": {
+            "n_hashes": N_HASHES,
+            "band_size": BAND_SIZE,
+            "shingle_k": SHINGLE_K,
+            "hash_family": "md5-salted",  # minhash_signatures
+        },
+        "version": 3,  # v3: mtime_ns + explicit params
     }
 
 

@@ -116,6 +116,24 @@ def invalidate_table_cache(sf_dir: str | None = None) -> None:
         _TABLE_CACHE.pop(key, None)
 
 
+def file_fingerprints(files: list[str]) -> list:
+    """(path, size, mtime_ns) per input file when stat is possible — the
+    shared staleness fingerprint for every persisted store AND in-memory
+    training cache. Nanosecond mtime (not whole seconds): a same-size
+    rewrite within one second must still invalidate. Remote URIs fall
+    back to the bare path (a real deployment would use the store's
+    etags)."""
+    out = []
+    for f in sorted(files):
+        local = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            st = os.stat(local)
+            out.append([f, st.st_size, st.st_mtime_ns])
+        except OSError:
+            out.append([f, None, None])
+    return out
+
+
 def default_parallelism(spark: SparkSession, fallback: int = 32) -> int:
     """sparkContext (and so defaultParallelism) is absent under Spark
     Connect — every plan-shaping use must go through this guard instead

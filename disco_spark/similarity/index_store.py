@@ -35,12 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import file_fingerprints, load_tables
 from disco_spark.similarity.ann import N_QUERIES, TOP_K, ivf_centroids
 from disco_spark.similarity.pq import (
     IVFPQ_ORACLE,
     K_SUB,
     M_SUBSPACES,
+    PQ_ITERS,
+    PQ_SAMPLE_CAP,
     ivfpq_oracle_sql,
     ivfpq_search,
     pq_encode,
@@ -53,20 +55,9 @@ INDEX_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "benchdata", "ann_index")
 
 
-def _file_fingerprints(files: list[str]) -> list:
-    """(path, size, mtime) per input file when stat is possible — an
-    in-place rewrite of the same file names must invalidate the store,
-    not silently serve stale codes/bands. Remote URIs fall back to the
-    bare path (a real deployment would use the store's etags)."""
-    out = []
-    for f in sorted(files):
-        local = f[len("file:"):] if f.startswith("file:") else f
-        try:
-            st = os.stat(local)
-            out.append([f, st.st_size, int(st.st_mtime)])
-        except OSError:
-            out.append([f, None, None])
-    return out
+# staleness fingerprints are shared with every other persisted store
+# and training cache — see session.file_fingerprints (mtime_ns).
+_file_fingerprints = file_fingerprints
 
 
 def _manifest(e: DataFrame, m: int, ksub: int, subset: str = "all") -> dict:
@@ -77,9 +68,20 @@ def _manifest(e: DataFrame, m: int, ksub: int, subset: str = "all") -> dict:
         "subset": subset,
         "m": m,
         "ksub": ksub,
-        # bump when index-build arithmetic changes (v2: decimal-mean
-        # centroids + rounded probe keys; v3: stat fingerprints+subset)
-        "version": 3,
+        # the ACTUAL training algorithm parameters, not a hand-bumped
+        # version: a changed iteration count / sample cap / init scheme
+        # must invalidate the persisted index by itself (a manual bump
+        # only works if someone remembers to make it)
+        "params": {
+            "pq_iters": PQ_ITERS,
+            "pq_sample_cap": PQ_SAMPLE_CAP,
+            "pq_init": "spread-v2",  # evenly spaced sample rows, pq_train
+            "ivf_centroid": "decimal-mean-v2",  # ivf_centroids arithmetic
+        },
+        # bump only for changes the params above can't express (v2:
+        # decimal-mean centroids + rounded probe keys; v3: stat
+        # fingerprints+subset; v4: mtime_ns + explicit params)
+        "version": 4,
     }
 
 
@@ -155,12 +157,16 @@ def ensure_index(e: DataFrame, path: str, subset: str = "all") -> bool:
     return True
 
 
-def ann_index_add(e_new: DataFrame, path: str, books=None) -> None:
+def ann_index_add(
+    e_new: DataFrame, path: str, books=None, batch_id: str = "0"
+) -> None:
     """Incremental add (FAISS ``index.add()`` parity): encode NEW
     vectors with the index's persisted codebooks — no retraining, no
-    touch of existing codes — and overwrite the delta partition.
-    Overwrite (not append) keeps the operation idempotent under
-    retries; a real ingest would write one delta dir per batch id.
+    touch of existing codes — and write ONE delta directory per
+    ``batch_id`` (codes_delta/batch=<id>). Distinct batches accumulate;
+    re-running the SAME batch_id overwrites only its own directory, so
+    the operation stays idempotent under task/ingest retries without a
+    second batch ever clobbering the first's vectors.
 
     At 100 TB this is the only way new data enters an ANN index:
     re-training on every ingest would re-read the corpus. The trade,
@@ -174,16 +180,20 @@ def ann_index_add(e_new: DataFrame, path: str, books=None) -> None:
         e_new.select("vec_id", "label"), "vec_id"
     )
     new_codes.write.partitionBy("label").mode("overwrite").parquet(
-        os.path.join(path, "codes_delta")
+        os.path.join(path, "codes_delta", f"batch={batch_id}")
     )
 
 
 def ann_index_load_all_codes(spark: SparkSession, path: str) -> DataFrame:
-    """Base codes plus any delta batches added after the build."""
+    """Base codes plus EVERY delta batch added after the build: reading
+    the codes_delta root discovers batch=<id>/label=<l> partitions, so
+    the union covers all batches (the pre-fix shape dropped batch N-1
+    when batch N landed)."""
     base = spark.read.parquet(os.path.join(path, "codes"))
     delta_dir = os.path.join(path, "codes_delta")
-    if os.path.isdir(delta_dir):
-        base = base.unionByName(spark.read.parquet(delta_dir))
+    if os.path.isdir(delta_dir) and any(os.scandir(delta_dir)):
+        delta = spark.read.parquet(delta_dir).select("vec_id", "codes", "label")
+        base = base.select("vec_id", "codes", "label").unionByName(delta)
     return base.select(
         "vec_id", "codes", F.col("label").cast("int").alias("label")
     )

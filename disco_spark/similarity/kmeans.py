@@ -54,14 +54,20 @@ _CENTERS_CACHE: dict[tuple, list] = {}
 
 def _plan_key(e: DataFrame, *params):
     """Cache key for deterministic driver-side training state — same
-    contract as pq_train's codebook cache: (application, input files,
-    LOGICAL PLAN, params). The plan text distinguishes filtered views of
-    the same files; when any component is unavailable (Spark Connect),
-    return None and the caller skips caching."""
+    contract as pq_train's codebook cache: (application, input file
+    FINGERPRINTS, LOGICAL PLAN, params). Fingerprints (size+mtime_ns, via
+    session.file_fingerprints) rather than bare paths: an in-place
+    rewrite of the input parquet during one long-lived application must
+    miss the cache, matching the on-disk manifests' staleness contract.
+    The plan text distinguishes filtered views of the same files; when
+    any component is unavailable (Spark Connect), return None and the
+    caller skips caching."""
     try:
+        from disco_spark.session import file_fingerprints
+
         return (
             e.sparkSession.sparkContext.applicationId,
-            tuple(sorted(e.inputFiles())),
+            tuple(tuple(f) for f in file_fingerprints(e.inputFiles())),
             e._jdf.queryExecution().logical().toString(),
             *params,
         )

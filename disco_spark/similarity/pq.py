@@ -40,6 +40,10 @@ from disco_spark.similarity.ann import N_QUERIES, TOP_K
 # the test embeddings (sf0.01/sf0.1); codes are 16 bytes vs 256-byte raw.
 M_SUBSPACES = 16
 K_SUB = 64
+# training knobs, exported so index_store's manifest records the ACTUAL
+# parameters (a change here must invalidate persisted indexes by itself)
+PQ_ITERS = 20
+PQ_SAMPLE_CAP = 10_000
 
 
 _TRAIN_CACHE: dict[tuple, np.ndarray] = {}
@@ -49,8 +53,8 @@ def pq_train(
     e: DataFrame,
     m: int = M_SUBSPACES,
     ksub: int = K_SUB,
-    iters: int = 20,
-    sample_cap: int = 10_000,
+    iters: int = PQ_ITERS,
+    sample_cap: int = PQ_SAMPLE_CAP,
 ) -> np.ndarray:
     """Train per-subspace codebooks -> ndarray [m, ksub, d/m].
 
@@ -66,10 +70,15 @@ def pq_train(
     # When any key component is unavailable (Spark Connect has neither
     # _jdf nor sparkContext) the only safe degradation is NO caching:
     # a files-only key would reintroduce exactly that aliasing.
+    # file fingerprints (size+mtime_ns), not just paths: an in-place
+    # rewrite of the input parquet mid-application must miss this cache,
+    # exactly as the on-disk manifests already guarantee.
     try:
+        from disco_spark.session import file_fingerprints
+
         key = (
             e.sparkSession.sparkContext.applicationId,
-            tuple(sorted(e.inputFiles())),
+            tuple(tuple(f) for f in file_fingerprints(e.inputFiles())),
             e._jdf.queryExecution().logical().toString(),
             m, ksub, iters, sample_cap,
         )

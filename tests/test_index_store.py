@@ -95,6 +95,59 @@ def test_rebuild_drops_stale_delta(spark, tmp_path):
     assert not os.path.isdir(os.path.join(path, "codes_delta"))
 
 
+def test_index_add_two_batches_accumulate(spark, tmp_path):
+    """A second add() batch must not drop the first batch's vectors
+    (one codes_delta/batch=<id> directory per batch), while re-running
+    the SAME batch_id stays idempotent."""
+    from disco_spark.similarity.index_store import (
+        ann_index_add,
+        ann_index_load,
+        ann_index_load_all_codes,
+        ann_index_save,
+    )
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    path = str(tmp_path / "idx")
+    ann_index_save(e.filter("vec_id % 3 = 0"), path, subset="mod3-0")
+    _, _, books = ann_index_load(spark, path)
+    ann_index_add(e.filter("vec_id % 3 = 1"), path, books=books, batch_id="b1")
+    ann_index_add(e.filter("vec_id % 3 = 2"), path, books=books, batch_id="b2")
+    want = {r.vec_id for r in e.select("vec_id").collect()}
+    got = {
+        r.vec_id
+        for r in ann_index_load_all_codes(spark, path).select("vec_id").collect()
+    }
+    assert got == want
+    ann_index_add(e.filter("vec_id % 3 = 2"), path, books=books, batch_id="b2")
+    got_retry = {
+        r.vec_id
+        for r in ann_index_load_all_codes(spark, path).select("vec_id").collect()
+    }
+    assert got_retry == want
+
+
+def test_store_manifests_record_algorithm_params(spark, tmp_path):
+    """A changed algorithm parameter must invalidate a persisted store by
+    itself — the manifest carries the actual params, not a hand-bumped
+    version (ADVICE round 6)."""
+    import json
+    import os
+
+    from disco_spark.dedup.incremental import ensure_signature_store
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    path = str(tmp_path / "sig")
+    ensure_signature_store(docs, path)
+    mf = os.path.join(path, "manifest.json")
+    with open(mf) as fh:
+        m = json.load(fh)
+    assert m["params"]["n_hashes"] > 0 and m["params"]["shingle_k"] > 0
+    m["params"]["n_hashes"] += 1  # simulate a store built under old params
+    with open(mf, "w") as fh:
+        json.dump(m, fh)
+    assert ensure_signature_store(docs, path) is True  # params drift -> rebuild
+
+
 def test_oob_shared_params_not_cross_wired(spark):
     """Two jobs sharing one Params bag must keep separate OOB channels
     (code-review finding: _attach_oob rebound oob_put on the shared
