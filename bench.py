@@ -106,6 +106,14 @@ HEADLINE = [
     "classic_oob_sorted_reduce",
     "ann_index_add_topk",
     "dedup_incremental_lsh",
+    # round 7: batch sessionization, tf-idf, OOV coverage, exact-span
+    # dedup, explicit salted skew join, persisted-index logical delete
+    "events_sessionize_gap",
+    "tfidf_top_terms",
+    "vocab_coverage_oov",
+    "dedup_exact_substring",
+    "join_skew_salted",
+    "ann_index_delete_topk",
 ]
 
 

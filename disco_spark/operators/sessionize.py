@@ -1,0 +1,100 @@
+"""Batch gap-based sessionization over the events table.
+
+The reference's only session-ish capability is a custom reduce over
+per-user sorted streams (lib/disco/worker/classic/worker.py sort=True
+reduce; SURVEY §2.3) — the user writes the gap logic imperatively. Here
+it is the declarative classic: one shuffle on user_id, then pure window
+functions (lag -> new-session flag -> running sum = session id), then a
+grouped aggregate. Complements the STREAMING session windows
+(streaming/windows.py events_session_window) with the batch/backfill
+shape a training pipeline runs over historical logs.
+
+Scale story: one Exchange on user_id serves the lag window, the
+cumulative-sum window AND the final groupBy (all partition on user_id —
+Catalyst reuses the partitioning, `.explain` shows a single Exchange).
+No driver state, no Python; session count per user is unbounded but
+each group folds to one row per session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+# session gap: a new session starts after > 30 min of inactivity
+GAP_SECONDS = 1800
+
+
+def sessionize(events: DataFrame, gap_s: int = GAP_SECONDS) -> DataFrame:
+    """(user_id, session_seq, n_events, session_start, session_end,
+    duration_s): gap-based sessions per user.
+
+    Timestamps are folded to epoch seconds (bigint) up front — exact in
+    both engines (events are µs-precision, DuckDB replays with
+    FLOOR(epoch(ts))). Ties on (user_id, sec) are safe: tied rows see
+    gap 0 regardless of their relative order, so the new-session flag
+    and the running sum are order-independent within a tie group."""
+    ev = events.select(
+        "user_id", F.expr("unix_micros(ts) div 1000000").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    new_sess = (
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > gap_s),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess")
+    )
+    run = Window.partitionBy("user_id").orderBy("sec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_seq", F.sum("new_sess").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("sec").alias("session_start"),
+            F.max("sec").alias("session_end"),
+            (F.max("sec") - F.min("sec")).alias("duration_s"),
+        )
+    )
+
+
+@query(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+    ),
+    g AS (
+      SELECT user_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > {GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ),
+    s AS (
+      SELECT user_id, sec,
+             CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(sec) AS session_start,
+           MAX(sec) AS session_end,
+           MAX(sec) - MIN(sec) AS duration_s
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return sessionize(t["events"])

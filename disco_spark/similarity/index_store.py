@@ -93,8 +93,11 @@ def ann_index_save(e: DataFrame, path: str, subset: str = "all") -> None:
     spark = e.sparkSession
     # a rebuild orphans any delta batches: their codes were assigned
     # under the OLD codebooks and would ADC-score as garbage against
-    # the new LUTs — drop them with the old index
+    # the new LUTs — drop them with the old index. Tombstones likewise:
+    # a rebuild compacts logical deletes (the rebuilt corpus IS the
+    # truth; stale tombstones would delete re-ingested vectors).
     shutil.rmtree(os.path.join(path, "codes_delta"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     books = pq_train(e)
     m, ksub, dsub = books.shape
     codes = pq_encode(e, books).join(e.select("vec_id", "label"), "vec_id")
@@ -199,6 +202,41 @@ def ann_index_load_all_codes(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def ann_index_delete(
+    ids: DataFrame, path: str, batch_id: str = "0"
+) -> None:
+    """Logical delete (FAISS ``remove_ids`` / Lucene tombstone parity):
+    record the vec_ids in a tombstone partition under the index; codes
+    are NOT rewritten. The serve path anti-joins tombstones out of the
+    ADC scan; a full rebuild (ann_index_save) compacts them away.
+
+    Same per-batch layout as ann_index_add: distinct delete batches
+    accumulate, re-running one batch_id overwrites only itself. At
+    100 TB rewriting label-partitioned code files per delete would be a
+    full-index write; tombstones make delete O(|deleted|)."""
+    ids.select(F.col("vec_id").cast("bigint")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "tombstones", f"batch={batch_id}"))
+
+
+def ann_index_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb_dir) and any(os.scandir(tomb_dir)):
+        return spark.read.parquet(tomb_dir).select("vec_id")
+    return None
+
+
+def ann_index_serveable_codes(spark: SparkSession, path: str) -> DataFrame:
+    """Codes visible to search: base + every add batch, minus every
+    tombstoned vec_id. The anti-join broadcasts when the tombstone set
+    is small (the usual case); AQE handles the rest."""
+    codes = ann_index_load_all_codes(spark, path)
+    tomb = ann_index_tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(tomb, "vec_id", "left_anti")
+    return codes
+
+
 @query("ann_index_load_topk", oracle=IVFPQ_ORACLE)
 def ann_index_load_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve IVF-PQ top-k from the PERSISTED index: no training in the
@@ -213,6 +251,39 @@ def ann_index_load_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
     ensure_index(e, path)
     cents, codes, books = ann_index_load(spark, path)
+    queries = [
+        (r.vec_id, np.array(r.embedding))
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_search(
+        e, codes, queries, books, spark, k=TOP_K, nprobe=3, cents=cents
+    )
+
+
+@query(
+    "ann_index_delete_topk",
+    oracle=ivfpq_oracle_sql(neighbor_where="e.vec_id % 5 <> 3"),
+)
+def ann_index_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-k AFTER a logical delete (vec_id % 5 = 3 tombstoned)
+    from the SHARED persisted index — centroids/codebooks unchanged
+    (deletes never retrain, exactly FAISS remove_ids), deleted vectors
+    excluded from ADC scoring and rerank. The oracle replays full-corpus
+    training with the deleted ids filtered from the serveable set, so a
+    leak of a tombstoned neighbor OR an accidental retrain both surface
+    as value mismatches. Tombstones live in their own subdirectory, so
+    ann_index_load_topk's view of the same index is untouched."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    path = os.path.join(INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    ensure_index(e, path)
+    cents, _, books = ann_index_load(spark, path)
+    ann_index_delete(
+        e.filter(F.col("vec_id") % 5 == 3).select("vec_id"), path
+    )
+    codes = ann_index_serveable_codes(spark, path)
     queries = [
         (r.vec_id, np.array(r.embedding))
         for r in e.filter(F.col("vec_id") < N_QUERIES)

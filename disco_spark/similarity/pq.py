@@ -323,11 +323,15 @@ def ivfpq_search(
 # ann_index_load_topk and (with base_where) ann_index_add_topk
 # (index_store): load/add paths must be value-identical to the
 # fresh-trained path, so one oracle text serves all.
-def ivfpq_oracle_sql(base_where: str = "TRUE") -> str:
+def ivfpq_oracle_sql(
+    base_where: str = "TRUE", neighbor_where: str = "TRUE"
+) -> str:
     """IVF-PQ replay oracle. ``base_where`` restricts the rows the
     coarse quantizer (centroids) was trained on — the add path trains
     on the base subset but serves over ALL rows (scored stage always
-    joins the full table)."""
+    joins the full table). ``neighbor_where`` (column refs on ``e``)
+    restricts which rows are SERVEABLE as neighbors — the delete path's
+    tombstoned ids drop out of scoring but stay out of training."""
     return f"""
     WITH dims AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -360,6 +364,7 @@ def ivfpq_oracle_sql(base_where: str = "TRUE") -> str:
                AS cos_sim
       FROM probe p JOIN embeddings e
         ON e.label = p.label AND e.vec_id <> p.query_id
+      WHERE {neighbor_where}
     )
     SELECT query_id, neighbor_id, cos_sim FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

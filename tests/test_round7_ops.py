@@ -1,0 +1,158 @@
+"""Round-7 operators: batch sessionization, tf-idf / OOV coverage,
+exact-substring dedup, salted skew join query, persisted-index delete."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from disco_spark import registry
+from disco_spark.session import load_tables
+from disco_spark.testing import compare_query
+
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def test_sessionize_oracle(spark):
+    compare_query(spark, "events_sessionize_gap", SF_SMOKE)
+
+
+def test_sessionize_gap_property(spark):
+    """Within a session every inter-event gap <= GAP; consecutive
+    sessions of one user are separated by > GAP."""
+    from disco_spark.operators.sessionize import GAP_SECONDS
+
+    rows = (
+        registry.QUERIES["events_sessionize_gap"](spark, SF_SMOKE)
+        .orderBy("user_id", "session_seq")
+        .collect()
+    )
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+        assert r.session_end - r.session_start == r.duration_s
+        assert r.n_events >= 1
+    for sess in by_user.values():
+        for prev, nxt in zip(sess, sess[1:]):
+            assert nxt.session_start - prev.session_end > GAP_SECONDS
+            assert nxt.session_seq == prev.session_seq + 1
+
+
+def test_sessionize_event_conservation(spark):
+    """Every event lands in exactly one session."""
+    total = load_tables(spark, SF_SMOKE)["events"].count()
+    agg = (
+        registry.QUERIES["events_sessionize_gap"](spark, SF_SMOKE)
+        .agg(F.sum("n_events").alias("s"))
+        .collect()[0]
+    )
+    assert agg.s == total
+
+
+def test_tfidf_oracle(spark):
+    compare_query(spark, "tfidf_top_terms", SF_SMOKE)
+
+
+def test_tfidf_at_most_k_per_doc(spark):
+    from disco_spark.textops.tfidf import TOP_TERMS_PER_DOC
+
+    counts = (
+        registry.QUERIES["tfidf_top_terms"](spark, SF_SMOKE)
+        .groupBy("doc_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert counts <= TOP_TERMS_PER_DOC
+
+
+def test_vocab_coverage_oracle(spark):
+    compare_query(spark, "vocab_coverage_oov", SF_SMOKE)
+
+
+def test_vocab_coverage_only_test_split(spark):
+    """Rows are exactly the test-split docs (single-sourced boundary)."""
+    from disco_spark.sampling import TEST_HI, hash_bucket
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    expect = {
+        r.doc_id
+        for r in docs.filter(hash_bucket(F.col("doc_id")) < TEST_HI)
+        .select("doc_id")
+        .collect()
+    }
+    got = {
+        r.doc_id
+        for r in registry.QUERIES["vocab_coverage_oov"](spark, SF_SMOKE)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_exact_substring_oracle(spark):
+    compare_query(spark, "dedup_exact_substring", SF_SMOKE)
+
+
+def test_exact_substring_detects_planted_copy(spark):
+    """Two synthetic docs sharing a long literal passage pair up; an
+    unrelated doc does not."""
+    from disco_spark.dedup.substring import shared_span_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {passage} trailing one"),
+            (2, f"{passage} completely different ending here"),
+            (3, "nothing in common with the others at all " * 3),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in shared_span_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_skew_salted_query_oracle(spark):
+    compare_query(spark, "join_skew_salted", SF_SMOKE)
+
+
+def test_index_delete_oracle(spark):
+    compare_query(spark, "ann_index_delete_topk", SF_SMOKE)
+
+
+def test_index_delete_excludes_tombstoned(spark):
+    res = registry.QUERIES["ann_index_delete_topk"](spark, SF_SMOKE).collect()
+    assert res
+    assert all(r.neighbor_id % 5 != 3 for r in res)
+
+
+def test_index_delete_batches_accumulate_and_rebuild_compacts(spark, tmp_path):
+    from disco_spark.session import load_tables as lt
+    from disco_spark.similarity.index_store import (
+        ann_index_delete,
+        ann_index_save,
+        ann_index_serveable_codes,
+        ann_index_tombstones,
+    )
+
+    e = lt(spark, SF_SMOKE)["embeddings"]
+    path = str(tmp_path / "idx")
+    ann_index_save(e, path)
+    ann_index_delete(e.filter("vec_id % 10 = 1").select("vec_id"), path, "d1")
+    ann_index_delete(e.filter("vec_id % 10 = 2").select("vec_id"), path, "d2")
+    served = {
+        r.vec_id
+        for r in ann_index_serveable_codes(spark, path).select("vec_id").collect()
+    }
+    alive = {
+        r.vec_id
+        for r in e.filter("vec_id % 10 NOT IN (1, 2)").select("vec_id").collect()
+    }
+    assert served == alive  # both delete batches applied
+    ann_index_save(e, path)  # rebuild compacts tombstones
+    assert ann_index_tombstones(spark, path) is None
+    n_all = e.count()
+    assert ann_index_serveable_codes(spark, path).count() == n_all
