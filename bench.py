@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_exact_substring",
     "join_skew_salted",
     "ann_index_delete_topk",
+    "text_lm_perplexity",
 ]
 
 

@@ -115,6 +115,78 @@ def test_exact_substring_detects_planted_copy(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_lm_perplexity_oracle(spark):
+    compare_query(spark, "text_lm_perplexity", SF_SMOKE)
+
+
+def test_lm_perplexity_prefers_fluent_text(spark):
+    """A doc made of common train-split bigrams must score lower (less
+    surprising) than a doc of shuffled rare junk — the CCNet filtering
+    premise, checked end-to-end on synthetic docs scored by the same
+    model code paths (train = the real corpus train split)."""
+    from disco_spark.sampling import hash_bucket
+    from disco_spark.session import load_tables as lt
+    from disco_spark.textops.lm_score import _doc_bigrams
+
+    docs = lt(spark, SF_SMOKE)["documents"]
+    import pyspark.sql.functions as FF
+
+    common = (
+        _doc_bigrams(docs)
+        .groupBy("a", "b")
+        .count()
+        .orderBy(FF.desc("count"))
+        .limit(6)
+        .collect()
+    )
+    fluent = " ".join(f"{r.a} {r.b}" for r in common)
+    junk = " ".join(f"zzq{i}xw vbn{i}qp" for i in range(6))
+    # find test-bucket ids deterministically
+    ids = []
+    i = 10**9
+    while len(ids) < 2:
+        b = spark.range(i, i + 1).select(
+            hash_bucket(FF.col("id")).alias("b")
+        ).collect()[0].b
+        if b < 1000:  # TEST_HI at BUCKETS=10000
+            ids.append(i)
+        i += 1
+    synth = spark.createDataFrame(
+        [(ids[0], fluent), (ids[1], junk)], "doc_id bigint, text string"
+    )
+    from disco_spark.sampling import VAL_HI
+
+    # score synthetic docs against the real train split by unioning them
+    # into the corpus (they land in the test bucket, never the model)
+    import disco_spark.textops.lm_score as lm
+
+    bg = lm._doc_bigrams(docs.select("doc_id", "text").unionByName(synth))
+    train = bg.filter(FF.col("bucket") >= VAL_HI).select("a", "b")
+    counts = train.groupBy("a", "b").agg(FF.count(FF.lit(1)).alias("c_ab"))
+    ctx = counts.groupBy("a").agg(FF.sum("c_ab").alias("c_a"))
+    vocab = train.agg(FF.countDistinct("b").alias("vocab"))
+    test = bg.filter(FF.col("doc_id").isin(ids)).select("doc_id", "a", "b")
+    nll = FF.when(
+        FF.col("c_a").isNull(), -FF.log2(FF.lit(1.0) / FF.col("vocab"))
+    ).otherwise(
+        -FF.log2(
+            (FF.coalesce(FF.col("c_ab"), FF.lit(0)) + FF.lit(1.0))
+            / (FF.col("c_a") + FF.col("vocab"))
+        )
+    )
+    scores = {
+        r.doc_id: r.ppl
+        for r in test.join(counts, ["a", "b"], "left")
+        .join(ctx, "a", "left")
+        .crossJoin(FF.broadcast(vocab))
+        .withColumn("nll", nll)
+        .groupBy("doc_id")
+        .agg((FF.sum("nll") / FF.count(FF.lit(1))).alias("ppl"))
+        .collect()
+    }
+    assert scores[ids[0]] < scores[ids[1]]
+
+
 def test_skew_salted_query_oracle(spark):
     compare_query(spark, "join_skew_salted", SF_SMOKE)
 
