@@ -115,6 +115,7 @@ HEADLINE = [
     "join_skew_salted",
     "ann_index_delete_topk",
     "text_lm_perplexity",
+    "rollup_incremental_refresh",
 ]
 
 

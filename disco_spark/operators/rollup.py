@@ -70,6 +70,54 @@ def rollup_grains(grains: DataFrame, hours: int) -> DataFrame:
     )
 
 
+def merge_grains(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two hourly grain tables (algebraic measures add): the
+    continuous-aggregate REFRESH step — new data's grains fold into the
+    materialized table without ever re-scanning old raw events. Buckets
+    present in both sides combine; disjoint buckets pass through."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_micro_sum").alias("value_micro_sum"),
+        )
+    )
+
+
+# refresh cutoff: everything before is the "materialized" history,
+# everything after is the incoming batch (testdata spans 1995-2001)
+REFRESH_CUTOFF = "1998-06-01"
+
+
+@query(
+    "rollup_incremental_refresh",
+    # the oracle is the FULL re-aggregation over all raw events: an
+    # incremental refresh (old grains + new batch's grains) must be
+    # indistinguishable from a rebuild — the hypertable/continuous-
+    # aggregate correctness contract. A bucket straddling the cutoff
+    # exercises the combine path.
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh: the pre-cutoff grain table (in
+    production: the persisted materialization) merged with grains of the
+    post-cutoff batch. At 100 TB the left side is a read of the tiny
+    grain table and ONLY the new batch's raw rows are scanned; here both
+    sides derive from the same events scan to stay oracle-checkable."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    old = ev.filter(F.col("ts") < F.lit(REFRESH_CUTOFF).cast("timestamp"))
+    new = ev.filter(F.col("ts") >= F.lit(REFRESH_CUTOFF).cast("timestamp"))
+    return merge_grains(hourly_grains(old), hourly_grains(new))
+
+
 @query(
     "rollup_events_hourly",
     oracle="""

@@ -115,6 +115,28 @@ def test_exact_substring_detects_planted_copy(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_rollup_incremental_refresh_oracle(spark):
+    compare_query(spark, "rollup_incremental_refresh", SF_SMOKE)
+
+
+def test_merge_grains_equals_rebuild(spark):
+    """Refresh contract directly: grains(old) ⊕ grains(new) ==
+    grains(all), for an arbitrary cutoff (including buckets straddling
+    it)."""
+    from disco_spark.operators.rollup import hourly_grains, merge_grains
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    cutoff = "1997-03-15 07:30:00"  # mid-hour: straddles a bucket
+    merged = merge_grains(
+        hourly_grains(ev.filter(F.col("ts") < cutoff)),
+        hourly_grains(ev.filter(F.col("ts") >= cutoff)),
+    )
+    full = hourly_grains(ev)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
 def test_lm_perplexity_oracle(spark):
     compare_query(spark, "text_lm_perplexity", SF_SMOKE)
 
