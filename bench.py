@@ -116,6 +116,7 @@ HEADLINE = [
     "ann_index_delete_topk",
     "text_lm_perplexity",
     "rollup_incremental_refresh",
+    "streaming_index_add",
 ]
 
 

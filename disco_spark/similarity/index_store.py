@@ -263,6 +263,77 @@ def ann_index_load_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_index_add",
+    # same contract as ann_index_add_topk: coarse quantizer trained on
+    # the even base, every odd vector serveable — HOW the odd half
+    # arrived (N micro-batches vs one batch) must be invisible
+    oracle=ivfpq_oracle_sql(base_where="vec_id % 2 = 0"),
+)
+def streaming_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the persisted ANN index: the odd-vec_id
+    half arrives as a real Structured Streaming source (3 files,
+    maxFilesPerTrigger=1 -> 3 micro-batches), and each micro-batch's
+    foreachBatch encodes it with the PERSISTED codebooks into its own
+    codes_delta/batch=<id> directory — the per-batch layout the round-6
+    ADVICE fix introduced, exercised here with real multi-batch
+    accumulation (batch N must not clobber batch N-1). Serve is the
+    ordinary load path over base + all deltas; retried micro-batches
+    are idempotent because a batch id overwrites only itself.
+
+    At 100 TB this is the standing shape of index maintenance: a
+    crawler appends embedding files, the stream encodes ONLY new
+    arrivals (never re-reading the corpus), and a periodic rebuild
+    re-centers the quantizer."""
+    import shutil as _shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    path = os.path.join(
+        INDEX_ROOT,
+        os.path.basename(os.path.normpath(sf_dir)) + "_evenbase_stream",
+    )
+    ensure_index(base, path, subset="even")
+    cents, _, books = ann_index_load(spark, path)
+
+    stage = tempfile.mkdtemp(prefix="ann_stream_src_")
+    try:
+        e.filter(F.col("vec_id") % 2 == 1).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+
+        def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+            ann_index_add(batch_df, path, books=books, batch_id=str(batch_id))
+
+        q = (
+            stream.writeStream.foreachBatch(add_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+
+    codes = ann_index_load_all_codes(spark, path)
+    queries = [
+        (r.vec_id, np.array(r.embedding))
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_search(
+        e, codes, queries, books, spark, k=TOP_K, nprobe=3, cents=cents
+    )
+
+
+@query(
     "ann_index_delete_topk",
     oracle=ivfpq_oracle_sql(neighbor_where="e.vec_id % 5 <> 3"),
 )

@@ -213,6 +213,33 @@ def test_skew_salted_query_oracle(spark):
     compare_query(spark, "join_skew_salted", SF_SMOKE)
 
 
+def test_streaming_index_add_oracle(spark):
+    compare_query(spark, "streaming_index_add", SF_SMOKE)
+
+
+def test_streaming_index_add_multiple_delta_batches(spark):
+    """The stream really produced MULTIPLE delta batch directories, and
+    their union covers every odd vec_id exactly once."""
+    import os
+
+    from disco_spark.similarity.index_store import (
+        INDEX_ROOT,
+        ann_index_load_all_codes,
+    )
+
+    registry.QUERIES["streaming_index_add"](spark, SF_SMOKE).collect()
+    path = os.path.join(INDEX_ROOT, "sf0.001_evenbase_stream")
+    batches = sorted(os.listdir(os.path.join(path, "codes_delta")))
+    assert len([b for b in batches if b.startswith("batch=")]) >= 2
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    served = [
+        r.vec_id
+        for r in ann_index_load_all_codes(spark, path).select("vec_id").collect()
+    ]
+    assert len(served) == len(set(served))  # no double-ingest
+    assert set(served) == {r.vec_id for r in e.select("vec_id").collect()}
+
+
 def test_index_delete_oracle(spark):
     compare_query(spark, "ann_index_delete_topk", SF_SMOKE)
 
