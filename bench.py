@@ -117,6 +117,8 @@ HEADLINE = [
     "text_lm_perplexity",
     "rollup_incremental_refresh",
     "streaming_index_add",
+    "source_jsonl_roundtrip",
+    "dpp_partition_pruned_join",
 ]
 
 

@@ -165,3 +165,62 @@ def zorder_orders_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             rank_expr("__days", lo_b, hi_b),
         ).cast("bigint").alias("zkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning: the OTHER layout-driven scan cut. Z-order
+# prunes by column min/max stats inside files; partitioned layout + DPP
+# prunes whole directories at runtime from the join's dim-side filter.
+# --------------------------------------------------------------------------
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: orders written PARTITIONED
+    BY o_orderpriority (the hive-style layout a 100 TB fact table has on
+    its date/tenant key), then joined to a runtime-filtered dim of
+    priorities. Catalyst injects the dim's build-side values as a
+    partition filter into the fact scan (`dynamicpruning` subquery in
+    the plan — asserted in tests/test_zorder.py), so only 2 of 5
+    partition directories are read. The oracle is the equivalent static
+    filter+agg: pruning must not change results, only the scan set."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="disco_spark_dpp_")
+    try:
+        t["orders"].write.partitionBy("o_orderpriority").mode(
+            "overwrite"
+        ).parquet(path)
+        fact = spark.read.parquet(path)
+        dim = (
+            t["orders"]
+            .select("o_orderpriority")
+            .distinct()
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        )
+        out = (
+            fact.join(dim, "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp layout goes away
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

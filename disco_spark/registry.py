@@ -62,9 +62,10 @@ def query(name: str, oracle: str | None = None):
 # r4-stale, 4 r3-stale, 2 never-driver-verified (ops_job_group_rollup,
 # dedup_embedding_cosine_deep — registered after round 6's window
 # froze). Round 7 front-loads (a) this round's 6 new queries, (b) the 2
-# never-verified, (c) the 4 round-3-stale, then (d) 35 of the 48
-# round-4-stale. The 13 deferred round-4-stale queries (profile_orders_columns
-# [approx sibling r6-green], text_fingerprint,
+# never-verified, (c) the 4 round-3-stale, then (d) 33 of the 48
+# round-4-stale. The 15 deferred round-4-stale queries (profile_orders_columns
+# [approx sibling r6-green], rollup_hll_daily_users, sample_training_shards,
+# text_fingerprint,
 # text_lang_id, window_* x4, union_all_keys, topk_orders,
 # theta_join_nation_pairs, text_token_stats, text_repetition_ratio,
 # text_quality_score — low-churn relational/text ops) lead the overflow
@@ -76,7 +77,8 @@ PRIORITY: list[str] = [
     "events_sessionize_gap", "tfidf_top_terms", "vocab_coverage_oov",
     "dedup_exact_substring", "join_skew_salted", "ann_index_delete_topk",
     "text_lm_perplexity", "rollup_incremental_refresh",
-    "streaming_index_add",
+    "streaming_index_add", "source_jsonl_roundtrip",
+    "dpp_partition_pruned_join",
     # --- never driver-verified (registered post-window in round 6)
     "ops_job_group_rollup", "dedup_embedding_cosine_deep",
     # --- round-3-stale (deferred from round 6)
@@ -101,12 +103,13 @@ PRIORITY: list[str] = [
     "naive_bayes_lang_scores", "tsp_nations_bruteforce",
     # --- round-4-stale: sampling / packing / profile / rollup / text
     "pack_manifest_documents", "pack_sequence_stats",
-    "sample_mixture_temperature", "sample_training_shards",
-    "rollup_hll_daily_users", "streaming_stream_stream_join",
+    "sample_mixture_temperature",
+    "streaming_stream_stream_join",
     # ---- 50 entries above this line. Everything below is overflow that
     #      slides in only if earlier entries are missing; the 10 deferred
     #      round-4-stale queries lead it for the round-8 rotation.
-    "profile_orders_columns", "text_fingerprint", "text_lang_id",
+    "profile_orders_columns", "rollup_hll_daily_users",
+    "sample_training_shards", "text_fingerprint", "text_lang_id",
     "window_cumulative_revenue", "window_order_gap_days",
     "window_price_decile", "window_top_order_per_customer",
     "union_all_keys", "topk_orders", "theta_join_nation_pairs",

@@ -362,3 +362,34 @@ def source_chunked_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "did not split a single-partition write"
     )
     return spark.read.parquet(path)
+
+
+@query(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines roundtrip — the interchange format real training
+    corpora ship in (one JSON object per line, gzip-splittable at the
+    file level): write documents as JSONL, read back with an EXPLICIT
+    schema (schema inference on 100 TB is a full extra pass — never
+    infer in production), and prove text survives JSON escaping exactly
+    (newlines, quotes, unicode) by hashing it against the source table.
+    Spark-native format; the engine adds only the contract."""
+    t = load_tables(spark, sf_dir)
+    src = t["documents"].select("doc_id", "lang", "source", "text")
+    path = tempfile.mkdtemp(prefix="disco_spark_jsonl_")
+    try:
+        src.write.mode("overwrite").json(path)
+        back = spark.read.schema(
+            "doc_id bigint, lang string, source string, text string"
+        ).json(path)
+        out = back.select(
+            "doc_id", "lang", "source", F.md5(F.col("text")).alias("text_md5")
+        ).cache()
+        out.count()  # materialize before the temp dir goes away
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -240,6 +240,65 @@ def test_streaming_index_add_multiple_delta_batches(spark):
     assert set(served) == {r.vec_id for r in e.select("vec_id").collect()}
 
 
+def test_jsonl_roundtrip_oracle(spark):
+    compare_query(spark, "source_jsonl_roundtrip", SF_SMOKE)
+
+
+def test_jsonl_roundtrip_survives_hostile_text(spark):
+    """Embedded newlines, quotes, tabs, unicode — JSON escaping must
+    return them byte-identical."""
+    import shutil
+    import tempfile
+
+    hostile = 'line1\nline2\t"quoted" \\ backslash é中文 x'.replace(
+        "", ""
+    )  # NUL dropped: parquet/json both reject it in strings
+    src = spark.createDataFrame([(1, hostile)], "doc_id bigint, text string")
+    path = tempfile.mkdtemp(prefix="jsonl_hostile_")
+    try:
+        src.write.mode("overwrite").json(path)
+        back = spark.read.schema("doc_id bigint, text string").json(path)
+        assert back.collect()[0].text == hostile
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_dpp_oracle(spark):
+    compare_query(spark, "dpp_partition_pruned_join", SF_SMOKE)
+
+
+def test_dpp_plan_has_dynamic_pruning(spark):
+    """The partitioned-fact join really plans a dynamicpruning partition
+    filter (the runtime directory cut DPP exists for)."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, SF_SMOKE)
+    path = tempfile.mkdtemp(prefix="dpp_plan_")
+    try:
+        t["orders"].write.partitionBy("o_orderpriority").mode(
+            "overwrite"
+        ).parquet(path)
+        fact = spark.read.parquet(path)
+        dim = (
+            t["orders"]
+            .select("o_orderpriority")
+            .distinct()
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        )
+        plan = (
+            fact.join(dim, "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "dynamicpruning" in plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_index_delete_oracle(spark):
     compare_query(spark, "ann_index_delete_topk", SF_SMOKE)
 
