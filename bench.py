@@ -119,6 +119,7 @@ HEADLINE = [
     "streaming_index_add",
     "source_jsonl_roundtrip",
     "dpp_partition_pruned_join",
+    "graph_triangle_count",
 ]
 
 

@@ -62,10 +62,10 @@ def query(name: str, oracle: str | None = None):
 # r4-stale, 4 r3-stale, 2 never-driver-verified (ops_job_group_rollup,
 # dedup_embedding_cosine_deep — registered after round 6's window
 # froze). Round 7 front-loads (a) this round's 6 new queries, (b) the 2
-# never-verified, (c) the 4 round-3-stale, then (d) 33 of the 48
+# never-verified, (c) the 4 round-3-stale, then (d) 32 of the 48
 # round-4-stale. The 15 deferred round-4-stale queries (profile_orders_columns
 # [approx sibling r6-green], rollup_hll_daily_users, sample_training_shards,
-# text_fingerprint,
+# sample_mixture_temperature, text_fingerprint,
 # text_lang_id, window_* x4, union_all_keys, topk_orders,
 # theta_join_nation_pairs, text_token_stats, text_repetition_ratio,
 # text_quality_score — low-churn relational/text ops) lead the overflow
@@ -78,7 +78,7 @@ PRIORITY: list[str] = [
     "dedup_exact_substring", "join_skew_salted", "ann_index_delete_topk",
     "text_lm_perplexity", "rollup_incremental_refresh",
     "streaming_index_add", "source_jsonl_roundtrip",
-    "dpp_partition_pruned_join",
+    "dpp_partition_pruned_join", "graph_triangle_count",
     # --- never driver-verified (registered post-window in round 6)
     "ops_job_group_rollup", "dedup_embedding_cosine_deep",
     # --- round-3-stale (deferred from round 6)
@@ -103,13 +103,12 @@ PRIORITY: list[str] = [
     "naive_bayes_lang_scores", "tsp_nations_bruteforce",
     # --- round-4-stale: sampling / packing / profile / rollup / text
     "pack_manifest_documents", "pack_sequence_stats",
-    "sample_mixture_temperature",
     "streaming_stream_stream_join",
     # ---- 50 entries above this line. Everything below is overflow that
     #      slides in only if earlier entries are missing; the 10 deferred
     #      round-4-stale queries lead it for the round-8 rotation.
     "profile_orders_columns", "rollup_hll_daily_users",
-    "sample_training_shards", "text_fingerprint", "text_lang_id",
+    "sample_mixture_temperature", "sample_training_shards", "text_fingerprint", "text_lang_id",
     "window_cumulative_revenue", "window_order_gap_days",
     "window_price_decile", "window_top_order_per_customer",
     "union_all_keys", "topk_orders", "theta_join_nation_pairs",
@@ -165,6 +164,7 @@ def load_all() -> None:
     from disco_spark.similarity import pq  # noqa: F401
     from disco_spark.similarity import index_store  # noqa: F401
     from disco_spark.similarity import pagerank  # noqa: F401
+    from disco_spark.similarity import triangles  # noqa: F401
     from disco_spark import sampling  # noqa: F401
     from disco_spark.functions import udaf  # noqa: F401
     from disco_spark.functions import native  # noqa: F401

@@ -209,6 +209,32 @@ def test_lm_perplexity_prefers_fluent_text(spark):
     assert scores[ids[0]] < scores[ids[1]]
 
 
+def test_triangle_count_oracle(spark):
+    compare_query(spark, "graph_triangle_count", SF_SMOKE)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge = 2 triangles: nodes on both triangles count 2,
+    the others 1."""
+    from disco_spark.similarity.triangles import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)], "u bigint, v bigint"
+    )  # triangles: {1,2,3} and {1,3,4}
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 3: 2, 2: 1, 4: 1}
+
+
+def test_cosupply_hub_cap(spark):
+    """A part above the degree cap contributes no edges."""
+    from disco_spark.similarity.triangles import cosupply_edges
+
+    rows = [(s, 1) for s in range(10)] + [(1, 2), (2, 2)]
+    li = spark.createDataFrame(rows, "l_suppkey bigint, l_partkey bigint")
+    edges = {(r.u, r.v) for r in cosupply_edges(li, cap=5).collect()}
+    assert edges == {(1, 2)}  # hub part 1 (degree 10) dropped entirely
+
+
 def test_skew_salted_query_oracle(spark):
     compare_query(spark, "join_skew_salted", SF_SMOKE)
 
