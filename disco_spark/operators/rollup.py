@@ -86,8 +86,12 @@ def merge_grains(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 # refresh cutoff: everything before is the "materialized" history,
-# everything after is the incoming batch (testdata spans 1995-2001)
-REFRESH_CUTOFF = "1998-06-01"
+# everything after is the incoming batch (testdata spans 1995-2001).
+# MID-HOUR on purpose: the cutoff's own hourly bucket appears on BOTH
+# sides of the union, so the driver-gated query exercises the
+# combine-sum path, not just disjoint pass-through (a combine
+# regression must show up as an oracle mismatch).
+REFRESH_CUTOFF = "1998-06-01 00:30:00"
 
 
 @query(

@@ -192,35 +192,33 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition filter into the fact scan (`dynamicpruning` subquery in
     the plan — asserted in tests/test_zorder.py), so only 2 of 5
     partition directories are read. The oracle is the equivalent static
-    filter+agg: pruning must not change results, only the scan set."""
-    import shutil
-    import tempfile
+    filter+agg: pruning must not change results, only the scan set.
+
+    The partitioned layout lives in a stable scratch dir (overwritten
+    per call), NOT a deleted tempdir: the returned plan stays lazily
+    recomputable whenever the caller runs its action — no cache whose
+    eviction would re-read a deleted source."""
+    from disco_spark.session import scratch_dir
 
     t = load_tables(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="disco_spark_dpp_")
-    try:
-        t["orders"].write.partitionBy("o_orderpriority").mode(
-            "overwrite"
-        ).parquet(path)
-        fact = spark.read.parquet(path)
-        dim = (
-            t["orders"]
-            .select("o_orderpriority")
-            .distinct()
-            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    path = scratch_dir("dpp_orders", sf_dir)
+    t["orders"].write.partitionBy("o_orderpriority").mode(
+        "overwrite"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        t["orders"]
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_price"),
         )
-        out = (
-            fact.join(dim, "o_orderpriority")
-            .groupBy("o_orderpriority")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
-                .cast("double")
-                .alias("total_price"),
-            )
-        )
-        out = out.cache()
-        out.count()  # materialize before the temp layout goes away
-        return out
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+    )

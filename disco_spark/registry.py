@@ -61,9 +61,9 @@ def query(name: str, oracle: str | None = None):
 # After round 6 the staleness map is: 50 r6-green, 50 r5-green, 48
 # r4-stale, 4 r3-stale, 2 never-driver-verified (ops_job_group_rollup,
 # dedup_embedding_cosine_deep — registered after round 6's window
-# froze). Round 7 front-loads (a) this round's 6 new queries, (b) the 2
-# never-verified, (c) the 4 round-3-stale, then (d) 32 of the 48
-# round-4-stale. The 15 deferred round-4-stale queries (profile_orders_columns
+# froze). Round 7 front-loads (a) this round's 12 new queries, (b) the
+# 2 never-verified, (c) the 4 round-3-stale, then (d) 32 of the 48
+# round-4-stale. The 16 deferred round-4-stale queries (profile_orders_columns
 # [approx sibling r6-green], rollup_hll_daily_users, sample_training_shards,
 # sample_mixture_temperature, text_fingerprint,
 # text_lang_id, window_* x4, union_all_keys, topk_orders,
@@ -105,7 +105,7 @@ PRIORITY: list[str] = [
     "pack_manifest_documents", "pack_sequence_stats",
     "streaming_stream_stream_join",
     # ---- 50 entries above this line. Everything below is overflow that
-    #      slides in only if earlier entries are missing; the 10 deferred
+    #      slides in only if earlier entries are missing; the 16 deferred
     #      round-4-stale queries lead it for the round-8 rotation.
     "profile_orders_columns", "rollup_hll_daily_users",
     "sample_mixture_temperature", "sample_training_shards", "text_fingerprint", "text_lang_id",

@@ -116,6 +116,23 @@ def invalidate_table_cache(sf_dir: str | None = None) -> None:
         _TABLE_CACHE.pop(key, None)
 
 
+def scratch_dir(name: str, sf_dir: str) -> str:
+    """Stable per-(operator, dataset) scratch directory under
+    benchdata/scratch — for queries that WRITE a layout and read it back
+    (roundtrips, partitioned-layout demos). Unlike a tempdir deleted in
+    a finally block, the files outlive the query function, so the
+    returned lazy DataFrame can be (re)computed whenever the caller
+    runs its action — no cache-eviction-vs-deleted-source race. Writers
+    use mode("overwrite"), which makes re-runs self-cleaning."""
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchdata", "scratch", name,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def file_fingerprints(files: list[str]) -> list:
     """(path, size, mtime_ns) per input file when stat is possible — the
     shared staleness fingerprint for every persisted store AND in-memory

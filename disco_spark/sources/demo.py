@@ -377,19 +377,19 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (schema inference on 100 TB is a full extra pass — never
     infer in production), and prove text survives JSON escaping exactly
     (newlines, quotes, unicode) by hashing it against the source table.
-    Spark-native format; the engine adds only the contract."""
+    Spark-native format; the engine adds only the contract. The JSONL
+    files live in a stable scratch dir (overwritten per call), not a
+    deleted tempdir, so the returned plan stays lazily recomputable
+    whenever the caller runs its action."""
+    from disco_spark.session import scratch_dir
+
     t = load_tables(spark, sf_dir)
     src = t["documents"].select("doc_id", "lang", "source", "text")
-    path = tempfile.mkdtemp(prefix="disco_spark_jsonl_")
-    try:
-        src.write.mode("overwrite").json(path)
-        back = spark.read.schema(
-            "doc_id bigint, lang string, source string, text string"
-        ).json(path)
-        out = back.select(
-            "doc_id", "lang", "source", F.md5(F.col("text")).alias("text_md5")
-        ).cache()
-        out.count()  # materialize before the temp dir goes away
-        return out
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir("jsonl_docs", sf_dir)
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, source string, text string"
+    ).json(path)
+    return back.select(
+        "doc_id", "lang", "source", F.md5(F.col("text")).alias("text_md5")
+    )

@@ -146,7 +146,7 @@ def test_lm_perplexity_prefers_fluent_text(spark):
     surprising) than a doc of shuffled rare junk — the CCNet filtering
     premise, checked end-to-end on synthetic docs scored by the same
     model code paths (train = the real corpus train split)."""
-    from disco_spark.sampling import hash_bucket
+    from disco_spark.sampling import TEST_HI, hash_bucket
     from disco_spark.session import load_tables as lt
     from disco_spark.textops.lm_score import _doc_bigrams
 
@@ -170,7 +170,7 @@ def test_lm_perplexity_prefers_fluent_text(spark):
         b = spark.range(i, i + 1).select(
             hash_bucket(FF.col("id")).alias("b")
         ).collect()[0].b
-        if b < 1000:  # TEST_HI at BUCKETS=10000
+        if b < TEST_HI:
             ids.append(i)
         i += 1
     synth = spark.createDataFrame(
@@ -254,7 +254,10 @@ def test_streaming_index_add_multiple_delta_batches(spark):
     )
 
     registry.QUERIES["streaming_index_add"](spark, SF_SMOKE).collect()
-    path = os.path.join(INDEX_ROOT, "sf0.001_evenbase_stream")
+    path = os.path.join(
+        INDEX_ROOT,
+        os.path.basename(os.path.normpath(SF_SMOKE)) + "_evenbase_stream",
+    )
     batches = sorted(os.listdir(os.path.join(path, "codes_delta")))
     assert len([b for b in batches if b.startswith("batch=")]) >= 2
     e = load_tables(spark, SF_SMOKE)["embeddings"]
@@ -276,9 +279,10 @@ def test_jsonl_roundtrip_survives_hostile_text(spark):
     import shutil
     import tempfile
 
-    hostile = 'line1\nline2\t"quoted" \\ backslash é中文 x'.replace(
-        "", ""
-    )  # NUL dropped: parquet/json both reject it in strings
+    # U+2028 (the JS-hostile line separator) included; NUL excluded -
+    # JSON strings can carry it but parquet UTF8 column values reject
+    # it, a source-data contract rather than a sink escaping property
+    hostile = 'line1\nline2\t"quoted" \\ backslash é中文 \u2028 x'
     src = spark.createDataFrame([(1, hostile)], "doc_id bigint, text string")
     path = tempfile.mkdtemp(prefix="jsonl_hostile_")
     try:
