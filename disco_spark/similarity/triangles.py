@@ -1,27 +1,29 @@
-"""Triangle counting over the supplier co-supply graph — the third
-classic distributed graph kernel alongside PageRank
-(similarity/pagerank.py) and connected components (dedup/cc.py).
-Reference analog: none (the reference ships PageRank and k-means as
-example jobs; triangle counting is the canonical next kernel a graph
-user reaches for — clustering-coefficient / community-density audits).
+"""Triangle counting over the part co-order graph — the third classic
+distributed graph kernel alongside PageRank (similarity/pagerank.py)
+and connected components (dedup/cc.py). Reference analog: none (the
+reference ships PageRank and k-means as example jobs; triangle counting
+is the canonical next kernel — clustering-coefficient / community-
+density audits).
 
-Graph: suppliers are nodes; an edge connects two suppliers that ship at
-least one common part (distinct (l_suppkey, l_partkey) pairs from
-lineitem, self-joined per part). Hub parts (more than MAX_PART_DEGREE
-suppliers) are dropped before pair generation — the same frequency-cap
-guard every pair generator in this repo uses (LSH bands, exact spans):
-a hub part contributes O(d^2) edges and says nothing about community
-structure.
+Graph: parts are nodes; an edge connects two parts CO-ORDERED AT LEAST
+``MIN_COORDERS`` times (distinct (l_orderkey, l_partkey) pairs from
+lineitem, self-joined per order, pair-counted). The strength threshold
+is what makes the graph a signal: single co-occurrence in a basket is
+noise, repetition is structure (and it keeps the edge set sparse — the
+supplier co-supply projection of uniform TPC-H data is a COMPLETE
+graph, measured C(1000,2) edges at sf0.1, where triangle counting
+degenerates into n^3 work about nothing). Hub orders (more than
+``MAX_ORDER_PARTS`` distinct parts) are dropped before pair generation
+— the same frequency-cap guard every pair generator in this repo uses
+(LSH bands, exact spans), per Suri & Vassilvitskii, "Counting Triangles
+and the Curse of the Last Reducer".
 
 Scale story: the compact-forward counting scheme — orient every edge
 u < v, join edges-with-edges on the shared middle vertex, then verify
 the closing edge with a third join. Each triangle {u < v < w} is
 counted exactly once as (u,v) + (v,w) + (u,w). Three hash joins on
 vertex keys, no per-node adjacency materialization, no driver state;
-per-node counts are one explode + groupBy. This is the standard
-MapReduce triangle algorithm (Suri & Vassilvitskii, "Counting
-Triangles and the Curse of the Last Reducer" — the hub cap is exactly
-their high-degree mitigation).
+per-node counts are one explode + groupBy.
 """
 
 from __future__ import annotations
@@ -32,27 +34,34 @@ from pyspark.sql import functions as F
 from disco_spark.registry import query
 from disco_spark.session import load_tables
 
-MAX_PART_DEGREE = 50
+MAX_ORDER_PARTS = 50
+MIN_COORDERS = 2
 
 
-def cosupply_edges(lineitem: DataFrame, cap: int = MAX_PART_DEGREE) -> DataFrame:
-    """(u, v) with u < v: distinct supplier pairs sharing a part."""
-    sp = lineitem.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+def coorder_edges(
+    lineitem: DataFrame,
+    cap: int = MAX_ORDER_PARTS,
+    min_strength: int = MIN_COORDERS,
+) -> DataFrame:
+    """(u, v) with u < v: part pairs co-ordered >= min_strength times."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    deg = Window.partitionBy("p")
-    sp = (
-        sp.withColumn("d", F.count(F.lit(1)).over(deg))
+    deg = Window.partitionBy("o")
+    op = (
+        op.withColumn("d", F.count(F.lit(1)).over(deg))
         .filter(F.col("d") <= cap)
         .drop("d")
     )
-    a = sp.select("p", F.col("s").alias("u"))
-    b = sp.select("p", F.col("s").alias("v"))
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
     return (
-        a.join(b, "p")
+        a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("strength"))
+        .filter(F.col("strength") >= min_strength)
         .select("u", "v")
-        .distinct()
     )
 
 
@@ -73,17 +82,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle=f"""
-    WITH sp AS (
-      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ),
     capped AS (
-      SELECT s, p FROM (
-        SELECT s, p, COUNT(*) OVER (PARTITION BY p) AS d FROM sp
-      ) WHERE d <= {MAX_PART_DEGREE}
+      SELECT o, p FROM (
+        SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS d FROM op
+      ) WHERE d <= {MAX_ORDER_PARTS}
     ),
     edges AS (
-      SELECT DISTINCT a.s AS u, b.s AS v
-      FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS strength
+        FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+      ) WHERE strength >= {MIN_COORDERS}
     ),
     tris AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -101,4 +113,4 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return triangle_counts(cosupply_edges(t["lineitem"]))
+    return triangle_counts(coorder_edges(t["lineitem"]))

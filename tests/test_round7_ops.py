@@ -225,14 +225,19 @@ def test_triangle_count_known_graph(spark):
     assert got == {1: 2, 3: 2, 2: 1, 4: 1}
 
 
-def test_cosupply_hub_cap(spark):
-    """A part above the degree cap contributes no edges."""
-    from disco_spark.similarity.triangles import cosupply_edges
+def test_coorder_hub_cap_and_strength(spark):
+    """A hub order above the cap contributes no pairs; pairs below the
+    strength threshold are not edges."""
+    from disco_spark.similarity.triangles import coorder_edges
 
-    rows = [(s, 1) for s in range(10)] + [(1, 2), (2, 2)]
-    li = spark.createDataFrame(rows, "l_suppkey bigint, l_partkey bigint")
-    edges = {(r.u, r.v) for r in cosupply_edges(li, cap=5).collect()}
-    assert edges == {(1, 2)}  # hub part 1 (degree 10) dropped entirely
+    rows = (
+        [(1, p) for p in range(10)]   # hub order 1: 10 parts -> dropped
+        + [(2, 20), (2, 21)]          # co-ordered once -> below strength
+        + [(3, 30), (3, 31), (4, 30), (4, 31)]  # co-ordered twice -> edge
+    )
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    edges = {(r.u, r.v) for r in coorder_edges(li, cap=5).collect()}
+    assert edges == {(30, 31)}
 
 
 def test_skew_salted_query_oracle(spark):
