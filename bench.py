@@ -120,6 +120,9 @@ HEADLINE = [
     "source_jsonl_roundtrip",
     "dpp_partition_pruned_join",
     "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "dedup_edit_distance",
+    "events_hourly_anomaly",
 ]
 
 

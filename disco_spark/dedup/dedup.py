@@ -749,3 +749,52 @@ def embedding_cosine_block_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= COS_MIN)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH candidates -> exact edit-distance verify (the character-level
+# sibling of dedup_lsh_jaccard's shingle-level verify)
+# --------------------------------------------------------------------------
+# keep a pair when 5 * levenshtein <= 2 * max(len_a, len_b), i.e. the
+# edit distance is at most 40% of the longer text — integer arithmetic
+# on both engines, no float threshold to disagree about
+ED_NUM, ED_DEN = 2, 5
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_SQL}
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM lsh_pairs p
+      JOIN documents a ON a.doc_id = p.doc_a
+      JOIN documents b ON b.doc_id = p.doc_b
+    WHERE {ED_DEN} * levenshtein(a.text, b.text)
+          <= {ED_NUM} * greatest(length(a.text), length(b.text))
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verify: LSH bands PROPOSE candidate
+    pairs (never the n^2 cross space), exact Levenshtein CONFIRMS —
+    keeping pairs whose edit distance is <= 40% of the longer text.
+    The threshold is integer arithmetic (5*ed <= 2*maxlen) so both
+    engines decide identically; the distance itself is an exact int.
+    At 100 TB the quadratic-cost levenshtein runs only on the
+    LSH-bounded candidate set, the same verify budget dedup_lsh_jaccard
+    spends on shingle intersection."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_dist", F.levenshtein("ta", "tb"))
+        .filter(
+            ED_DEN * F.col("edit_dist")
+            <= ED_NUM * F.greatest(F.length("ta"), F.length("tb"))
+        )
+        .select("doc_a", "doc_b", "edit_dist")
+    )

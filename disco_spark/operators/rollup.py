@@ -420,3 +420,59 @@ def rollup_cmsketch_top_users_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__cells") == _CM_DEPTH)
         .drop("__cells")
     )
+
+
+@query(
+    "events_hourly_anomaly",
+    # z-score gate in EXACT integer arithmetic: |cnt - S/n| > 2*sigma
+    # with sigma^2 = (n*SS - S^2)/n^2 rearranges (multiply both sides by
+    # n^2, square) to (n*cnt - S)^2 > 4*(n*SS - S^2) — every term a
+    # BIGINT on both engines, so there is no float threshold for Spark
+    # and DuckDB to disagree about at the boundary.
+    oracle="""
+    WITH grains AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT bucket, event_type, cnt,
+             COUNT(*) OVER w AS n,
+             SUM(cnt) OVER w AS s,
+             SUM(cnt * cnt) OVER w AS ss
+      FROM grains WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT bucket, event_type, CAST(cnt AS BIGINT) AS n_events
+    FROM stats
+    WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s)
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screen over the hourly grain table: flag
+    (hour, event_type) buckets whose count deviates from that type's
+    mean by more than two population standard deviations. The grain
+    table is the volume-independent input (hypertable pattern: the scan
+    is the tiny materialization, never raw events), and the 2-sigma
+    gate is evaluated in exact integer arithmetic — see the oracle
+    comment — so the flag set is bit-stable across engines."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    g = (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("event_type")
+    stats = (
+        g.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("cnt").over(w))
+        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    return (
+        stats.filter(
+            dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        )
+        .select("bucket", "event_type", F.col("cnt").alias("n_events"))
+    )

@@ -114,3 +114,73 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return triangle_counts(coorder_edges(t["lineitem"]))
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    capped AS (
+      SELECT o, p FROM (
+        SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS d FROM op
+      ) WHERE d <= {MAX_ORDER_PARTS}
+    ),
+    edges AS (
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS strength
+        FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+      ) WHERE strength >= {MIN_COORDERS}
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcount AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    ),
+    degree AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg, COALESCE(t.n_triangles, 0) AS n_triangles,
+           ROUND(CAST(2.0 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                 / (d.deg * (d.deg - 1)), 6) AS clustering_coeff
+    FROM degree d LEFT JOIN tcount t USING (node)
+    WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles / (deg*(deg-1))
+    for nodes with degree >= 2 — the community-density audit the
+    triangle kernel exists to feed. Degrees from one explode+groupBy of
+    the edge list; triangles from triangle_counts; one left join."""
+    t = load_tables(spark, sf_dir)
+    edges = coorder_edges(t["lineitem"])
+    tri = triangle_counts(edges)
+    degree = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    return degree.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.round(
+            (2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double"))
+            / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        ).alias("clustering_coeff"),
+    )
