@@ -422,6 +422,29 @@ def rollup_cmsketch_top_users_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_buckets(events: DataFrame) -> DataFrame:
+    """(bucket, event_type, n_events) hourly buckets beyond 2 population
+    sigmas of their type's mean, gated in exact BIGINT arithmetic."""
+    from pyspark.sql import Window as W
+
+    g = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type")
+    stats = (
+        g.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("cnt").over(w))
+        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    return (
+        stats.filter(
+            dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        )
+        .select("bucket", "event_type", F.col("cnt").alias("n_events"))
+    )
+
+
 @query(
     "events_hourly_anomaly",
     # z-score gate in EXACT integer arithmetic: |cnt - S/n| > 2*sigma
@@ -456,23 +479,4 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate is evaluated in exact integer arithmetic — see the oracle
     comment — so the flag set is bit-stable across engines."""
     t = load_tables(spark, sf_dir)
-    from pyspark.sql import Window as W
-
-    g = (
-        t["events"]
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = W.partitionBy("event_type")
-    stats = (
-        g.withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("s", F.sum("cnt").over(w))
-        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
-    )
-    dev = F.col("n") * F.col("cnt") - F.col("s")
-    return (
-        stats.filter(
-            dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
-        )
-        .select("bucket", "event_type", F.col("cnt").alias("n_events"))
-    )
+    return anomaly_buckets(t["events"])

@@ -419,21 +419,7 @@ def test_hourly_anomaly_flags_planted_spike(spark):
         for i in range(n):
             rows.append((base + datetime.timedelta(hours=h, seconds=i), "t"))
     ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
-    from disco_spark.operators.rollup import events_hourly_anomaly  # noqa: F401
-    # reuse the query's internal shape directly via SQL-equivalent logic
-    from pyspark.sql import Window as W
+    from disco_spark.operators.rollup import anomaly_buckets
 
-    g = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.partitionBy("event_type")
-    stats = (
-        g.withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("s", F.sum("cnt").over(w))
-        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
-    )
-    dev = F.col("n") * F.col("cnt") - F.col("s")
-    flagged = stats.filter(
-        dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
-    ).collect()
-    assert len(flagged) == 1 and flagged[0].cnt == 100
+    flagged = anomaly_buckets(ev).collect()
+    assert len(flagged) == 1 and flagged[0].n_events == 100
