@@ -788,9 +788,16 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    # length prefilter: |len_a - len_b| lower-bounds the edit distance,
+    # so pairs whose length gap already breaks the threshold skip the
+    # O(len^2) levenshtein entirely — the standard cheap gate before a
+    # quadratic verify (the result set is provably unchanged)
+    la, lb = F.length("ta"), F.length("tb")
+    len_gap_ok = ED_DEN * F.abs(la - lb) <= ED_NUM * F.greatest(la, lb)
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(len_gap_ok)
         .withColumn("edit_dist", F.levenshtein("ta", "tb"))
         .filter(
             ED_DEN * F.col("edit_dist")
