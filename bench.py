@@ -123,6 +123,8 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "dedup_edit_distance",
     "events_hourly_anomaly",
+    "events_session_funnel",
+    "curriculum_ppl_buckets",
 ]
 
 

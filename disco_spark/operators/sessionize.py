@@ -66,6 +66,107 @@ def sessionize(events: DataFrame, gap_s: int = GAP_SECONDS) -> DataFrame:
     )
 
 
+def sessionized_events(events: DataFrame, gap_s: int = GAP_SECONDS) -> DataFrame:
+    """(user_id, session_seq, sec, event_type): every event tagged with
+    its gap-session id — the row-level sibling of sessionize() (which
+    folds to one row per session)."""
+    ev = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    new_sess = (
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > gap_s),
+            1,
+        )
+        .otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("sec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq", F.sum("new_sess").over(run)
+    )
+
+
+@query(
+    "events_session_funnel",
+    # outcome per session: converted = a purchase at-or-after the
+    # session's first view; viewed_only = views but no such purchase;
+    # no_view = sessions without any view. Aggregated to counts per
+    # outcome — the product-analytics session-conversion report.
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, sec, event_type,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > {GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ),
+    s AS (
+      SELECT user_id, sec, event_type,
+             CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM g
+    ),
+    per_sess AS (
+      SELECT user_id, session_seq,
+             MIN(CASE WHEN event_type = 'view' THEN sec END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN sec END) AS last_purchase
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CASE
+             WHEN first_view IS NULL THEN 'no_view'
+             WHEN last_purchase IS NOT NULL AND last_purchase >= first_view
+               THEN 'converted'
+             ELSE 'viewed_only'
+           END AS outcome,
+           COUNT(*) AS n_sessions
+    FROM per_sess GROUP BY 1
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion funnel: within each gap-session, did a
+    purchase happen at-or-after the session's first view? Unlike the
+    global funnel (events_funnel_view_purchase), conversion here must
+    close INSIDE one session — the standard product-analytics framing.
+    Same single user_id Exchange as sessionize; the per-session fold is
+    two conditional aggregates."""
+    t = load_tables(spark, sf_dir)
+    s = sessionized_events(t["events"])
+    per_sess = s.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sec"))).alias(
+            "last_purchase"
+        ),
+    )
+    outcome = (
+        F.when(F.col("first_view").isNull(), "no_view")
+        .when(
+            F.col("last_purchase").isNotNull()
+            & (F.col("last_purchase") >= F.col("first_view")),
+            "converted",
+        )
+        .otherwise("viewed_only")
+    )
+    return (
+        per_sess.select(outcome.alias("outcome"))
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
 @query(
     "events_sessionize_gap",
     oracle=f"""

@@ -61,9 +61,10 @@ def query(name: str, oracle: str | None = None):
 # After round 6 the staleness map is: 50 r6-green, 50 r5-green, 48
 # r4-stale, 4 r3-stale, 2 never-driver-verified (ops_job_group_rollup,
 # dedup_embedding_cosine_deep — registered after round 6's window
-# froze). Round 7 front-loads (a) this round's 15 new queries, (b) the
-# 2 never-verified, (c) the 4 round-3-stale, then (d) 29 of the 48
-# round-4-stale. The 19 deferred round-4-stale queries (pack_manifest_documents,
+# froze). Round 7 front-loads (a) this round's 17 new queries, (b) the
+# 2 never-verified, (c) the 4 round-3-stale, then (d) 27 of the 48
+# round-4-stale. The 21 deferred round-4-stale queries (text_quality_logistic,
+# tsp_nations_bruteforce, pack_manifest_documents,
 # pack_sequence_stats, naive_bayes_lang_scores, profile_orders_columns
 # [approx sibling r6-green], rollup_hll_daily_users, sample_training_shards,
 # sample_mixture_temperature, text_fingerprint,
@@ -81,7 +82,7 @@ PRIORITY: list[str] = [
     "streaming_index_add", "source_jsonl_roundtrip",
     "dpp_partition_pruned_join", "graph_triangle_count",
     "graph_clustering_coefficient", "dedup_edit_distance",
-    "events_hourly_anomaly",
+    "events_hourly_anomaly", "events_session_funnel", "curriculum_ppl_buckets",
     # --- never driver-verified (registered post-window in round 6)
     "ops_job_group_rollup", "dedup_embedding_cosine_deep",
     # --- round-3-stale (deferred from round 6)
@@ -89,7 +90,7 @@ PRIORITY: list[str] = [
     "text_pii_scrub", "text_url_stats",
     # --- round-4-stale: classic/pipeline/external surface
     "classic_innerjoin", "classic_partition_histogram",
-    "classic_sort_reduce", "classic_wordcount", "text_quality_logistic",
+    "classic_sort_reduce", "classic_wordcount",
     "external_binary_md5", "external_pipe_upper", "group_all_stats",
     "discodb_multiset_wordcount", "catalog_tag_walk",
     "source_chunked_ingest", "source_xml_records",
@@ -103,12 +104,12 @@ PRIORITY: list[str] = [
     # --- round-4-stale: dedup / similarity / iterative
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "kmeans_embedding_clusters", "pagerank_supplier_part",
-    "tsp_nations_bruteforce",
     # --- round-4-stale: sampling / packing / profile / rollup / text
     "streaming_stream_stream_join",
     # ---- 50 entries above this line. Everything below is overflow that
-    #      slides in only if earlier entries are missing; the 19 deferred
+    #      slides in only if earlier entries are missing; the 21 deferred
     #      round-4-stale queries lead it for the round-8 rotation.
+    "text_quality_logistic", "tsp_nations_bruteforce",
     "pack_manifest_documents", "pack_sequence_stats",
     "naive_bayes_lang_scores",
     "profile_orders_columns", "rollup_hll_daily_users",

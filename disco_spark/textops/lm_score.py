@@ -67,10 +67,10 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "text_lm_perplexity",
-    oracle=f"""
-    WITH {_BIGRAMS_SQL},
+# composable CTE chain ending in `ppl` = (doc_id, n_bigrams, log2_ppl) —
+# text_lm_perplexity selects from it directly; curriculum_ppl_buckets
+# appends its quartile CTEs (single source, the two oracles can't drift)
+LM_PPL_CTES = f"""{_BIGRAMS_SQL},
     train AS (SELECT a, b FROM bigrams WHERE bucket >= {VAL_HI}),
     counts AS (SELECT a, b, COUNT(*) AS c_ab FROM train GROUP BY 1, 2),
     ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM counts GROUP BY 1),
@@ -85,12 +85,21 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
       LEFT JOIN counts c ON t.a = c.a AND t.b = c.b
       LEFT JOIN ctx ON t.a = ctx.a
       CROSS JOIN v
-    )
-    SELECT doc_id,
-           COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
-             AS log2_ppl
-    FROM scored GROUP BY doc_id
+    ),
+    ppl AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+               AS log2_ppl
+      FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_lm_perplexity",
+    oracle=f"""
+    WITH {LM_PPL_CTES}
+    SELECT doc_id, n_bigrams, log2_ppl FROM ppl
     """,
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +109,13 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL accumulator (order-independent) and the mean rounded to 6
     decimals, so Spark and DuckDB hash-match despite double log2."""
     t = load_tables(spark, sf_dir)
-    bg = _doc_bigrams(t["documents"])
+    return lm_perplexity_scores(t["documents"])
+
+
+def lm_perplexity_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, log2_ppl) for TEST-split docs — the engine
+    plan behind text_lm_perplexity and curriculum_ppl_buckets."""
+    bg = _doc_bigrams(docs)
     train = bg.filter(F.col("bucket") >= VAL_HI).select("a", "b")
     counts = train.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     ctx = counts.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
@@ -129,5 +144,54 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("log2_ppl"),
+        )
+    )
+
+
+@query(
+    "curriculum_ppl_buckets",
+    # the quartile cut replays NTILE(4) over the shared ppl CTE chain —
+    # the curriculum report: how many docs per difficulty band and the
+    # band's score range (train on the easy head first, or mix by band)
+    oracle=f"""
+    WITH {LM_PPL_CTES},
+    ranked AS (
+      SELECT doc_id, log2_ppl,
+             NTILE(4) OVER (ORDER BY log2_ppl, doc_id) AS bucket
+      FROM ppl
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(log2_ppl) AS min_ppl, MAX(log2_ppl) AS max_ppl
+    FROM ranked GROUP BY bucket
+    """,
+)
+def curriculum_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-curriculum banding: quartile the TEST-split docs by
+    bigram-LM log2 perplexity (composing text_lm_perplexity) and report
+    each band's size and score range — the curriculum/mixture decision
+    table a data pipeline feeds into sampling weights. The quartile is
+    the SCALE-SAFE exact ntile (global_row_number: range partition +
+    per-partition offsets + closed-form bucket from (rank, n)) — no
+    single-partition window over the corpus."""
+    from disco_spark.operators.relational2 import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    scores = lm_perplexity_scores(t["documents"]).select("doc_id", "log2_ppl")
+    ranked, n = global_row_number(scores, ["log2_ppl", "doc_id"])
+    q, r = divmod(n, 4)
+    if q == 0:
+        bucket = F.col("rn")
+    else:
+        head = r * (q + 1)
+        bucket = F.when(
+            F.col("rn") <= head, F.expr(f"(rn + {q}) DIV {q + 1}")
+        ).otherwise(F.expr(f"{r} + ((rn - {head} + {q - 1}) DIV {q})"))
+    return (
+        ranked.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("log2_ppl").alias("min_ppl"),
+            F.max("log2_ppl").alias("max_ppl"),
         )
     )

@@ -423,3 +423,36 @@ def test_hourly_anomaly_flags_planted_spike(spark):
 
     flagged = anomaly_buckets(ev).collect()
     assert len(flagged) == 1 and flagged[0].n_events == 100
+
+
+def test_session_funnel_oracle(spark):
+    compare_query(spark, "events_session_funnel", SF_SMOKE)
+
+
+def test_session_funnel_counts_conserve_sessions(spark):
+    """Outcome counts sum to the number of sessions."""
+    total_sessions = registry.QUERIES["events_sessionize_gap"](
+        spark, SF_SMOKE
+    ).count()
+    funnel = registry.QUERIES["events_session_funnel"](spark, SF_SMOKE).collect()
+    assert sum(r.n_sessions for r in funnel) == total_sessions
+    assert {r.outcome for r in funnel} <= {"converted", "viewed_only", "no_view"}
+
+
+def test_curriculum_oracle(spark):
+    compare_query(spark, "curriculum_ppl_buckets", SF_SMOKE)
+
+
+def test_curriculum_buckets_partition_scores(spark):
+    """Quartiles are contiguous, sized within 1 of each other, and cover
+    every scored doc."""
+    rows = sorted(
+        registry.QUERIES["curriculum_ppl_buckets"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bucket,
+    )
+    n_docs = registry.QUERIES["text_lm_perplexity"](spark, SF_SMOKE).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_ppl <= hi.min_ppl  # bands are ordered score ranges
