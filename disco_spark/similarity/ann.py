@@ -458,10 +458,21 @@ def adaptive_cells(e: DataFrame, iters: int = 1) -> DataFrame:
 def _adaptive_knn(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 4
 ) -> DataFrame:
+    from disco_spark.session import lazy_persist
+
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     cells = adaptive_cells(e)
-    e2 = e.drop("label").join(cells, "vec_id").select("vec_id", "embedding", "label")
+    # persist the assignment: knn_graph references its input in three
+    # places (centroid agg, probe side, in-cell join side), and without
+    # this each reference re-evaluates — and re-CODEGENS — the k-center
+    # nearest-cell expression (k array literals; the compile alone is
+    # seconds once k hits sqrt(n)). One materialization serves all
+    # three; released at the next registered query like every deferred
+    # persist.
+    e2 = lazy_persist(
+        e.drop("label").join(cells, "vec_id").select("vec_id", "embedding", "label")
+    )
     return knn_graph(e2, k=k, nprobe=nprobe)
 
 
