@@ -125,6 +125,8 @@ HEADLINE = [
     "events_hourly_anomaly",
     "events_session_funnel",
     "curriculum_ppl_buckets",
+    "cdc_upsert_latest_wins",
+    "source_schema_evolution",
 ]
 
 

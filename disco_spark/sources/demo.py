@@ -393,3 +393,38 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", "source", F.md5(F.col("text")).alias("text_md5")
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS quality_tier
+    FROM documents
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on an append-only dataset — the 100 TB ingest
+    reality: batch 1 was written before the pipeline computed
+    `quality_tier`; batch 2 carries it. mergeSchema reconciles the
+    footers (old rows surface NULL for the new column) WITHOUT
+    rewriting batch 1 — rewriting history on every schema change is
+    exactly what a petabyte store cannot do. Production note in plan
+    terms: mergeSchema reads every footer at planning time, so pin the
+    merged schema explicitly once it stabilizes (read.schema(...)), as
+    every other reader in this repo does."""
+    from disco_spark.session import scratch_dir
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    path = scratch_dir("schema_evo", sf_dir)
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "batch=0"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("n_chars").alias("quality_tier")
+    ).write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=0"), os.path.join(path, "batch=1")
+    )
+    return merged.select("doc_id", "lang", "quality_tier")

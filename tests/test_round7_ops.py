@@ -456,3 +456,31 @@ def test_curriculum_buckets_partition_scores(spark):
     assert max(sizes) - min(sizes) <= 1
     for lo, hi in zip(rows, rows[1:]):
         assert lo.max_ppl <= hi.min_ppl  # bands are ordered score ranges
+
+
+def test_cdc_upsert_oracle(spark):
+    compare_query(spark, "cdc_upsert_latest_wins", SF_SMOKE)
+
+
+def test_cdc_upsert_latest_wins_semantics(spark):
+    """Three versions of one key: only the highest survives; untouched
+    keys pass through."""
+    from disco_spark.operators.cdc import upsert_latest_wins
+
+    log = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 2), (1, "c", 1), (2, "z", 0)],
+        "k bigint, val string, version bigint",
+    )
+    got = {(r.k, r.val, r.version) for r in upsert_latest_wins(log, "k", "version").collect()}
+    assert got == {(1, "b", 2), (2, "z", 0)}
+
+
+def test_schema_evolution_oracle(spark):
+    compare_query(spark, "source_schema_evolution", SF_SMOKE)
+
+
+def test_schema_evolution_nulls_only_old_batch(spark):
+    rows = registry.QUERIES["source_schema_evolution"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert (r.quality_tier is None) == (r.doc_id % 2 == 0)
