@@ -424,19 +424,33 @@ def rollup_cmsketch_top_users_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def anomaly_buckets(events: DataFrame) -> DataFrame:
     """(bucket, event_type, n_events) hourly buckets beyond 2 population
-    sigmas of their type's mean, gated in exact BIGINT arithmetic."""
+    sigmas of their type's mean. The gate is EXACT WIDE-INTEGER
+    arithmetic on both engines — Spark in DECIMAL(19,0) operands (whose
+    products widen to decimal(38,0): exact while per-type event totals
+    stay below ~1e18, far past any real grain table), DuckDB in HUGEINT
+    — because a plain BIGINT s*s silently wraps once a type's total
+    passes ~3e9, which 100 TB volumes do. Built ON the hourly_grains
+    materialization (single grain definition; Catalyst prunes the
+    unused measure column)."""
     from pyspark.sql import Window as W
 
-    g = events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.partitionBy("event_type")
-    stats = (
-        g.withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("s", F.sum("cnt").over(w))
-        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(w))
+    g = hourly_grains(events).select(
+        "bucket", "event_type", F.col("n_events").alias("cnt")
     )
-    dev = F.col("n") * F.col("cnt") - F.col("s")
+    w = W.partitionBy("event_type")
+    dec = "decimal(19,0)"
+    stats = (
+        g.withColumn("n", F.count(F.lit(1)).over(w).cast(dec))
+        .withColumn("s", F.sum("cnt").over(w).cast(dec))
+        .withColumn(
+            # cnt is widened BEFORE squaring: a per-bucket count past
+            # ~3e9 would overflow the bigint product ahead of any cast
+            "ss",
+            F.sum(F.col("cnt").cast(dec) * F.col("cnt").cast(dec)).over(w),
+        )
+        .withColumn("cnt_w", F.col("cnt").cast(dec))
+    )
+    dev = F.col("n") * F.col("cnt_w") - F.col("s")
     return (
         stats.filter(
             dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
@@ -460,9 +474,9 @@ def anomaly_buckets(events: DataFrame) -> DataFrame:
     ),
     stats AS (
       SELECT bucket, event_type, cnt,
-             COUNT(*) OVER w AS n,
-             SUM(cnt) OVER w AS s,
-             SUM(cnt * cnt) OVER w AS ss
+             CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+             CAST(SUM(cnt) OVER w AS HUGEINT) AS s,
+             SUM(CAST(cnt AS HUGEINT) * cnt) OVER w AS ss
       FROM grains WINDOW w AS (PARTITION BY event_type)
     )
     SELECT bucket, event_type, CAST(cnt AS BIGINT) AS n_events

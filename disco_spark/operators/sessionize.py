@@ -30,32 +30,17 @@ GAP_SECONDS = 1800
 
 def sessionize(events: DataFrame, gap_s: int = GAP_SECONDS) -> DataFrame:
     """(user_id, session_seq, n_events, session_start, session_end,
-    duration_s): gap-based sessions per user.
+    duration_s): gap-based sessions per user — the per-session fold of
+    sessionized_events (ONE definition of the gap logic serves both
+    this and the session funnel).
 
     Timestamps are folded to epoch seconds (bigint) up front — exact in
     both engines (events are µs-precision, DuckDB replays with
     FLOOR(epoch(ts))). Ties on (user_id, sec) are safe: tied rows see
     gap 0 regardless of their relative order, so the new-session flag
     and the running sum are order-independent within a tie group."""
-    ev = events.select(
-        "user_id", F.expr("unix_micros(ts) div 1000000").alias("sec")
-    )
-    w = Window.partitionBy("user_id").orderBy("sec")
-    new_sess = (
-        F.when(
-            F.lag("sec").over(w).isNull()
-            | (F.col("sec") - F.lag("sec").over(w) > gap_s),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_sess")
-    )
-    run = Window.partitionBy("user_id").orderBy("sec").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
-        ev.withColumn("new_sess", new_sess)
-        .withColumn("session_seq", F.sum("new_sess").over(run))
+        sessionized_events(events, gap_s)
         .groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -70,10 +55,13 @@ def sessionized_events(events: DataFrame, gap_s: int = GAP_SECONDS) -> DataFrame
     """(user_id, session_seq, sec, event_type): every event tagged with
     its gap-session id — the row-level sibling of sessionize() (which
     folds to one row per session)."""
+    # event_type rides along when present (the funnel needs it); pure
+    # timestamp streams sessionize without it
+    extra = ["event_type"] if "event_type" in events.columns else []
     ev = events.select(
         "user_id",
         F.expr("unix_micros(ts) div 1000000").alias("sec"),
-        "event_type",
+        *extra,
     )
     w = Window.partitionBy("user_id").orderBy("sec")
     new_sess = (
@@ -92,14 +80,13 @@ def sessionized_events(events: DataFrame, gap_s: int = GAP_SECONDS) -> DataFrame
     )
 
 
-@query(
-    "events_session_funnel",
-    # outcome per session: converted = a purchase at-or-after the
-    # session's first view; viewed_only = views but no such purchase;
-    # no_view = sessions without any view. Aggregated to counts per
-    # outcome — the product-analytics session-conversion report.
-    oracle=f"""
-    WITH e AS (
+# shared DuckDB sessionization CTE chain ending in
+# `s` = (user_id, sec, event_type, session_seq) — BOTH oracles
+# (per-session stats, session funnel) compose from this single source,
+# so the replayed gap logic cannot drift between them (mirrors the
+# LM_PPL_CTES pattern in textops/lm_score.py)
+SESSION_CTES = f"""
+    e AS (
       SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type
       FROM events
     ),
@@ -117,7 +104,17 @@ def sessionized_events(events: DataFrame, gap_s: int = GAP_SECONDS) -> DataFrame
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS session_seq
       FROM g
-    ),
+    )"""
+
+
+@query(
+    "events_session_funnel",
+    # outcome per session: converted = a purchase at-or-after the
+    # session's first view; viewed_only = views but no such purchase;
+    # no_view = sessions without any view. Aggregated to counts per
+    # outcome — the product-analytics session-conversion report.
+    oracle=f"""
+    WITH {SESSION_CTES},
     per_sess AS (
       SELECT user_id, session_seq,
              MIN(CASE WHEN event_type = 'view' THEN sec END) AS first_view,
@@ -170,24 +167,7 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_sessionize_gap",
     oracle=f"""
-    WITH e AS (
-      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
-    ),
-    g AS (
-      SELECT user_id, sec,
-             CASE WHEN lag(sec) OVER w IS NULL
-                    OR sec - lag(sec) OVER w > {GAP_SECONDS}
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
-    ),
-    s AS (
-      SELECT user_id, sec,
-             CAST(SUM(new_sess) OVER (
-               PARTITION BY user_id ORDER BY sec
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS BIGINT) AS session_seq
-      FROM g
-    )
+    WITH {SESSION_CTES}
     SELECT user_id, session_seq,
            COUNT(*) AS n_events,
            MIN(sec) AS session_start,

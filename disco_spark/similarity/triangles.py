@@ -38,6 +38,35 @@ MAX_ORDER_PARTS = 50
 MIN_COORDERS = 2
 
 
+# shared DuckDB CTE chain op -> capped -> edges (and tris on top) — both
+# graph oracles compose from this single source so the graph definition
+# (cap, strength threshold, orientation) cannot drift between them
+EDGES_CTES = f"""
+    op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    capped AS (
+      SELECT o, p FROM (
+        SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS d FROM op
+      ) WHERE d <= {MAX_ORDER_PARTS}
+    ),
+    edges AS (
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS strength
+        FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+      ) WHERE strength >= {MIN_COORDERS}
+    )"""
+
+TRIS_CTE = """
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )"""
+
+
 def coorder_edges(
     lineitem: DataFrame,
     cap: int = MAX_ORDER_PARTS,
@@ -82,27 +111,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle=f"""
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ),
-    capped AS (
-      SELECT o, p FROM (
-        SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS d FROM op
-      ) WHERE d <= {MAX_ORDER_PARTS}
-    ),
-    edges AS (
-      SELECT u, v FROM (
-        SELECT a.p AS u, b.p AS v, COUNT(*) AS strength
-        FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
-        GROUP BY 1, 2
-      ) WHERE strength >= {MIN_COORDERS}
-    ),
-    tris AS (
-      SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      FROM edges e1
-      JOIN edges e2 ON e1.v = e2.u
-      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
-    ),
+    WITH {EDGES_CTES},{TRIS_CTE},
     nodes AS (
       SELECT a AS node FROM tris
       UNION ALL SELECT b FROM tris
@@ -112,34 +121,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disco_spark.session import lazy_persist
+
     t = load_tables(spark, sf_dir)
-    return triangle_counts(coorder_edges(t["lineitem"]))
+    # the edge list feeds three self-join references; persist it once
+    # (released at the next registered query, like every deferred persist)
+    return triangle_counts(lazy_persist(coorder_edges(t["lineitem"])))
 
 
 @query(
     "graph_clustering_coefficient",
     oracle=f"""
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ),
-    capped AS (
-      SELECT o, p FROM (
-        SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS d FROM op
-      ) WHERE d <= {MAX_ORDER_PARTS}
-    ),
-    edges AS (
-      SELECT u, v FROM (
-        SELECT a.p AS u, b.p AS v, COUNT(*) AS strength
-        FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
-        GROUP BY 1, 2
-      ) WHERE strength >= {MIN_COORDERS}
-    ),
-    tris AS (
-      SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      FROM edges e1
-      JOIN edges e2 ON e1.v = e2.u
-      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
-    ),
+    WITH {EDGES_CTES},{TRIS_CTE},
     tcount AS (
       SELECT node, COUNT(*) AS n_triangles FROM (
         SELECT a AS node FROM tris
@@ -164,8 +157,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nodes with degree >= 2 — the community-density audit the
     triangle kernel exists to feed. Degrees from one explode+groupBy of
     the edge list; triangles from triangle_counts; one left join."""
+    from disco_spark.session import lazy_persist
+
     t = load_tables(spark, sf_dir)
-    edges = coorder_edges(t["lineitem"])
+    # five references to the edge plan (3 in the triangle join, 2 in the
+    # degree union): one persisted materialization serves all
+    edges = lazy_persist(coorder_edges(t["lineitem"]))
     tri = triangle_counts(edges)
     degree = (
         edges.select(F.col("u").alias("node"))

@@ -417,8 +417,8 @@ def test_hourly_anomaly_flags_planted_spike(spark):
     for h in range(24):
         n = 100 if h == 12 else 1
         for i in range(n):
-            rows.append((base + datetime.timedelta(hours=h, seconds=i), "t"))
-    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+            rows.append((base + datetime.timedelta(hours=h, seconds=i), "t", 0.0))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
     from disco_spark.operators.rollup import anomaly_buckets
 
     flagged = anomaly_buckets(ev).collect()
