@@ -21,11 +21,13 @@ sys.path.insert(0, REPO)
 from disco_spark import registry  # noqa: E402
 from disco_spark.session import get_spark, load_tables  # noqa: E402
 
-DEFAULT_OPS = [
-    "ann_index_load_topk",
-    "classic_oob_sorted_reduce",
-    "dedup_embedding_cosine",
-    "profile_orders_columns_approx",
+DEFAULT_OPS = [  # round-7 new surface; pass names argv-style for others
+    "events_sessionize_gap",
+    "text_lm_perplexity",
+    "graph_triangle_count",
+    "ann_index_delete_topk",
+    "rollup_incremental_refresh",
+    "cdc_upsert_latest_wins",
 ]
 
 ap = argparse.ArgumentParser()
