@@ -25,17 +25,20 @@ from disco_spark.session import load_tables
 def _nearest(centers: list[list[float]]):
     """Column expr: index of the nearest center (squared L2) for the
     `embedding` column; centers inlined as ONE array-of-arrays literal
-    and scanned with a single transform() lambda. The earlier form built
-    k separate aggregate expressions — identical arithmetic, but the
-    expression tree (and its codegen) grew linearly with k, which
-    dominated wall time once adaptive_cells pushed k to sqrt(n)
-    (measured 3x at k=45). Same element order, same fold, same
-    first-index tie-break, so assignments are bit-identical and the
-    unrolled DuckDB oracle still matches."""
+    and scanned with a single transform() lambda (the earlier forms —
+    k separate aggregate expressions, then k*dim literal nodes — grew
+    the expression tree with k and paid for it in planning/codegen;
+    measured 3x at k=45 for the first). Same element order, same fold,
+    same first-index tie-break, so assignments are bit-identical and
+    the unrolled DuckDB oracle still matches. The residual per-row cost
+    is the interpreted higher-order-function evaluation (HOF lambdas
+    never enter whole-stage codegen) — acceptable because assignment
+    runs once per session per input (converged-centers cache)."""
     emb = F.col("embedding")
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
-    )
+    # ONE nested-array literal node (not k*dim CreateArray children):
+    # the expression tree stays constant-size as k grows with sqrt(n) —
+    # same values, same fold, bit-identical assignments (A/B-verified)
+    cents = F.lit([[float(x) for x in c] for c in centers])
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
