@@ -127,6 +127,8 @@ HEADLINE = [
     "curriculum_ppl_buckets",
     "cdc_upsert_latest_wins",
     "source_schema_evolution",
+    "events_gapfill_hourly",
+    "cohort_orders_retention",
 ]
 
 

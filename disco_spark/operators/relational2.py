@@ -875,3 +875,56 @@ def pivot_orders_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         ],
     )
     return renamed
+
+
+@query(
+    "cohort_orders_retention",
+    # classic cohort grid: customers grouped by FIRST-order month,
+    # activity counted by months-since-first (integer month arithmetic
+    # both engines: 12*year + month)
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(12 * EXTRACT(YEAR FROM o_orderdate)
+                 + EXTRACT(MONTH FROM o_orderdate)) AS first_m
+      FROM orders GROUP BY 1
+    ),
+    activity AS (
+      SELECT o.o_custkey, f.first_m,
+             (12 * EXTRACT(YEAR FROM o.o_orderdate)
+              + EXTRACT(MONTH FROM o.o_orderdate)) - f.first_m AS months_since
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(first_m AS BIGINT) AS cohort_m,
+           CAST(months_since AS BIGINT) AS months_since,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers
+    FROM activity
+    WHERE months_since <= 12
+    GROUP BY 1, 2
+    """,
+)
+def cohort_orders_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort grid over orders: customers bucketed by their
+    FIRST order month (cohort_m = 12*year + month — pure integer
+    arithmetic, no date-diff semantics for engines to disagree about),
+    distinct active customers counted at each months-since-first offset
+    up to a year. Two shuffles: the per-customer first-order aggregate
+    and the (cohort, offset) distinct count; the first-order side joins
+    back by customer key (AQE broadcasts it when small)."""
+    t = load_tables(spark, sf_dir)
+    m = 12 * F.year("o_orderdate") + F.month("o_orderdate")
+    o = t["orders"].select("o_custkey", m.alias("m"))
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    activity = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        F.col("first_m"),
+        (F.col("m") - F.col("first_m")).alias("months_since"),
+    )
+    return (
+        activity.filter(F.col("months_since") <= 12)
+        .groupBy(
+            F.col("first_m").cast("bigint").alias("cohort_m"),
+            F.col("months_since").cast("bigint").alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )

@@ -494,3 +494,59 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment — so the flag set is bit-stable across engines."""
     t = load_tables(spark, sf_dir)
     return anomaly_buckets(t["events"])
+
+
+@query(
+    "events_gapfill_hourly",
+    # the spine is generated from the OBSERVED min/max hour per
+    # event_type (scalar subqueries — no driver state); missing buckets
+    # appear with n_events = 0, the time_bucket_gapfill contract
+    oracle="""
+    WITH grains AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM grains GROUP BY 1
+    ),
+    spine AS (
+      SELECT b.event_type, CAST(unnest(generate_series(b.lo, b.hi,
+                     INTERVAL 1 HOUR)) AS TIMESTAMP) AS bucket
+      FROM bounds b
+    )
+    SELECT s.bucket, s.event_type,
+           CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN grains g
+      ON g.bucket = s.bucket AND g.event_type = s.event_type
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type (TimescaleDB
+    time_bucket_gapfill parity): a calendar spine spanning each type's
+    observed [min, max] hour left-joins the grain table, so silent
+    hours surface as explicit zero rows — without this, downstream
+    anomaly/trend math never sees the outage it should be flagging.
+
+    Scale story: the spine is sequence()+explode over per-type bounds
+    (hours-per-year x types rows — volume-independent of raw events);
+    the join is grain-table-sized. No driver state, no Python."""
+    t = load_tables(spark, sf_dir)
+    g = hourly_grains(t["events"]).select(
+        "bucket", "event_type", F.col("n_events").alias("cnt")
+    )
+    bounds = g.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    return spine.join(g, ["bucket", "event_type"], "left").select(
+        "bucket",
+        "event_type",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_events"),
+    )

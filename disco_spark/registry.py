@@ -61,10 +61,11 @@ def query(name: str, oracle: str | None = None):
 # After round 6 the staleness map is: 50 r6-green, 50 r5-green, 48
 # r4-stale, 4 r3-stale, 2 never-driver-verified (ops_job_group_rollup,
 # dedup_embedding_cosine_deep — registered after round 6's window
-# froze). Round 7 front-loads (a) this round's 19 new queries, (b) the
-# 2 never-verified, (c) the 4 round-3-stale, then (d) 25 of the 48
-# round-4-stale. The 23 deferred round-4-stale queries
-# (discodb_multiset_wordcount, catalog_tag_walk, text_quality_logistic,
+# froze). Round 7 front-loads (a) this round's 21 new queries, (b) the
+# 2 never-verified, (c) the 4 round-3-stale, then (d) 23 of the 48
+# round-4-stale. The 25 deferred round-4-stale queries
+# (source_chunked_ingest, source_xml_records,
+# discodb_multiset_wordcount, catalog_tag_walk, text_quality_logistic,
 # tsp_nations_bruteforce, pack_manifest_documents,
 # pack_sequence_stats, naive_bayes_lang_scores, profile_orders_columns
 # [approx sibling r6-green], rollup_hll_daily_users, sample_training_shards,
@@ -85,6 +86,7 @@ PRIORITY: list[str] = [
     "graph_clustering_coefficient", "dedup_edit_distance",
     "events_hourly_anomaly", "events_session_funnel", "curriculum_ppl_buckets",
     "cdc_upsert_latest_wins", "source_schema_evolution",
+    "events_gapfill_hourly", "cohort_orders_retention",
     # --- never driver-verified (registered post-window in round 6)
     "ops_job_group_rollup", "dedup_embedding_cosine_deep",
     # --- round-3-stale (deferred from round 6)
@@ -94,7 +96,6 @@ PRIORITY: list[str] = [
     "classic_innerjoin", "classic_partition_histogram",
     "classic_sort_reduce", "classic_wordcount",
     "external_binary_md5", "external_pipe_upper", "group_all_stats",
-    "source_chunked_ingest", "source_xml_records",
     "sink_partitioned_roundtrip",
     # --- round-4-stale: relational / set ops / windows
     "anti_join_idle_customers", "semi_join_active_customers",
@@ -108,8 +109,9 @@ PRIORITY: list[str] = [
     # --- round-4-stale: sampling / packing / profile / rollup / text
     "streaming_stream_stream_join",
     # ---- 50 entries above this line. Everything below is overflow that
-    #      slides in only if earlier entries are missing; the 23 deferred
+    #      slides in only if earlier entries are missing; the 25 deferred
     #      round-4-stale queries lead it for the round-8 rotation.
+    "source_chunked_ingest", "source_xml_records",
     "discodb_multiset_wordcount", "catalog_tag_walk",
     "text_quality_logistic", "tsp_nations_bruteforce",
     "pack_manifest_documents", "pack_sequence_stats",

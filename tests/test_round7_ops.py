@@ -484,3 +484,40 @@ def test_schema_evolution_nulls_only_old_batch(spark):
     assert rows
     for r in rows:
         assert (r.quality_tier is None) == (r.doc_id % 2 == 0)
+
+
+def test_gapfill_oracle(spark):
+    compare_query(spark, "events_gapfill_hourly", SF_SMOKE)
+
+
+def test_gapfill_spine_is_dense(spark):
+    """Per type: buckets form a complete hourly range and real counts
+    are preserved."""
+    rows = registry.QUERIES["events_gapfill_hourly"](spark, SF_SMOKE).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    total = 0
+    for tname, rs in by_type.items():
+        secs = sorted(int(r.bucket.timestamp()) for r in rs)
+        assert secs == list(range(secs[0], secs[-1] + 3600, 3600)), tname
+        total += sum(r.n_events for r in rs)
+    assert total == load_tables(spark, SF_SMOKE)["events"].count()
+
+
+def test_cohort_oracle(spark):
+    compare_query(spark, "cohort_orders_retention", SF_SMOKE)
+
+
+def test_cohort_offset_zero_counts_every_customer(spark):
+    """Every customer is active in their own cohort month (offset 0),
+    so summing offset-0 actives over cohorts equals distinct customers."""
+    rows = registry.QUERIES["cohort_orders_retention"](spark, SF_SMOKE).collect()
+    zero = sum(r.active_customers for r in rows if r.months_since == 0)
+    n_cust = (
+        load_tables(spark, SF_SMOKE)["orders"]
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert zero == n_cust
