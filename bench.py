@@ -129,6 +129,8 @@ HEADLINE = [
     "source_schema_evolution",
     "events_gapfill_hourly",
     "cohort_orders_retention",
+    "events_conversion_delay",
+    "multimodal_sig_dedup",
 ]
 
 

@@ -185,3 +185,69 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     sampled = frame_sample(make_media_table(t["documents"]), frame_bytes=4, every=2)
     return sampled.select("media_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
+@query(
+    "multimodal_sig_dedup",
+    # replay: the same 16-bit mean-threshold signature from the md5 hex
+    # bytes, grouped; only signatures shared by >= 2 media ids are dup
+    # groups (the pHash-bucket contract)
+    oracle="""
+    WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT media_id,
+             [('0x' || substr(hx, i * 2 - 1, 2))::INT FOR i IN generate_series(1, 16)] AS bytes
+      FROM h
+    ),
+    sig AS (
+      SELECT media_id,
+             CAST(list_sum(list_transform(
+               list_zip(bytes, generate_series(1, 16)),
+               p -> CASE WHEN p[1] * 16 > list_sum(bytes) THEN (1 << (p[2] - 1)) ELSE 0 END
+             )) AS INT) AS signature
+      FROM b
+    )
+    SELECT signature, COUNT(*) AS n_media,
+           MIN(media_id) AS rep_media_id
+    FROM sig GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_sig_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style media dedup over the binary payloads: the
+    decoded raster folds to a 16-bit mean-threshold signature (bit i set
+    iff pixel i is above the image mean — the aHash construction, here
+    on the deterministic fake raster), and media sharing a signature
+    form duplicate groups with a canonical representative. The decode
+    is the one Arrow pass (same seam as multimodal_pixel_stats); the
+    signature fold, grouping and representative choice are pure JVM.
+    At 100 TB only (media_id, 2-byte signature) rows shuffle — payloads
+    never leave their executors, the defining property of media dedup
+    at scale."""
+    t = load_tables(spark, sf_dir)
+    decoded = decode_media(make_media_table(t["documents"]))
+    px = F.col("pixels")
+    # bit i set iff pixels[i] * n > sum(pixels) — integer-exact mean
+    # comparison (no float mean for engines to round differently)
+    total = F.aggregate(px, F.lit(0), lambda a, x: a + x)
+    sig = F.aggregate(
+        F.zip_with(
+            px,
+            F.sequence(F.lit(1), F.size(px)),
+            # 2^(i-1) via double pow, exact for i <= 16, cast back to int
+            lambda p, i: F.when(
+                p * F.size(px) > total,
+                F.pow(F.lit(2.0), (i - 1).cast("double")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        decoded.select("media_id", sig.alias("signature"))
+        .groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_id").alias("rep_media_id"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )

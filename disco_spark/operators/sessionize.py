@@ -179,3 +179,65 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return sessionize(t["events"])
+
+@query(
+    "events_conversion_delay",
+    # per-session conversion delay: first purchase AT-OR-AFTER the
+    # session's first view, minus that view; session-level rows fold to
+    # one summary row per user-cohort-free grain (exact integer min/max,
+    # decimal-exact mean)
+    oracle=f"""
+    WITH {SESSION_CTES},
+    per_sess AS (
+      SELECT user_id, session_seq,
+             MIN(CASE WHEN event_type = 'view' THEN sec END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN sec END
+                 ) FILTER (WHERE event_type = 'purchase'
+                           AND sec >= (SELECT MIN(s2.sec) FROM s s2
+                                       WHERE s2.user_id = s.user_id
+                                         AND s2.session_seq = s.session_seq
+                                         AND s2.event_type = 'view')) AS first_conv
+      FROM s GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_converted,
+           MIN(first_conv - first_view) AS min_delay_s,
+           MAX(first_conv - first_view) AS max_delay_s,
+           ROUND(CAST(SUM(CAST(first_conv - first_view AS DECIMAL(20,0)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_delay_s
+    FROM per_sess
+    WHERE first_view IS NOT NULL AND first_conv IS NOT NULL
+    """,
+)
+def events_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase latency within sessions: for every converted
+    session (first purchase at-or-after its first view), the delay in
+    seconds — summarized as count / min / max / decimal-exact mean.
+    The product-analytics follow-up to the funnel: not just WHETHER
+    sessions convert but HOW FAST. Same single user_id Exchange; the
+    summary is one global aggregate over session rows."""
+    t = load_tables(spark, sf_dir)
+    s = sessionized_events(t["events"])
+    per_sess = s.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias(
+            "first_view"
+        ),
+    )
+    # first purchase at-or-after the session's first view
+    conv = (
+        s.filter(F.col("event_type") == "purchase")
+        .join(per_sess, ["user_id", "session_seq"])
+        .filter(F.col("sec") >= F.col("first_view"))
+        .groupBy("user_id", "session_seq", "first_view")
+        .agg(F.min("sec").alias("first_conv"))
+    )
+    delay = F.col("first_conv") - F.col("first_view")
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min(delay).alias("min_delay_s"),
+        F.max(delay).alias("max_delay_s"),
+        F.round(
+            F.sum(delay.cast("decimal(20,0)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_delay_s"),
+    )

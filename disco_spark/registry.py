@@ -61,10 +61,11 @@ def query(name: str, oracle: str | None = None):
 # After round 6 the staleness map is: 50 r6-green, 50 r5-green, 48
 # r4-stale, 4 r3-stale, 2 never-driver-verified (ops_job_group_rollup,
 # dedup_embedding_cosine_deep — registered after round 6's window
-# froze). Round 7 front-loads (a) this round's 21 new queries, (b) the
-# 2 never-verified, (c) the 4 round-3-stale, then (d) 23 of the 48
-# round-4-stale. The 25 deferred round-4-stale queries
-# (source_chunked_ingest, source_xml_records,
+# froze). Round 7 front-loads (a) this round's 23 new queries, (b) the
+# 2 never-verified, (c) the 4 round-3-stale, then (d) 21 of the 48
+# round-4-stale. The 27 deferred round-4-stale queries
+# (group_all_stats, anti_join_idle_customers,
+# source_chunked_ingest, source_xml_records,
 # discodb_multiset_wordcount, catalog_tag_walk, text_quality_logistic,
 # tsp_nations_bruteforce, pack_manifest_documents,
 # pack_sequence_stats, naive_bayes_lang_scores, profile_orders_columns
@@ -87,6 +88,7 @@ PRIORITY: list[str] = [
     "events_hourly_anomaly", "events_session_funnel", "curriculum_ppl_buckets",
     "cdc_upsert_latest_wins", "source_schema_evolution",
     "events_gapfill_hourly", "cohort_orders_retention",
+    "events_conversion_delay", "multimodal_sig_dedup",
     # --- never driver-verified (registered post-window in round 6)
     "ops_job_group_rollup", "dedup_embedding_cosine_deep",
     # --- round-3-stale (deferred from round 6)
@@ -95,10 +97,10 @@ PRIORITY: list[str] = [
     # --- round-4-stale: classic/pipeline/external surface
     "classic_innerjoin", "classic_partition_histogram",
     "classic_sort_reduce", "classic_wordcount",
-    "external_binary_md5", "external_pipe_upper", "group_all_stats",
+    "external_binary_md5", "external_pipe_upper",
     "sink_partitioned_roundtrip",
     # --- round-4-stale: relational / set ops / windows
-    "anti_join_idle_customers", "semi_join_active_customers",
+    "semi_join_active_customers",
     "intersect_customers", "except_customers", "global_sort_orders",
     "bucketed_colocated_join", "cube_orders_by_status_priority",
     "rollup_orders_by_status_priority",
@@ -109,8 +111,9 @@ PRIORITY: list[str] = [
     # --- round-4-stale: sampling / packing / profile / rollup / text
     "streaming_stream_stream_join",
     # ---- 50 entries above this line. Everything below is overflow that
-    #      slides in only if earlier entries are missing; the 25 deferred
+    #      slides in only if earlier entries are missing; the 27 deferred
     #      round-4-stale queries lead it for the round-8 rotation.
+    "group_all_stats", "anti_join_idle_customers",
     "source_chunked_ingest", "source_xml_records",
     "discodb_multiset_wordcount", "catalog_tag_walk",
     "text_quality_logistic", "tsp_nations_bruteforce",

@@ -521,3 +521,30 @@ def test_cohort_offset_zero_counts_every_customer(spark):
         .count()
     )
     assert zero == n_cust
+
+
+def test_conversion_delay_oracle(spark):
+    compare_query(spark, "events_conversion_delay", SF_SMOKE)
+
+
+def test_conversion_delay_bounded_by_converted_sessions(spark):
+    """Converted-session count matches the funnel's 'converted' bucket,
+    and delays are sane (0 <= min <= avg <= max)."""
+    row = registry.QUERIES["events_conversion_delay"](spark, SF_SMOKE).collect()[0]
+    funnel = {
+        r.outcome: r.n_sessions
+        for r in registry.QUERIES["events_session_funnel"](spark, SF_SMOKE).collect()
+    }
+    assert row.n_converted == funnel.get("converted", 0)
+    assert 0 <= row.min_delay_s <= row.avg_delay_s <= row.max_delay_s
+
+
+def test_multimodal_sig_dedup_oracle(spark):
+    compare_query(spark, "multimodal_sig_dedup", SF_SMOKE)
+
+
+def test_multimodal_sig_groups_are_groups(spark):
+    rows = registry.QUERIES["multimodal_sig_dedup"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.n_media >= 2
+        assert 0 <= r.signature < (1 << 16)
