@@ -131,6 +131,7 @@ HEADLINE = [
     "cohort_orders_retention",
     "events_conversion_delay",
     "multimodal_sig_dedup",
+    "drift_psi_sources",
 ]
 
 

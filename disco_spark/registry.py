@@ -61,10 +61,10 @@ def query(name: str, oracle: str | None = None):
 # After round 6 the staleness map is: 50 r6-green, 50 r5-green, 48
 # r4-stale, 4 r3-stale, 2 never-driver-verified (ops_job_group_rollup,
 # dedup_embedding_cosine_deep — registered after round 6's window
-# froze). Round 7 front-loads (a) this round's 23 new queries, (b) the
-# 2 never-verified, (c) the 4 round-3-stale, then (d) 21 of the 48
-# round-4-stale. The 27 deferred round-4-stale queries
-# (group_all_stats, anti_join_idle_customers,
+# froze). Round 7 front-loads (a) this round's 24 new queries, (b) the
+# 2 never-verified, (c) the 4 round-3-stale, then (d) 20 of the 48
+# round-4-stale. The 28 deferred round-4-stale queries
+# (classic_partition_histogram, group_all_stats, anti_join_idle_customers,
 # source_chunked_ingest, source_xml_records,
 # discodb_multiset_wordcount, catalog_tag_walk, text_quality_logistic,
 # tsp_nations_bruteforce, pack_manifest_documents,
@@ -89,13 +89,14 @@ PRIORITY: list[str] = [
     "cdc_upsert_latest_wins", "source_schema_evolution",
     "events_gapfill_hourly", "cohort_orders_retention",
     "events_conversion_delay", "multimodal_sig_dedup",
+    "drift_psi_sources",
     # --- never driver-verified (registered post-window in round 6)
     "ops_job_group_rollup", "dedup_embedding_cosine_deep",
     # --- round-3-stale (deferred from round 6)
     "streaming_tumbling_window", "text_bpe_pretokens",
     "text_pii_scrub", "text_url_stats",
     # --- round-4-stale: classic/pipeline/external surface
-    "classic_innerjoin", "classic_partition_histogram",
+    "classic_innerjoin",
     "classic_sort_reduce", "classic_wordcount",
     "external_binary_md5", "external_pipe_upper",
     "sink_partitioned_roundtrip",
@@ -111,8 +112,9 @@ PRIORITY: list[str] = [
     # --- round-4-stale: sampling / packing / profile / rollup / text
     "streaming_stream_stream_join",
     # ---- 50 entries above this line. Everything below is overflow that
-    #      slides in only if earlier entries are missing; the 27 deferred
+    #      slides in only if earlier entries are missing; the 28 deferred
     #      round-4-stale queries lead it for the round-8 rotation.
+    "classic_partition_histogram",
     "group_all_stats", "anti_join_idle_customers",
     "source_chunked_ingest", "source_xml_records",
     "discodb_multiset_wordcount", "catalog_tag_walk",
@@ -190,6 +192,7 @@ def load_all() -> None:
     from disco_spark.operators import zorder  # noqa: F401
     from disco_spark.operators import sessionize  # noqa: F401
     from disco_spark.operators import cdc  # noqa: F401
+    from disco_spark.operators import drift  # noqa: F401
     from disco_spark.operators import skew  # noqa: F401
     from disco_spark.textops import tfidf  # noqa: F401
     from disco_spark.textops import lm_score  # noqa: F401
