@@ -140,7 +140,18 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     registry.load_all()
     spark = get_spark("disco_spark_bench")
-    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # SPARK_GRAFT_SKIP: comma-separated query names to exclude — used for
+    # runs where a specific query is known-pathological on a SYNTHETIC
+    # dataset (e.g. dedup_edit_distance on the replica-salted sf1 set,
+    # whose LSH candidate pairs inflate ~36000x; PERFORMANCE.md round 7)
+    skip = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",")
+        if s.strip()
+    }
+    if skip:
+        print(f"# skipping (SPARK_GRAFT_SKIP): {sorted(skip)}", file=sys.stderr)
+    names = [n for n in HEADLINE if n in registry.QUERIES and n not in skip]
 
     # warm the JVM, parquet footers, the per-session table-plan cache and
     # the OS page cache once, so per-query numbers measure the query, not
