@@ -151,7 +151,16 @@ def main() -> None:
     }
     if skip:
         print(f"# skipping (SPARK_GRAFT_SKIP): {sorted(skip)}", file=sys.stderr)
+        unknown = sorted(skip - set(HEADLINE))
+        if unknown:
+            # a typo'd skip silently running the pathological query is
+            # the exact failure this knob exists to prevent — be loud
+            print(f"# WARNING: skip names not in HEADLINE: {unknown}", file=sys.stderr)
     names = [n for n in HEADLINE if n in registry.QUERIES and n not in skip]
+    if not names:
+        print('{"error": "no queries to run (all skipped or unregistered)"}')
+        spark.stop()
+        return
 
     # warm the JVM, parquet footers, the per-session table-plan cache and
     # the OS page cache once, so per-query numbers measure the query, not
@@ -183,6 +192,11 @@ def main() -> None:
         "warmup_sec": warm_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if skip:
+        # a partial run must be self-describing: without this, a
+        # skipped-query total reads as a speedup in round-over-round
+        # comparisons
+        payload["skipped"] = sorted(skip)
     # Full per-query detail goes to a file: the driver records only the
     # tail of stdout, and an 80+-query JSON line outgrows that buffer
     # (BENCH_r04.json parsed=null). The FINAL stdout line is kept compact

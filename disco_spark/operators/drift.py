@@ -43,6 +43,49 @@ def _bin_expr_sql() -> str:
     return f"CASE {cases} ELSE {len(BIN_EDGES)} END"
 
 
+def psi_by_source(docs: DataFrame) -> DataFrame:
+    """(source, psi) for a documents-shaped DataFrame — the engine plan
+    behind drift_psi_sources, exposed so tests exercise the SHIPPED
+    construction (smoothing, bin grid) rather than a copy."""
+    spark = docs.sparkSession
+    n_bins = len(BIN_EDGES) + 1
+    binned = docs.select("source", _bin_expr_spark().alias("bin"))
+    per_source = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # the source axis comes from per_source (every source has >= 1 row
+    # there), NOT a second scan of docs — at 100 TB the corpus scan is
+    # the entire cost and this operator needs exactly one
+    grid = (
+        per_source.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+        )
+        .join(per_source, ["source", "bin"], "left")
+        .select(
+            "source", "bin", (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("c_smooth")
+        )
+    )
+    totals = grid.groupBy("source").agg(F.sum("c_smooth").alias("t"))
+    overall = grid.groupBy("bin").agg(F.sum("c_smooth").alias("oc"))
+    otot = overall.agg(F.sum("oc").alias("ot"))
+    p = F.col("c_smooth") * F.lit(1.0) / F.col("t")
+    q = F.col("oc") * F.lit(1.0) / F.col("ot")
+    return (
+        grid.join(totals, "source")
+        .join(overall, "bin")
+        .crossJoin(F.broadcast(otot))
+        .withColumn("term", (p - q) * F.log(p / q))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,15)")).cast("double"), 6
+            ).alias("psi")
+        )
+    )
+
+
 @query(
     "drift_psi_sources",
     oracle=f"""
@@ -54,7 +97,7 @@ def _bin_expr_sql() -> str:
     ),
     grid AS (
       SELECT s.source, b.bin, COALESCE(p.c, 0) + 1 AS c_smooth
-      FROM (SELECT DISTINCT source FROM documents) s
+      FROM (SELECT DISTINCT source FROM per_source) s
       CROSS JOIN (SELECT unnest(generate_series(0, {len(BIN_EDGES)})) AS bin) b
       LEFT JOIN per_source p ON p.source = s.source AND p.bin = b.bin
     ),
@@ -86,37 +129,4 @@ def drift_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the LM scorer. The +1-per-bin smoothing means every
     (source, bin) cell exists on both engines by construction."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    n_bins = len(BIN_EDGES) + 1
-    binned = docs.select("source", _bin_expr_spark().alias("bin"))
-    per_source = binned.groupBy("source", "bin").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    grid = (
-        docs.select("source")
-        .distinct()
-        .crossJoin(
-            spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-        )
-        .join(per_source, ["source", "bin"], "left")
-        .select(
-            "source", "bin", (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("c_smooth")
-        )
-    )
-    totals = grid.groupBy("source").agg(F.sum("c_smooth").alias("t"))
-    overall = grid.groupBy("bin").agg(F.sum("c_smooth").alias("oc"))
-    otot = overall.agg(F.sum("oc").alias("ot"))
-    p = F.col("c_smooth") * F.lit(1.0) / F.col("t")
-    q = F.col("oc") * F.lit(1.0) / F.col("ot")
-    return (
-        grid.join(totals, "source")
-        .join(overall, "bin")
-        .crossJoin(F.broadcast(otot))
-        .withColumn("term", (p - q) * F.log(p / q))
-        .groupBy("source")
-        .agg(
-            F.round(
-                F.sum(F.col("term").cast("decimal(28,15)")).cast("double"), 6
-            ).alias("psi")
-        )
-    )
+    return psi_by_source(t["documents"])

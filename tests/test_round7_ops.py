@@ -556,58 +556,33 @@ def test_drift_psi_oracle(spark):
 
 def test_drift_psi_detects_planted_shift(spark):
     """A synthetic source whose lengths sit in one extreme bin scores a
-    much higher PSI than a source sampled like the corpus."""
+    much higher PSI than a source sampled like the corpus — asserted
+    against the SHIPPED psi_by_source construction."""
     import pyspark.sql.functions as FF
 
-    from disco_spark.operators.drift import drift_psi_sources  # noqa: F401
+    from disco_spark.operators.drift import psi_by_source
     from disco_spark.session import load_tables as lt
 
     docs = lt(spark, SF_SMOKE)["documents"]
-    # shifted source: text forced tiny (< 64 chars); normal source: reuse
-    # corpus rows as-is under a new label
-    shifted = docs.limit(50).select(
+    base = docs.orderBy("doc_id").limit(50)  # pinned row choice
+    shifted = base.select(
         (FF.col("doc_id") + 10**9).alias("doc_id"),
         FF.substring("text", 1, 10).alias("text"),
         "lang",
         FF.lit("synthetic_shifted").alias("source"),
         FF.lit(10).alias("n_chars"),
     )
-    normal = docs.limit(50).select(
+    normal = base.select(
         (FF.col("doc_id") + 2 * 10**9).alias("doc_id"),
         "text", "lang",
         FF.lit("synthetic_normal").alias("source"),
         "n_chars",
     )
-    import disco_spark.operators.drift as drift_mod
-
-    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
-        shifted
-    ).unionByName(normal)
-    binned = aug.select("source", drift_mod._bin_expr_spark().alias("bin"))
-    # reuse the registered query's internal construction via the module
-    # function on a temp view is overkill; recompute PSI directly
-    spark2 = spark
-    per_source = binned.groupBy("source", "bin").agg(FF.count(FF.lit(1)).alias("c"))
-    n_bins = len(drift_mod.BIN_EDGES) + 1
-    grid = (
-        aug.select("source").distinct()
-        .crossJoin(spark2.range(n_bins).select(FF.col("id").cast("int").alias("bin")))
-        .join(per_source, ["source", "bin"], "left")
-        .select("source", "bin", (FF.coalesce(FF.col("c"), FF.lit(0)) + 1).alias("c_smooth"))
+    aug = (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(shifted)
+        .unionByName(normal)
     )
-    totals = grid.groupBy("source").agg(FF.sum("c_smooth").alias("t"))
-    overall = grid.groupBy("bin").agg(FF.sum("c_smooth").alias("oc"))
-    otot = overall.agg(FF.sum("oc").alias("ot"))
-    p = FF.col("c_smooth") * FF.lit(1.0) / FF.col("t")
-    q = FF.col("oc") * FF.lit(1.0) / FF.col("ot")
-    psi = {
-        r.source: r.psi
-        for r in grid.join(totals, "source").join(overall, "bin")
-        .crossJoin(FF.broadcast(otot))
-        .withColumn("term", (p - q) * FF.log(p / q))
-        .groupBy("source")
-        .agg(FF.sum("term").alias("psi"))
-        .collect()
-    }
+    psi = {r.source: r.psi for r in psi_by_source(aug).collect()}
     assert psi["synthetic_shifted"] > 0.25  # action threshold
     assert psi["synthetic_shifted"] > 3 * psi["synthetic_normal"]
