@@ -132,6 +132,9 @@ HEADLINE = [
     "events_conversion_delay",
     "multimodal_sig_dedup",
     "drift_psi_sources",
+    "regr_price_vs_qty",
+    "stats_corr_matrix",
+    "stats_mutual_information",
 ]
 
 

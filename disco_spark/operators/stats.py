@@ -1,0 +1,313 @@
+"""Statistical aggregates over the fact table: grouped linear
+regression, a pairwise correlation matrix, and a categorical
+mutual-information / chi-square independence audit.
+
+These are the "profiling, but with second moments" siblings of
+operators/profile.py — the standing questions a training-data owner
+asks before trusting a feature: does Y actually move with X (slope,
+r2), which numeric columns are redundant (correlation matrix), and are
+two categorical columns independent (MI / chi2 — the classic
+label-leakage screen before a column is allowed into a training mix).
+
+Reference analog: none (beyond-reference surface; the reference's
+closest shape is the sum/count aggregate chain in
+lib/disco/worker/classic/func.py:164-184 — these are the same
+one-pass aggregation contract extended to second moments).
+
+Scale story: every query here is ONE scan producing a constant-size
+aggregate (14 sums for the 4x4 matrix, 6 sums per regression group, a
+|rf|x|ls| contingency grid). All moments accumulate in DECIMAL — exact
+and shuffle-order-independent, so map-side partial aggregation is free
+and Spark/DuckDB agree bit-for-bit — and the derived statistics
+(slope, corr, MI) are scalar double arithmetic on those exact sums.
+Nothing here grows with the data: at 100 TB the cost is the scan, the
+shuffle is a handful of partial-agg rows per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+# second-moment sums need more integer headroom than money sums:
+# l_extendedprice^2 is ~1e10 per row, so a 1e12-row corpus sums to
+# ~1e22 — decimal(38,10) holds 1e28 and keeps 10 fractional digits for
+# the discount/tax products (~1e-3 per row).
+_MOMENT_DEC = "decimal(38,10)"
+_MOMENT_DEC_SQL = "DECIMAL(38,10)"
+
+
+def _msum(expr: Column, alias: str) -> Column:
+    """Exact decimal-accumulated SUM of a (possibly product) expression,
+    returned as double — the relational.dsum contract at second-moment
+    precision."""
+    return F.sum(expr.cast(_MOMENT_DEC)).cast("double").alias(alias)
+
+
+def _msum_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS {_MOMENT_DEC_SQL})) AS DOUBLE) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# regr_price_vs_qty: per-returnflag simple linear regression of
+# l_extendedprice on l_quantity — DuckDB's regr_slope/regr_intercept/
+# regr_r2 family, re-derived from exact sums so the two engines agree
+# bit-for-bit (the built-in regr_* aggregates fold doubles in engine-
+# dependent order; the oracle replays THIS construction instead).
+# ---------------------------------------------------------------------------
+_REGR_SUMS_SQL = ", ".join(
+    [
+        "l_returnflag",
+        "COUNT(*) AS n",
+        _msum_sql("l_quantity", "sx"),
+        _msum_sql("l_extendedprice", "sy"),
+        _msum_sql("l_quantity * l_quantity", "sxx"),
+        _msum_sql("l_quantity * l_extendedprice", "sxy"),
+        _msum_sql("l_extendedprice * l_extendedprice", "syy"),
+    ]
+)
+
+
+@query(
+    "regr_price_vs_qty",
+    oracle=f"""
+    WITH sums AS (
+      SELECT {_REGR_SUMS_SQL}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    ORDER BY l_returnflag
+    """,
+)
+def regr_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of extendedprice on quantity per return flag:
+    (l_returnflag, n, slope, intercept, r2).
+
+    One scan, six decimal-exact sums per group; slope/intercept/r2 are
+    derived scalar arithmetic (the textbook normal-equation forms), so
+    the whole statistic is shuffle-order-independent. Parity target:
+    DuckDB/Postgres REGR_SLOPE / REGR_INTERCEPT / REGR_R2."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return regr_by_group(li, "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+def regr_by_group(
+    df: DataFrame, xcol: str, ycol: str, groupcol: str
+) -> DataFrame:
+    """(groupcol, n, slope, intercept, r2) — the engine plan behind
+    regr_price_vs_qty, exposed so tests assert the SHIPPED normal-
+    equation construction on planted-signal data."""
+    x, y = F.col(xcol), F.col(ycol)
+    sums = df.groupBy(groupcol).agg(
+        F.count(F.lit(1)).alias("n"),
+        _msum(x, "sx"),
+        _msum(y, "sy"),
+        _msum(x * x, "sxx"),
+        _msum(x * y, "sxy"),
+        _msum(y * y, "syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    return sums.select(
+        groupcol,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    ).orderBy(groupcol)
+
+
+# ---------------------------------------------------------------------------
+# stats_corr_matrix: pairwise Pearson correlation over the four numeric
+# lineitem measures, ALL moments from one scan (a naive per-pair corr()
+# would scan the table C(4,2) times; at 100 TB the scan IS the cost).
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_sum_exprs_sql() -> str:
+    parts = ["COUNT(*) AS n"]
+    for i, c in enumerate(_CORR_COLS):
+        parts.append(_msum_sql(c, f"s{i}"))
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if i <= j:
+                parts.append(_msum_sql(f"{a} * {b}", f"s{i}{j}"))
+    return ", ".join(parts)
+
+
+def _corr_pair_sql(i: int, j: int) -> str:
+    return (
+        f"SELECT '{_CORR_COLS[i]}' AS col_x, '{_CORR_COLS[j]}' AS col_y, "
+        f"ROUND((n * s{i}{j} - s{i} * s{j}) / "
+        f"SQRT((n * s{i}{i} - s{i} * s{i}) * (n * s{j}{j} - s{j} * s{j})), "
+        f"6) AS corr FROM sums"
+    )
+
+
+@query(
+    "stats_corr_matrix",
+    oracle=f"""
+    WITH sums AS (
+      SELECT {_corr_sum_exprs_sql()} FROM lineitem
+    )
+    {" UNION ALL ".join(
+        _corr_pair_sql(i, j)
+        for i in range(len(_CORR_COLS))
+        for j in range(len(_CORR_COLS))
+        if i < j
+    )}
+    ORDER BY col_x, col_y
+    """,
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Pearson correlation matrix of the lineitem
+    measures: (col_x, col_y, corr), 6 rows.
+
+    All 15 moment sums come from a single aggregate (one scan, one
+    constant-size partial-agg shuffle); each pair's correlation is then
+    scalar arithmetic on the exact sums. The same construction serves
+    feature-redundancy screens over any numeric feature block."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return corr_matrix(li, _CORR_COLS)
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_x, col_y, corr) upper triangle over `cols` — one scan, all
+    moments in a single aggregate; exposed for planted-signal tests."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(_msum(F.col(c), f"s{i}"))
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i <= j:
+                aggs.append(_msum(F.col(a) * F.col(b), f"s{i}{j}"))
+    sums = df.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def corr(i: int, j: int) -> Column:
+        num = n * F.col(f"s{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+        dx = n * F.col(f"s{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        dy = n * F.col(f"s{j}{j}") - F.col(f"s{j}") * F.col(f"s{j}")
+        return F.round(num / F.sqrt(dx * dy), 6)
+
+    pairs = [
+        F.struct(
+            F.lit(cols[i]).alias("col_x"),
+            F.lit(cols[j]).alias("col_y"),
+            corr(i, j).alias("corr"),
+        )
+        for i in range(len(cols))
+        for j in range(len(cols))
+        if i < j
+    ]
+    return (
+        sums.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.corr")
+        .orderBy("col_x", "col_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_mutual_information: MI (nats) + chi-square statistic between
+# l_returnflag and l_linestatus — the categorical-dependence audit.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_mutual_information",
+    oracle="""
+    WITH jc AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT c,
+             SUM(c) OVER (PARTITION BY rf) AS rx,
+             SUM(c) OVER (PARTITION BY ls) AS ry,
+             SUM(c) OVER () AS n
+      FROM jc
+    ),
+    terms AS (
+      SELECT n,
+             (CAST(c AS DOUBLE) / n)
+               * LN((CAST(c AS DOUBLE) / n)
+                     / ((CAST(rx AS DOUBLE) / n) * (CAST(ry AS DOUBLE) / n)))
+               AS t_mi,
+             POWER(CAST(c AS DOUBLE)
+                     - CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE) / n, 2)
+               / (CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE) / n) AS t_chi
+      FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(t_mi AS DECIMAL(28,15))) AS DOUBLE), 6)
+             AS mi_nats,
+           ROUND(CAST(SUM(CAST(t_chi AS DECIMAL(28,9))) AS DOUBLE), 6)
+             AS chi2
+    FROM terms
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and chi-square statistic between the
+    returnflag and linestatus columns: one row (n, mi_nats, chi2).
+
+    One scan builds the contingency grid (|rf| x |ls| cells); marginals
+    are windows over that tiny grid, per-cell terms are double
+    arithmetic on exact integer counts (counts stay integral —
+    BIGINT products would wrap past ~3e9, the round-7 anomaly-gate
+    lesson, so ratios are taken in double instead), and the final
+    reduction decimal-accumulates the handful of terms so Spark and
+    DuckDB hash-match (drift.py's PSI discipline). MI near 0 = the
+    columns are independent; this is the label-leakage screen run
+    before a categorical feature joins a training mix."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return mutual_information(li, "l_returnflag", "l_linestatus")
+
+
+def mutual_information(df: DataFrame, acol: str, bcol: str) -> DataFrame:
+    """One row (n, mi_nats, chi2) for two categorical columns — the
+    engine plan behind stats_mutual_information, exposed for
+    planted-dependence tests."""
+    jc = (
+        df.groupBy(F.col(acol).alias("rf"), F.col(bcol).alias("ls"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = jc.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("rf")).alias("rx"),
+        F.sum("c").over(Window.partitionBy("ls")).alias("ry"),
+        F.sum("c").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    c, rx, ry, n = (
+        F.col(x).cast("double") for x in ("c", "rx", "ry", "n")
+    )
+    t_mi = (c / n) * F.log((c / n) / ((rx / n) * (ry / n)))
+    t_chi = F.pow(c - rx * ry / n, 2) / (rx * ry / n)
+    return cells.select(
+        F.col("n"), t_mi.alias("t_mi"), t_chi.alias("t_chi")
+    ).agg(
+        F.max("n").alias("n"),
+        F.round(
+            F.sum(F.col("t_mi").cast("decimal(28,15)")).cast("double"), 6
+        ).alias("mi_nats"),
+        F.round(
+            F.sum(F.col("t_chi").cast("decimal(28,9)")).cast("double"), 6
+        ).alias("chi2"),
+    )

@@ -77,6 +77,11 @@ def query(name: str, oracle: str | None = None):
 # for the round-8 rotation.
 # Names absent from this list keep registration order after the
 # prioritized block.
+# Queries registered AFTER the round-7 window froze (the stats family:
+# regr_price_vs_qty, stats_corr_matrix, stats_mutual_information, and
+# any later round-7-continuation additions) are never-driver-verified
+# until round 8 — front-load them there together with the 28 deferred
+# round-4-stale names above.
 PRIORITY: list[str] = [
     # --- round-7 new queries
     "events_sessionize_gap", "tfidf_top_terms", "vocab_coverage_oov",
@@ -193,6 +198,7 @@ def load_all() -> None:
     from disco_spark.operators import sessionize  # noqa: F401
     from disco_spark.operators import cdc  # noqa: F401
     from disco_spark.operators import drift  # noqa: F401
+    from disco_spark.operators import stats  # noqa: F401
     from disco_spark.operators import skew  # noqa: F401
     from disco_spark.textops import tfidf  # noqa: F401
     from disco_spark.textops import lm_score  # noqa: F401
