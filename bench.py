@@ -135,6 +135,7 @@ HEADLINE = [
     "regr_price_vs_qty",
     "stats_corr_matrix",
     "stats_mutual_information",
+    "graph_khop_reachability",
 ]
 
 

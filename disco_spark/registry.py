@@ -184,6 +184,7 @@ def load_all() -> None:
     from disco_spark.similarity import index_store  # noqa: F401
     from disco_spark.similarity import pagerank  # noqa: F401
     from disco_spark.similarity import triangles  # noqa: F401
+    from disco_spark.similarity import khop  # noqa: F401
     from disco_spark import sampling  # noqa: F401
     from disco_spark.functions import udaf  # noqa: F401
     from disco_spark.functions import native  # noqa: F401
