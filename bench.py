@@ -136,6 +136,7 @@ HEADLINE = [
     "stats_corr_matrix",
     "stats_mutual_information",
     "graph_khop_reachability",
+    "sample_weighted_topn",
 ]
 
 

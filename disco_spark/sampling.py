@@ -381,3 +381,64 @@ def split_cluster_aware(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "doc_id",
         _split_col(F.coalesce(F.col("comp"), F.col("doc_id"))).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis exponential
+# race): r_i = -ln(u_i) / w_i with u_i a deterministic md5-derived
+# uniform; the n smallest r win. P(selection) is proportional to weight
+# in the without-replacement sense, the selection is a pure function of
+# the keys (stable under retries, re-partitioning, engine changes — the
+# same contract every sampler in this module gives), and the engine
+# plan is a TakeOrdered top-n: per-partition heaps + one merge, never a
+# global sort. The standing use: length- or quality-weighted corpus
+# subsampling where long/high-score documents must be overrepresented
+# but a hard cap bounds the export.
+# ---------------------------------------------------------------------------
+_WEIGHTED_N = 200
+
+
+def weighted_sample_topn(
+    df: DataFrame, key: str, weight: Column, n: int
+) -> DataFrame:
+    """Top-n rows by the exponential-race key (smallest -ln(u)/w).
+
+    Rows with weight <= 0 are excluded (they'd win with probability 0
+    anyway; excluding keeps ln() finite). The race key is NOT in the
+    output: selection only needs its ORDER, which last-ulp libm
+    differences cannot flip, while emitting the key would put raw
+    engine-library doubles into the hash-compare."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    r = -F.log(u) / weight
+    return (
+        df.filter(weight > 0)
+        .withColumn("__r", r)
+        .orderBy("__r")
+        .limit(n)
+        .drop("__r")
+    )
+
+
+@query(
+    "sample_weighted_topn",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             -LN(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 1) / 4294967296.0)) / n_chars AS r
+      FROM documents WHERE n_chars > 0
+    ) ORDER BY r LIMIT {_WEIGHTED_N}
+    """,
+)
+def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted without-replacement sample of the corpus:
+    (doc_id, n_chars), _WEIGHTED_N rows, long documents proportionally
+    favored."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return weighted_sample_topn(
+        docs.select("doc_id", "n_chars"), "doc_id", F.col("n_chars"), _WEIGHTED_N
+    )

@@ -104,3 +104,54 @@ def test_corr_single_scan_plan(spark):
     df = QUERIES["stats_corr_matrix"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+# --- weighted sampling (sampling.weighted_sample_topn) ---------------------
+
+
+def test_weighted_sample_oracle(spark):
+    import disco_spark.sampling  # noqa: F401  (registration side-effect)
+
+    compare_query(spark, "sample_weighted_topn", SF_CORRECT)
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    """50 rows at weight 10000 among 1000 at weight 1: nearly all heavy
+    rows must win a top-100 draw (deterministic md5 race)."""
+    from disco_spark.sampling import weighted_sample_topn
+
+    df = spark.range(0, 1050).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 50, 10000.0).otherwise(1.0).alias("w"),
+    )
+    sel = weighted_sample_topn(df, "k", F.col("w"), 100).collect()
+    heavy = sum(1 for r in sel if r["k"] < 50)
+    assert heavy >= 45, heavy
+    assert len(sel) == 100
+
+
+def test_weighted_sample_skews_long_docs(spark):
+    """The registered length-weighted sample's mean n_chars must exceed
+    the corpus mean."""
+    from disco_spark.registry import QUERIES
+    from disco_spark.session import load_tables
+
+    sel = QUERIES["sample_weighted_topn"](spark, SF_SMOKE)
+    mean_sel = sel.agg(F.avg("n_chars")).collect()[0][0]
+    mean_all = (
+        load_tables(spark, SF_SMOKE)["documents"]
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert mean_sel > mean_all
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from disco_spark.sampling import weighted_sample_topn
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 10, 0.0).otherwise(1.0).alias("w"),
+    )
+    sel = weighted_sample_topn(df, "k", F.col("w"), 15).collect()
+    assert len(sel) == 10 and all(r["k"] >= 10 for r in sel)
