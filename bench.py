@@ -137,6 +137,8 @@ HEADLINE = [
     "stats_mutual_information",
     "graph_khop_reachability",
     "sample_weighted_topn",
+    "source_orc_roundtrip",
+    "quality_constraint_violations",
 ]
 
 

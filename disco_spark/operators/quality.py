@@ -1,0 +1,181 @@
+"""Data-quality constraint audit — the declarative contract check a
+pipeline runs on every ingest batch before data is allowed downstream
+(the dbt-test / Deequ shape): null checks, value ranges, key
+uniqueness, referential integrity, and cross-table temporal sanity,
+each reported as (rule, n_violations).
+
+Reference analog: none directly; the closest reference behavior is
+DDFS's integrity checking of stored blobs (SURVEY §1.3) — this is the
+same trust-but-verify contract lifted to row-level table semantics.
+
+Scale story: rules are grouped by the SCAN that can serve them —
+single-table rules compile to conditional aggregates (one pass per
+table, map-side partials, no shuffle of raw rows), uniqueness is one
+groupBy on the key, and each FK/temporal rule family shares ONE join
+(the lineitem->orders join serves both the orphan check and the
+ship-before-order check). Every rule's result is a 1-row aggregate;
+the union of rules is constant-size regardless of data volume. At
+100 TB the audit costs ~one read of each audited table — the minimum
+any row-level audit can cost — and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+
+def constraint_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """(rule, n_violations) for predicate rules sharing one scan of
+    `df`; each Column is TRUE where the row VIOLATES the rule."""
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, pred in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    pairs = [
+        F.struct(F.lit(name).alias("rule"), F.col(name).alias("n_violations"))
+        for name in rules
+    ]
+    return wide.select(F.explode(F.array(*pairs)).alias("r")).select(
+        "r.rule", "r.n_violations"
+    )
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, ckey: str, pkey: str, rule: str
+) -> DataFrame:
+    """(rule, n_violations): child rows whose key has no parent."""
+    return (
+        child.join(parent, child[ckey] == parent[pkey], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit(rule).alias("rule"), "n_violations")
+    )
+
+
+def duplicate_key_count(df: DataFrame, key: str, rule: str) -> DataFrame:
+    """(rule, n_violations): rows beyond the first per key value (0 on
+    a unique column)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        .select(F.lit(rule).alias("rule"), "n_violations")
+    )
+
+
+@query(
+    "quality_constraint_violations",
+    oracle="""
+    SELECT 'lineitem_quantity_range' AS rule,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_over_5pct',
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_date_out_of_range',
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                         OR o_orderdate >= TIMESTAMP '2002-01-01'
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'customer_duplicate_custkey',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+    UNION ALL
+    SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_ship_before_order', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+)
+def quality_constraint_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ten-rule audit over lineitem/orders/customer: range, null,
+    policy (discount cap — the one rule that fires on clean data, so
+    the oracle verifies a real count), uniqueness, two FK checks, and
+    one temporal cross-table rule. Rule families share scans/joins as
+    described in the module docstring."""
+    t = load_tables(spark, sf_dir)
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+
+    li_rules = constraint_counts(
+        li,
+        {
+            "lineitem_quantity_range": (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50),
+            "lineitem_nonpositive_price": F.col("l_extendedprice") <= 0,
+            "lineitem_discount_over_5pct": F.col("l_discount") > 0.05,
+        },
+    )
+    o_rules = constraint_counts(
+        o,
+        {
+            "orders_null_custkey": F.col("o_custkey").isNull(),
+            "orders_date_out_of_range": (
+                F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")
+            )
+            | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp")),
+            "orders_nonpositive_price": F.col("o_totalprice") <= 0,
+        },
+    )
+    uniq = duplicate_key_count(c, "c_custkey", "customer_duplicate_custkey")
+    fk_oc = fk_violations(
+        o.select("o_custkey"),
+        c.select("c_custkey"),
+        "o_custkey",
+        "c_custkey",
+        "orders_fk_customer",
+    )
+    # one lineitem->orders join serves both the orphan and the temporal
+    # rule: left join, then conditional aggregates over the match result
+    lo = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    lo_rules = constraint_counts(
+        lo,
+        {
+            "lineitem_fk_orders": F.col("o_orderkey").isNull(),
+            "lineitem_ship_before_order": F.col("l_shipdate")
+            < F.col("o_orderdate"),
+        },
+    )
+    return (
+        li_rules.unionByName(o_rules)
+        .unionByName(uniq)
+        .unionByName(fk_oc)
+        .unionByName(lo_rules)
+    )

@@ -428,3 +428,37 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(path, "batch=0"), os.path.join(path, "batch=1")
     )
     return merged.select("doc_id", "lang", "quality_tier")
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write/read fidelity — Spark's second first-class columnar
+    format (Hive-ecosystem interchange; some upstream corpora arrive as
+    ORC). Same contract as source_jsonl_roundtrip: write the corpus,
+    read it back with an EXPLICIT schema (never infer at 100 TB), and
+    prove byte fidelity by hashing text against the source table. ORC
+    is a binary columnar format, so unlike the JSONL path this also
+    checks integer/string column typing survives the round trip
+    (n_chars comes back as the written bigint, not a re-parsed string).
+    Spark-native `orc` datasource (zlib stripes, predicate-pushdown
+    capable); the oracle reads the ORIGINAL parquet — matching hashes
+    mean the two format paths are interchangeable."""
+    from disco_spark.session import scratch_dir
+
+    t = load_tables(spark, sf_dir)
+    src = t["documents"].select("doc_id", "lang", "source", "n_chars", "text")
+    path = scratch_dir("orc_docs", sf_dir)
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint, text string"
+    ).orc(path)
+    return back.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
