@@ -139,6 +139,8 @@ HEADLINE = [
     "sample_weighted_topn",
     "source_orc_roundtrip",
     "quality_constraint_violations",
+    "scd2_user_state_intervals",
+    "window_rolling_30d_revenue",
 ]
 
 

@@ -72,3 +72,79 @@ def cdc_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = base.unionByName(changes)
     return upsert_latest_wins(log, "o_orderkey", "version")
+
+
+# ---------------------------------------------------------------------------
+# SCD2: slowly-changing-dimension type-2 interval construction from a
+# change-event log — the other half of the lakehouse dimension story
+# (upsert_latest_wins gives the CURRENT state; SCD2 gives the full
+# validity history a point-in-time join needs).
+# ---------------------------------------------------------------------------
+
+
+def scd2_intervals(
+    events: DataFrame, key: str, state: str, sec: str, tiebreak: str
+) -> DataFrame:
+    """(key, state, valid_from, valid_to, is_current): collapse a
+    change log into type-2 validity intervals — consecutive duplicate
+    states merge, each interval closes where the next one opens
+    (valid_to NULL = current).
+
+    Two windows over the SAME (key) partitioning/(sec, tiebreak) order,
+    so the plan pays ONE hash Exchange on the key: lag() finds change
+    points, lead() (after the change-point filter) closes intervals."""
+    w = Window.partitionBy(key).orderBy(sec, tiebreak)
+    changes = (
+        events.select(key, state, sec, tiebreak)
+        .withColumn("__prev", F.lag(state).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(state) != F.col("__prev")))
+    )
+    return (
+        changes.withColumn("valid_to", F.lead(sec).over(w))
+        .select(
+            key,
+            state,
+            F.col(sec).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+@query(
+    "scd2_user_state_intervals",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+      FROM events
+    ),
+    changes AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, sec, event_id,
+               LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY sec, event_id) AS prev
+        FROM ev
+      ) WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, sec AS valid_from,
+           LEAD(sec) OVER (
+             PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
+           (LEAD(sec) OVER (
+             PARTITION BY user_id ORDER BY sec, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 validity intervals of each user's event_type state over
+    the events log: (user_id, event_type, valid_from, valid_to,
+    is_current), seconds precision, (sec, event_id) tie-broken so the
+    interval boundaries are engine-deterministic."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        "event_id",
+    )
+    return scd2_intervals(ev, "user_id", "event_type", "sec", "event_id")

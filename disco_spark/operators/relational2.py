@@ -928,3 +928,63 @@ def cohort_orders_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
     )
+
+
+@query(
+    "window_rolling_30d_revenue",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day, o_totalprice
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+                OVER (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rev_30d
+    FROM o
+    """,
+)
+def window_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per customer at each order — the
+    VALUE-RANGE frame the ROWS-frame queries above can't express
+    (peers are picked by time distance, not row position: orders on
+    the same day aggregate together on both engines by definition, so
+    no tie-break column is needed or allowed — RANGE frames require a
+    single numeric ORDER BY key). The key is DAYS since epoch via
+    datediff: o_orderdate is date-valued, and day arithmetic is
+    timezone-free — an epoch-seconds key would read NTZ timestamps
+    through the session timezone, which the driver's vanilla session
+    does not pin to UTC.
+
+    Scale: one hash Exchange on o_custkey; the frame is evaluated by
+    the same sorted-window pass as any cumulative sum (Spark keeps a
+    sliding aggregate over the sorted partition — no per-row rescans).
+    The decimal cast keeps the sliding SUM exact, so add/evict order
+    inside the frame can't produce float drift between engines."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_30d"),
+    )

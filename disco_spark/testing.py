@@ -143,6 +143,13 @@ def compare_query(spark, name: str, sf_dir: str) -> None:
     """Assert query `name` matches its oracle on `sf_dir`. Raises on diff."""
     from disco_spark.registry import ORACLES, QUERIES
 
+    if name not in QUERIES:
+        # registration is an import side-effect; tests that only import
+        # helpers (or nothing) would otherwise KeyError here depending
+        # on which test file ran first
+        from disco_spark.registry import load_all
+
+        load_all()
     fn = QUERIES[name]
     df = fn(spark, sf_dir)
     spark_cols = df.columns
