@@ -141,6 +141,7 @@ HEADLINE = [
     "quality_constraint_violations",
     "scd2_user_state_intervals",
     "window_rolling_30d_revenue",
+    "table_fingerprint_replicas",
 ]
 
 
