@@ -142,6 +142,9 @@ HEADLINE = [
     "scd2_user_state_intervals",
     "window_rolling_30d_revenue",
     "table_fingerprint_replicas",
+    "market_basket_lift",
+    "events_recency_decay_score",
+    "pareto_abc_parts",
 ]
 
 

@@ -988,3 +988,74 @@ def window_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev_30d"),
     )
+
+
+@query(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev_cents) AS t FROM rev),
+    cum AS (
+      SELECT p_partkey, rev_cents,
+             SUM(rev_cents) OVER (
+               ORDER BY rev_cents DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM rev
+    )
+    SELECT p_partkey,
+           CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+           CASE WHEN CAST(c AS DOUBLE) / t <= 0.8 THEN 'A'
+                WHEN CAST(c AS DOUBLE) / t <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum CROSS JOIN tot
+    """,
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: 'A' = parts
+    covering the first 80% of cumulative revenue (ranked descending),
+    'B' the next 15%, 'C' the tail — the classic inventory-priority
+    cut, and the same shape as a corpus "which sources carry 80% of
+    tokens" audit.
+
+    Revenue accumulates as exact integer CENTS (per-row ROUND before
+    the cast — Spark truncates double->bigint where DuckDB rounds, so
+    the ROUND is load-bearing), making every cumulative share a ratio
+    of exact integers. The global cumulative sum runs through the
+    shared two-pass range-partition harness (global_prefix_sum) — NO
+    single-partition window, every task holds ~1/N of the parts — and
+    the descending order is expressed as an ascending sort on the
+    NEGATED cents (the harness range-partitions on ascending keys).
+    Class boundaries compare exact-integer ratios in double: identical
+    operands on both engines, deterministic."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("rev_cents")
+        )
+        .withColumn("neg_cents", -F.col("rev_cents"))
+    )
+    cum, total = global_prefix_sum(
+        rev, ["neg_cents", "p_partkey"], "rev_cents", out="cum_before"
+    )
+    share = (F.col("cum_before") + F.col("rev_cents")).cast("double") / F.lit(
+        float(total)
+    )
+    return cum.select(
+        "p_partkey",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -202,6 +202,7 @@ def load_all() -> None:
     from disco_spark.operators import stats  # noqa: F401
     from disco_spark.operators import quality  # noqa: F401
     from disco_spark.operators import fingerprint  # noqa: F401
+    from disco_spark.operators import decay  # noqa: F401
     from disco_spark.operators import skew  # noqa: F401
     from disco_spark.textops import tfidf  # noqa: F401
     from disco_spark.textops import lm_score  # noqa: F401

@@ -181,3 +181,81 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering_coeff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association strength: lift over the same co-order pair
+# construction. lift(a,b) = P(a,b) / (P(a) P(b)) over capped orders —
+# > 1 means the parts co-occur more than independence predicts. The
+# classic association-mining statistic, computed on the pair set the
+# triangle kernels already bound (cap + strength floor keep it sparse).
+# ---------------------------------------------------------------------------
+@query(
+    "market_basket_lift",
+    oracle=f"""
+    WITH {EDGES_CTES},
+    strengths AS (
+      SELECT a.p AS u, b.p AS v, COUNT(*) AS strength
+      FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT * FROM strengths WHERE strength >= {MIN_COORDERS}
+    ),
+    icnt AS (SELECT p, COUNT(*) AS c FROM capped GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM capped)
+    SELECT k.u, k.v, k.strength,
+           ROUND(CAST(k.strength AS DOUBLE) * n.n_orders
+                 / (cu.c * CAST(cv.c AS DOUBLE)), 6) AS lift
+    FROM kept k
+    JOIN icnt cu ON cu.p = k.u
+    JOIN icnt cv ON cv.p = k.v
+    CROSS JOIN n
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, strength, lift) for every co-order edge. Lift derives
+    from three aggregates of the SAME capped (order, part) projection
+    the edges use — per-item counts join back on the part key (hash
+    joins on dimension-sized tables), the order total rides in as a
+    broadcast 1-row aggregate. Integer counts ratio'd in double =
+    engine-deterministic at 6 decimals."""
+    from disco_spark.session import lazy_persist
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = Window.partitionBy("o")
+    capped = lazy_persist(
+        op.withColumn("d", F.count(F.lit(1)).over(deg))
+        .filter(F.col("d") <= MAX_ORDER_PARTS)
+        .drop("d")
+    )
+    a = capped.select("o", F.col("p").alias("u"))
+    b = capped.select("o", F.col("p").alias("v"))
+    kept = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("strength"))
+        .filter(F.col("strength") >= MIN_COORDERS)
+    )
+    icnt = capped.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    n = F.broadcast(capped.agg(F.countDistinct("o").alias("n_orders")))
+    cu = icnt.select(F.col("p").alias("u"), F.col("c").alias("cu"))
+    cv = icnt.select(F.col("p").alias("v"), F.col("c").alias("cv"))
+    return (
+        kept.join(cu, "u")
+        .join(cv, "v")
+        .crossJoin(n)
+        .select(
+            "u", "v", "strength",
+            F.round(
+                F.col("strength").cast("double")
+                * F.col("n_orders")
+                / (F.col("cu") * F.col("cv").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
