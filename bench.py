@@ -145,6 +145,8 @@ HEADLINE = [
     "market_basket_lift",
     "events_recency_decay_score",
     "pareto_abc_parts",
+    "split_kfold_counts",
+    "timetravel_orders_versions",
 ]
 
 

@@ -442,3 +442,43 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topn(
         docs.select("doc_id", "n_chars"), "doc_id", F.col("n_chars"), _WEIGHTED_N
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment: fold = hash bucket mod k — the CV
+# sibling of train_val_test_split with the same contract (disjoint,
+# exhaustive, stable under re-partitioning/retries/engines, derivable
+# from the key alone so any job can recompute membership without a
+# side table).
+# ---------------------------------------------------------------------------
+K_FOLDS = 5
+
+
+def kfold_assign(df: DataFrame, key: str, k: int = K_FOLDS) -> DataFrame:
+    """Add a `fold` column in [0, k): md5-bucket mod k."""
+    return df.withColumn(
+        "fold", (hash_bucket(F.col(key)) % k).cast("int")
+    )
+
+
+@query(
+    "split_kfold_counts",
+    oracle=f"""
+    SELECT CAST({_bucket_sql("doc_id")} % {K_FOLDS} AS INT) AS fold,
+           lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fold, lang, n_docs): the k-fold balance audit — folds should
+    hold ~1/k of every language; a skewed cell means the hash key
+    correlates with the stratum (the thing this audit exists to
+    catch before a cross-validation run burns k training jobs)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        kfold_assign(docs, "doc_id")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
