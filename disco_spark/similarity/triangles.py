@@ -67,31 +67,49 @@ TRIS_CTE = """
     )"""
 
 
-def coorder_edges(
-    lineitem: DataFrame,
-    cap: int = MAX_ORDER_PARTS,
-    min_strength: int = MIN_COORDERS,
+def capped_order_parts(
+    lineitem: DataFrame, cap: int = MAX_ORDER_PARTS
 ) -> DataFrame:
-    """(u, v) with u < v: part pairs co-ordered >= min_strength times."""
+    """Distinct (o, p) with hub orders (> cap distinct parts) dropped —
+    the ONE definition of the graph's base projection (mirrors the
+    oracle `capped` CTE); edges, strengths, and item frequencies all
+    derive from this."""
     op = lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     deg = Window.partitionBy("o")
-    op = (
+    return (
         op.withColumn("d", F.count(F.lit(1)).over(deg))
         .filter(F.col("d") <= cap)
         .drop("d")
     )
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
+
+
+def coorder_strengths(
+    capped: DataFrame, min_strength: int = MIN_COORDERS
+) -> DataFrame:
+    """(u, v, strength) with u < v: part pairs co-ordered >=
+    min_strength times in the capped projection."""
+    a = capped.select("o", F.col("p").alias("u"))
+    b = capped.select("o", F.col("p").alias("v"))
     return (
         a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("strength"))
         .filter(F.col("strength") >= min_strength)
-        .select("u", "v")
     )
+
+
+def coorder_edges(
+    lineitem: DataFrame,
+    cap: int = MAX_ORDER_PARTS,
+    min_strength: int = MIN_COORDERS,
+) -> DataFrame:
+    """(u, v) with u < v: part pairs co-ordered >= min_strength times."""
+    return coorder_strengths(
+        capped_order_parts(lineitem, cap), min_strength
+    ).select("u", "v")
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -223,24 +241,8 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disco_spark.session import lazy_persist
 
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    deg = Window.partitionBy("o")
-    capped = lazy_persist(
-        op.withColumn("d", F.count(F.lit(1)).over(deg))
-        .filter(F.col("d") <= MAX_ORDER_PARTS)
-        .drop("d")
-    )
-    a = capped.select("o", F.col("p").alias("u"))
-    b = capped.select("o", F.col("p").alias("v"))
-    kept = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("strength"))
-        .filter(F.col("strength") >= MIN_COORDERS)
-    )
+    capped = lazy_persist(capped_order_parts(li))
+    kept = coorder_strengths(capped)
     icnt = capped.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     n = F.broadcast(capped.agg(F.countDistinct("o").alias("n_orders")))
     cu = icnt.select(F.col("p").alias("u"), F.col("c").alias("cu"))
