@@ -1,0 +1,218 @@
+"""Event-stream flow analytics: Markov transitions, last-touch
+attribution, and per-user event-type entropy.
+
+The reference expresses per-user ordered-stream logic as a ``sort=True``
+classic reduce over merged sorted runs (ref
+lib/disco/worker/classic/worker.py, SURVEY §2.3) — the user hand-writes
+the "previous event" bookkeeping. Here each query is the declarative
+window-function classic: one Exchange on user_id serves the per-user
+ordering, then lead/last-over-window does the sequencing JVM-side.
+
+Scale story (100 TB of events): every query shuffles exactly once on
+user_id (the lead/lag windows and any per-user fold reuse that
+partitioning), then folds to a tiny grouped output (|event_type|^2
+transition cells, |event_type| attribution rows, one row per user for
+entropy). No driver state, no Python UDFs, no self-joins; per-user
+sequencing is streamed by the window operator over sorted runs — the
+same merge the reference performs, scheduled by Spark.
+
+Ordering is total and engine-independent: microsecond epoch plus
+event_id as tie-break (events carry unique ids), so lead()/last()
+replay identically in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+# shared DuckDB CTE: the totally-ordered per-user event stream — all
+# three oracles compose from this single definition (SESSION_CTES
+# pattern) so the replayed ordering cannot drift between them
+ORDERED_EVENTS_CTE = """
+    e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+      FROM events
+    )"""
+
+
+def ordered_events(events: DataFrame) -> DataFrame:
+    """(user_id, us, event_id, event_type, value): the Spark side of
+    ORDERED_EVENTS_CTE — one definition of the total per-user order."""
+    return events.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH {ORDERED_EVENTS_CTE},
+    p AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS dst_type
+      FROM e
+    )
+    SELECT src_type, dst_type, COUNT(*) AS n_transitions,
+           ROUND(CAST(COUNT(*) AS DOUBLE) /
+                 CAST(SUM(COUNT(*)) OVER (PARTITION BY src_type)
+                      AS DOUBLE), 6) AS prob
+    FROM p WHERE dst_type IS NOT NULL
+    GROUP BY src_type, dst_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (src, dst) event-type pair, how often dst
+    immediately follows src, and the row-normalized transition
+    probability. The classic clickstream "where do users go next"
+    report.
+
+    Plan: one Exchange on user_id for the lead() window, a grouped
+    count folding to at most |types|^2 cells, then a tiny window over
+    src_type for normalization. Probabilities are ratios of exact
+    integers rounded to 6 decimals — deterministic cross-engine."""
+    t = load_tables(spark, sf_dir)
+    ev = ordered_events(t["events"])
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+        )
+        .filter(F.col("dst_type").isNotNull())
+    )
+    counts = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wsrc = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wsrc).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH {ORDERED_EVENTS_CTE},
+    a AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch_type
+      FROM e
+    )
+    SELECT COALESCE(touch_type, 'none') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+             AS attributed_value
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value is credited
+    to the user's most recent PRECEDING non-purchase event type ('none'
+    when the purchase opens the stream). The standard marketing-
+    attribution fold, expressed as last(ignorenulls) over an
+    unbounded-preceding window — no self-join, no per-row lookback
+    loop.
+
+    Same single user_id Exchange; attributed sums accumulate as exact
+    DECIMAL before the final double cast (registry determinism rule).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = ordered_events(t["events"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("touch_type"), F.lit("none")).alias(
+                "touch_type"
+            ),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT user_id, c,
+             CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_types,
+           ROUND(CAST(-SUM(CAST(
+                 (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)
+                 AS DECIMAL(28,15))) AS DOUBLE), 6) AS entropy
+    FROM w GROUP BY user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity score (0 = single-type users, log2(|types|) =
+    uniform). A training-data curation primitive: the same shape scores
+    source/label diversity per document shard.
+
+    Plan: grouped count per (user, type), an all-rows window over
+    user_id for the per-user total (reuses the groupBy partitioning),
+    then a per-user fold. Entropy terms accumulate as exact
+    DECIMAL(28,15) (order-independent sum, PSI pattern) before the
+    final double cast + round."""
+    t = load_tables(spark, sf_dir)
+    c = t["events"].groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        c.withColumn("n", F.sum("c").over(wu))
+        .withColumn("term", (p * F.log2(p)).cast("decimal(28,15)"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round((-F.sum("term")).cast("double"), 6).alias("entropy"),
+        )
+    )

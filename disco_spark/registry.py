@@ -77,16 +77,18 @@ def query(name: str, oracle: str | None = None):
 # for the round-8 rotation.
 # Names absent from this list keep registration order after the
 # prioritized block.
-# The 15 queries registered AFTER the round-7 window froze
+# The queries registered AFTER the round-7 window froze
 # (regr_price_vs_qty, stats_corr_matrix, stats_mutual_information,
 # graph_khop_reachability, sample_weighted_topn, source_orc_roundtrip,
 # quality_constraint_violations, scd2_user_state_intervals,
 # window_rolling_30d_revenue, table_fingerprint_replicas,
 # market_basket_lift, events_recency_decay_score, pareto_abc_parts,
-# split_kfold_counts, timetravel_orders_versions) are
+# split_kfold_counts, timetravel_orders_versions,
+# events_markov_transitions, events_attribution_last_touch,
+# events_user_entropy, and everything newer — see git log) are
 # never-driver-verified until round 8 — front-load them there together
-# with the 28 deferred round-4-stale names above (43 of the 50 slots;
-# fill the rest oldest-first from the r5-stale pool).
+# with the 28 deferred round-4-stale names above; drain the remainder
+# oldest-first from the r5-stale pool over rounds 8-9.
 PRIORITY: list[str] = [
     # --- round-7 new queries
     "events_sessionize_gap", "tfidf_top_terms", "vocab_coverage_oov",
@@ -210,6 +212,7 @@ def load_all() -> None:
     from disco_spark.operators import decay  # noqa: F401
     from disco_spark.operators import timetravel  # noqa: F401
     from disco_spark.operators import skew  # noqa: F401
+    from disco_spark.operators import eventflow  # noqa: F401
     from disco_spark.textops import tfidf  # noqa: F401
     from disco_spark.textops import lm_score  # noqa: F401
     from disco_spark.dedup import substring  # noqa: F401
