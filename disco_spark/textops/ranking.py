@@ -1,0 +1,204 @@
+"""Corpus ranking statistics: BM25 retrieval scoring and a Zipf
+rank-frequency fit.
+
+The reference's IR surface is the wordcount/grep family plus DiscoDB
+inverted indexes (ref README.md:17-30, lib/discodb; SURVEY §2.6) — a
+user builds the index and writes the scorer by hand. Here the classic
+Okapi BM25 scorer and the Zipf's-law corpus diagnostic are declarative
+DataFrame plans over the shared whitespace tokenizer
+(textops.analysis.with_toks == the DuckDB ``_TOKS_SQL`` replay).
+
+Scale story (100 TB corpus):
+- bm25_topk_docs: document frequencies and corpus stats (N, avgdl) are
+  tiny aggregates broadcast back onto the (doc, term) tf table; the
+  only big shuffles are the two (doc_id, term)-grained aggregates the
+  tf/df computation needs. Per-doc scores fold map-side; the final
+  top-k is a global TakeOrdered (bounded, driver-free). No per-query
+  index rebuild is implied at scale — the tf/df tables ARE the
+  inverted index; the discodb/index_store modules show the persisted
+  variant.
+- zipf_token_slope: one token-count aggregate, a bounded top-1000
+  TakeOrdered, then the stats.regr_by_group exact-moment fit (decimal
+  accumulation, order-independent) over 1000 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from disco_spark.operators.stats import regr_by_group
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+from disco_spark.textops.analysis import _TOKS_SQL, with_toks
+
+# Okapi BM25 defaults (Robertson et al.; the values every engine ships)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+# fixed demonstration query — common corpus terms with distinct df
+BM25_QUERY_TERMS = ("spark", "stream", "merge")
+
+ZIPF_VOCAB = 1000
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1)) /
+                 (tf.tf + {BM25_K1} *
+                  (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               AS DECIMAL(28,15)) AS term_score
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS bm25
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} documents by Okapi BM25 for a fixed 3-term query
+    (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
+
+    Per-term contributions accumulate as exact DECIMAL(28,15) before
+    the double cast (order-independent sum); ranking is on the ROUNDED
+    score with a doc_id tie-break, so cross-engine 1-ulp log
+    differences can't reorder the cut."""
+    t = load_tables(spark, sf_dir)
+    d = with_toks(t["documents"]).select("doc_id", "toks")
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * F.lit(BM25_K1 + 1)) / denom)
+            .cast("decimal(28,15)")
+            .alias("term_score"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score").cast("double"), 6).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+@query(
+    "zipf_token_slope",
+    # exact-moment replay of regr_by_group over (ln rank, ln freq) of
+    # the top-1000 tokens — slope ~ -1 is Zipf's law; the fit is the
+    # corpus-health diagnostic a tokenizer pipeline checks per source
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    cnt AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+      FROM cnt
+    ),
+    xy AS (
+      SELECT 'top{ZIPF_VOCAB}' AS vocab,
+             ln(CAST(rank AS DOUBLE)) AS lx,
+             ln(CAST(freq AS DOUBLE)) AS ly
+      FROM ranked WHERE rank <= {ZIPF_VOCAB}
+    ),
+    sums AS (
+      SELECT vocab, COUNT(*) AS n,
+             CAST(SUM(CAST(lx AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ly AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(lx * lx AS DECIMAL(28,15))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(lx * ly AS DECIMAL(28,15))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ly * ly AS DECIMAL(28,15))) AS DOUBLE) AS syy
+      FROM xy GROUP BY vocab
+    )
+    SELECT vocab, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: least squares of ln(freq) on
+    ln(rank) for the top-1000 tokens. Natural language sits near slope
+    -1; a synthetic or deduplicated-to-death corpus drifts — the
+    one-row corpus diagnostic.
+
+    Token ranks come from a bounded TakeOrdered (top-1000 by freq with
+    a term tie-break); the fit reuses stats.regr_by_group's exact
+    decimal moments, so the statistic is shuffle-order-independent."""
+    t = load_tables(spark, sf_dir)
+    cnt = (
+        with_toks(t["documents"])
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(ZIPF_VOCAB)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    xy = cnt.withColumn("rank", F.row_number().over(w)).select(
+        F.lit(f"top{ZIPF_VOCAB}").alias("vocab"),
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    return regr_by_group(xy, "lx", "ly", "vocab")
