@@ -727,6 +727,52 @@ def global_prefix_sum(
     return summed, total
 
 
+def global_prefix_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "premax",
+    identity: int = -(2**62),
+) -> DataFrame:
+    """Exact EXCLUSIVE prefix max of ``value_col`` over the total order
+    given by ``order_cols`` — the max sibling of `global_prefix_sum`,
+    same two-pass range-partition plan (NO single-partition window):
+    per-range-partition max -> tiny driver cummax over partition ids ->
+    partition-local window max + the partition's offset. Rows with no
+    predecessor see ``identity`` (must compare below every real value).
+    """
+    from pyspark.sql.window import Window
+
+    from disco_spark.session import default_parallelism
+
+    nparts = default_parallelism(df.sparkSession)
+    part = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = lazy_persist(part)
+    submax = sorted(
+        part.groupBy("_pid").agg(F.max(value_col).alias("m")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, running = {}, identity
+    for r in submax:
+        offsets[r["_pid"]] = running
+        running = max(running, r["m"])
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return part.withColumn(
+        out,
+        F.greatest(
+            F.coalesce(F.max(value_col).over(w), F.lit(identity)),
+            off[F.col("_pid")],
+        ),
+    ).drop("_pid")
+
+
 def global_row_number(df: DataFrame, cols: list[str], out: str = "rn") -> tuple[DataFrame, int]:
     """Exact global 1-based row number over a total order — the
     value=1 case of `global_prefix_sum` (a row's exclusive prefix count

@@ -1,0 +1,256 @@
+"""Frontier / segmentation relational operators: 2-D skyline, free-form
+GROUPING SETS, RFM customer quartiles, and day-of-month activity
+bitmaps.
+
+Beyond-reference relational surface (the reference stops at
+reduce-style aggregation, SURVEY §2.3/§2.5); each query here is a
+classic warehouse ask re-expressed scale-first:
+
+- skyline: the Pareto frontier via the shared two-pass prefix-MAX
+  harness (relational2.global_prefix_max) — never the quadratic
+  NOT EXISTS self-join the naive SQL implies (that stays oracle-side
+  only, where DuckDB runs it on sf0.01).
+- grouping sets: Catalyst's native Expand — one scan serves all four
+  grouping combinations.
+- RFM: three exact global ranks via the two-pass row-number harness
+  (no single-partition ntile window), quartile index derived by
+  integer arithmetic so both engines agree exactly.
+- activity bitmaps: per-user day-of-month presence packed into one
+  BIGINT by bit_or — the roaring-bitmap-style rollup shape: bounded
+  state per key, mergeable, popcount-served.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disco_spark.operators.relational2 import (
+    global_prefix_max,
+    global_row_number,
+)
+from disco_spark.registry import query
+from disco_spark.session import load_tables
+
+
+@query(
+    "skyline_parts_price_size",
+    # oracle: the literal non-domination definition (quadratic NOT
+    # EXISTS — fine for DuckDB at sf0.01; the engine plan is the
+    # two-pass prefix-max, never this self-join)
+    oracle="""
+    SELECT q.p_partkey, q.p_retailprice, q.p_size
+    FROM part q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_retailprice <= q.p_retailprice
+        AND p.p_size >= q.p_size
+        AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size)
+    )
+    """,
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: minimize p_retailprice, maximize
+    p_size — every part no other part dominates (cheaper-or-equal AND
+    bigger-or-equal with one strict). The classic skyline operator.
+
+    Plan: dedup to distinct (price, size) points, then one exclusive
+    prefix-max of size over the total order (price asc, size desc) —
+    a point is on the skyline iff every strictly-preceding point (all
+    cheaper, or same-price-and-bigger) has smaller size. The prefix max
+    runs through the shared two-pass range-partition harness (every
+    task holds ~1/N of the points; no single-partition window, no
+    n^2 join). Skyline points broadcast back onto the part table —
+    the frontier of n random 2-D points is O(log n) expected."""
+    part = load_tables(spark, sf_dir)["part"]
+    pts = (
+        part.select("p_retailprice", "p_size")
+        .distinct()
+        .withColumn("neg_size", -F.col("p_size"))
+    )
+    m = global_prefix_max(
+        pts, ["p_retailprice", "neg_size"], "p_size", out="premax"
+    )
+    sky = m.filter(F.col("premax") < F.col("p_size")).select(
+        "p_retailprice", "p_size"
+    )
+    return part.join(
+        F.broadcast(sky), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(2 * GROUPING(o_orderstatus)
+                + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form GROUPING SETS — the general form rollup/cube
+    specialize (rollup_orders_by_status_priority,
+    cube_orders_by_status_priority are the fixed-lattice siblings):
+    (status, priority), (status), (priority), and grand total in ONE
+    scan via Catalyst's Expand, with the 2*g(status)+g(priority) id
+    distinguishing NULL-as-total from NULL-as-value rows.
+
+    Scale: Expand replicates each row once per grouping set before the
+    partial aggregate — 4x map-side rows but a single shuffle whose
+    cardinality is the union of the four grouped outputs (tiny)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(2 * grouping(o_orderstatus)
+                    + grouping(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# quartile index from an exact global rank: ceil(4*rn/n) via integer
+# arithmetic — identical in both engines, no float, no builtin ntile
+# (whose remainder distribution differs from this formula; we define
+# the quartile ONCE as this expression and replay it oracle-side)
+def _quartile(rn: str, n: int):
+    return ((4 * F.col(rn) + n - 1) / n).cast("bigint")
+
+
+def _quartile_sql(order_by: str, n_sql: str = "COUNT(*) OVER ()") -> str:
+    return (
+        f"(4 * ROW_NUMBER() OVER (ORDER BY {order_by}) + {n_sql} - 1) "
+        f"// {n_sql}"
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT maxd FROM anchor))
+               AS recency_days,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, n_orders, monetary_cents,
+             {_quartile_sql("recency_days, o_custkey")} AS r_q,
+             {_quartile_sql("n_orders DESC, o_custkey")} AS f_q,
+             {_quartile_sql("monetary_cents DESC, o_custkey")} AS m_q
+      FROM base
+    )
+    SELECT o_custkey, recency_days, n_orders,
+           CAST(monetary_cents AS DOUBLE) / 100 AS monetary,
+           r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+             || CAST(m_q AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per ordering customer, quartile scores for
+    Recency (days since last order, 1 = most recent), Frequency
+    (order count, 1 = most frequent) and Monetary (lifetime spend,
+    1 = top spend), concatenated into the classic '111'-style segment.
+
+    Each quartile needs an exact GLOBAL rank; all three run through the
+    two-pass range-partition row-number harness (global_row_number) —
+    no single-partition ntile window anywhere. Monetary accumulates as
+    exact integer cents (per-row ROUND before the bigint cast); the
+    quartile index is pure integer arithmetic on (rank, n)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    anchor = F.broadcast(o.agg(F.max("o_orderdate").alias("maxd")))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(anchor)
+        .withColumn(
+            "recency_days", F.datediff(F.col("maxd"), F.col("last_order"))
+        )
+        .drop("maxd", "last_order")
+    )
+    r, n = global_row_number(
+        base.withColumn("neg_f", -F.col("n_orders")).withColumn(
+            "neg_m", -F.col("monetary_cents")
+        ),
+        ["recency_days", "o_custkey"],
+    )
+    r = r.withColumn("r_q", _quartile("rn", n)).drop("rn")
+    r, _ = global_row_number(r, ["neg_f", "o_custkey"])
+    r = r.withColumn("f_q", _quartile("rn", n)).drop("rn")
+    r, _ = global_row_number(r, ["neg_m", "o_custkey"])
+    r = r.withColumn("m_q", _quartile("rn", n)).drop("rn", "neg_f", "neg_m")
+    return r.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        (F.col("monetary_cents").cast("double") / 100).alias("monetary"),
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@query(
+    "bitmap_user_active_days",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, day(ts) AS dom FROM events
+    )
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << (dom - 1)) AS day_bitmap,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (dom - 1)))
+                AS INTEGER) AS n_active_days,
+           MIN(dom) AS first_dom, MAX(dom) AS last_dom
+    FROM d GROUP BY user_id
+    """,
+)
+def bitmap_user_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month activity bitmap per user: one BIGINT with bit
+    (d-1) set iff the user fired an event on calendar day d, plus its
+    popcount — the roaring-bitmap-style presence rollup. The engine-
+    side point at 100 TB: per-user state is a FIXED 8 bytes regardless
+    of event volume, bit_or is associative/commutative (map-side
+    partial merge), and popcount-style audiences ("active >= 20 days")
+    are served without touching raw events again."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # F.shiftleft only takes a literal shift; the SQL form shifts by a
+    # per-row column
+    bit = F.expr("shiftleft(cast(1 as bigint), dayofmonth(ts) - 1)")
+    return (
+        ev.select("user_id", F.dayofmonth("ts").alias("dom"), bit.alias("b"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("b").alias("day_bitmap"),
+            F.bit_count(F.bit_or("b")).alias("n_active_days"),
+            F.min("dom").alias("first_dom"),
+            F.max("dom").alias("last_dom"),
+        )
+    )
