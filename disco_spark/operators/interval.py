@@ -116,3 +116,94 @@ def interval_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing: merge overlapping per-user intervals and report
+# covered time — the timeline-union operator (PostgreSQL range_agg /
+# "merge overlapping intervals" classic). Each event opens a fixed
+# 5-minute activity window; overlapping windows fuse.
+# ---------------------------------------------------------------------------
+ACTIVITY_WINDOW_S = 300
+
+
+@query(
+    "interval_coalesce_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + {ACTIVITY_WINDOW_S} AS e
+      FROM events
+    ),
+    flag AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             OR MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_iv
+      FROM iv
+    ),
+    grp AS (
+      SELECT user_id, s, e,
+             SUM(new_iv) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flag
+    ),
+    merged AS (
+      SELECT user_id, g, MIN(s) AS ms, MAX(e) AS me
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_s
+    FROM merged GROUP BY user_id
+    """,
+)
+def interval_coalesce_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval timeline coverage: every event opens a 5-minute
+    activity window; overlapping windows per user coalesce (classic
+    sweep: exclusive running max of interval end -> new-interval flag ->
+    running-sum group id), and the output is each user's merged-interval
+    count and total covered seconds — "how long was the user actually
+    active", the union-of-ranges operator.
+
+    Scale: ONE Exchange on user_id serves both sweep windows and both
+    grouped folds (all partition on user_id); per-user state is the
+    sorted run the window operator already maintains. Integer epoch
+    seconds end-to-end — no float anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        (F.expr("unix_micros(ts) div 1000000") + ACTIVITY_WINDOW_S).alias(
+            "e"
+        ),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pmax = F.max("e").over(prev)
+    flagged = ev.withColumn(
+        "new_iv",
+        F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0),
+    ).withColumn("g", F.sum("new_iv").over(run))
+    merged = flagged.groupBy("user_id", "g").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_s"),
+    )

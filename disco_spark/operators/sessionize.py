@@ -241,3 +241,98 @@ def events_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_delay_s"),
     )
+
+
+@query(
+    "events_funnel_3step",
+    # strictly-ordered 3-step funnel per session: first view, first
+    # click at-or-after that view, first purchase at-or-after that
+    # click; one row of depth counts
+    oracle=f"""
+    WITH {SESSION_CTES},
+    fv AS (
+      SELECT user_id, session_seq,
+             MIN(CASE WHEN event_type = 'view' THEN sec END) AS fv
+      FROM s GROUP BY 1, 2
+    ),
+    fc AS (
+      SELECT s.user_id, s.session_seq, fv.fv,
+             MIN(CASE WHEN s.event_type = 'click'
+                       AND s.sec >= fv.fv THEN s.sec END) AS fc
+      FROM s JOIN fv USING (user_id, session_seq)
+      GROUP BY 1, 2, 3
+    ),
+    fp AS (
+      SELECT s.user_id, s.session_seq, fc.fv, fc.fc,
+             MIN(CASE WHEN s.event_type = 'purchase'
+                       AND s.sec >= fc.fc THEN s.sec END) AS fp
+      FROM s JOIN fc USING (user_id, session_seq)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_click,
+           CAST(SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_click_purchase
+    FROM fp
+    """,
+)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ORDERED three-step funnel (view -> click -> purchase)
+    within gap-sessions: a session reaches depth 2 only if some click
+    happens at-or-after its FIRST view, depth 3 only if some purchase
+    happens at-or-after that first qualifying click. The general
+    k-step product-analytics funnel (events_session_funnel is the
+    2-step specialization).
+
+    Every stage folds and joins on (user_id, session_seq) — the one
+    Exchange sessionization already produced; step chaining is two
+    conditional-min rounds, never a per-row sequence scan."""
+    t = load_tables(spark, sf_dir)
+    s = sessionized_events(t["events"])
+    keys = ["user_id", "session_seq"]
+    fv = s.groupBy(*keys).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias(
+            "fv"
+        )
+    )
+    fc = (
+        s.join(fv, keys)
+        .groupBy(*keys, "fv")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("sec") >= F.col("fv")),
+                    F.col("sec"),
+                )
+            ).alias("fc")
+        )
+    )
+    fp = (
+        s.join(fc, keys)
+        .groupBy(*keys, "fv", "fc")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("sec") >= F.col("fc")),
+                    F.col("sec"),
+                )
+            ).alias("fp")
+        )
+    )
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("fv").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_view"),
+        F.sum(F.col("fc").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.sum(F.col("fp").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_view_click_purchase"),
+    )

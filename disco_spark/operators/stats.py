@@ -311,3 +311,92 @@ def mutual_information(df: DataFrame, acol: str, bcol: str) -> DataFrame:
             F.sum(F.col("t_chi").cast("decimal(28,9)")).cast("double"), 6
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outlier screen: median / MAD (modified z-score, Iglewicz-
+# Hoaglin 3.5 cut) per group — the robust sibling of the 2-sigma
+# anomaly gate (events_hourly_anomaly), immune to the very outliers it
+# hunts. All arithmetic on exact integer cents: medians of integers
+# interpolate to exact halves, so every comparison is on exactly
+# representable doubles — cross-engine deterministic with no rounding
+# gymnastics.
+# ---------------------------------------------------------------------------
+MAD_Z_CUT = 3.5
+MAD_SCALE = 0.6745  # Phi^-1(0.75): MAD -> sigma-consistent scale
+
+
+@query(
+    "outlier_mad_orders",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderpriority, median(cents) AS med
+      FROM x GROUP BY 1
+    ),
+    dev AS (
+      SELECT x.o_orderpriority, x.cents, med.med,
+             abs(x.cents - med.med) AS adev
+      FROM x JOIN med USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, median(adev) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT dev.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN {MAD_SCALE} * dev.adev
+                              > {MAD_Z_CUT} * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(CASE WHEN {MAD_SCALE} * dev.adev
+                              > {MAD_Z_CUT} * mad.mad
+                         THEN dev.cents END) AS DOUBLE) / 100
+             AS max_outlier_price
+    FROM dev JOIN mad USING (o_orderpriority)
+    GROUP BY dev.o_orderpriority
+    """,
+)
+def outlier_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per order priority: a price is
+    an outlier when its modified z-score 0.6745*|x-med|/MAD exceeds
+    3.5 (Iglewicz-Hoaglin). Unlike mean/stddev gates, one whale order
+    cannot drag the threshold.
+
+    Plan: two grouped exact medians (Catalyst sorts within the ~5
+    priority groups), each median table broadcast back onto the cents
+    scan; the gate multiplies instead of divides so MAD == 0 groups
+    degrade gracefully (every deviation > 0 flags). Exact integer cents
+    make both medians exact halves — identical doubles both engines."""
+    o = load_tables(spark, sf_dir)["orders"]
+    x = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = x.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = x.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "o_orderpriority").withColumn(
+        "is_out",
+        (F.lit(MAD_SCALE) * F.col("adev") > F.lit(MAD_Z_CUT) * F.col("mad"))
+        .cast("int"),
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_out").cast("bigint").alias("n_outliers"),
+        (
+            F.max(F.when(F.col("is_out") == 1, F.col("cents"))).cast(
+                "double"
+            )
+            / 100
+        ).alias("max_outlier_price"),
+    )
