@@ -147,6 +147,20 @@ HEADLINE = [
     "pareto_abc_parts",
     "split_kfold_counts",
     "timetravel_orders_versions",
+    # round 7 late: event-flow analytics, IR ranking, frontier/segment
+    # relational ops, interval coalescing, robust outliers
+    "events_markov_transitions",
+    "events_attribution_last_touch",
+    "events_user_entropy",
+    "bm25_topk_docs",
+    "zipf_token_slope",
+    "skyline_parts_price_size",
+    "grouping_sets_orders",
+    "rfm_customer_segments",
+    "bitmap_user_active_days",
+    "interval_coalesce_coverage",
+    "outlier_mad_orders",
+    "events_funnel_3step",
 ]
 
 
