@@ -254,3 +254,49 @@ def bitmap_user_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dom").alias("last_dom"),
         )
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    # wide -> long reshape: one row per (orderkey-grain measure); the
+    # inverse of pivot_orders_status_by_priority. Oracle stacks via
+    # UNION ALL — same multiset, engine-syntax-free.
+    oracle="""
+    WITH long AS (
+      SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'tax', l_tax FROM lineitem
+    )
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS total,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM long GROUP BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the four lineitem measures reshaped wide->long
+    in ONE scan via `stack` (Catalyst Generate — the inverse of the
+    pivot query), then per-measure decimal-exact stats. The reshape
+    every metrics store ingest runs; at scale the long table is 4x
+    rows but the aggregate folds map-side to 4 groups before any
+    shuffle."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    long = li.select(
+        F.expr(
+            "stack(4, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount, 'tax', l_tax) AS (measure, v)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(20,6)")).cast("double").alias(
+            "total"
+        ),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -400,3 +400,92 @@ def outlier_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("max_outlier_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized statistics: clip at exact p01/p99 before aggregating —
+# the heavy-tail-robust mean the MAD screen's flagging counterpart.
+# ---------------------------------------------------------------------------
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@query(
+    "winsorized_stats_orders",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cuts AS (
+      SELECT o_orderpriority,
+             quantile_cont(cents, {WINSOR_LO}) AS lo,
+             quantile_cont(cents, {WINSOR_HI}) AS hi
+      FROM x GROUP BY 1
+    )
+    SELECT x.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN x.cents < cuts.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN x.cents > cuts.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           ROUND(CAST(SUM(CAST(x.cents AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) / 100, 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(
+                   LEAST(GREATEST(CAST(x.cents AS DOUBLE), cuts.lo),
+                         cuts.hi) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) / 100, 6) AS mean_winsor
+    FROM x JOIN cuts USING (o_orderpriority)
+    GROUP BY x.o_orderpriority
+    """,
+)
+def winsorized_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per order priority: exact p01/p99 cut points
+    (interpolated percentile over integer cents — exact fractional
+    values, identical both engines), values clipped INTO the cuts, and
+    raw-vs-winsorized means side by side with clip counts — the
+    robust-mean report for heavy-tailed measures.
+
+    Plan: one grouped percentile pass (per-group sort among ~5
+    groups), cut points broadcast back onto the cents scan, one
+    decimal-exact aggregate. Clipped values are doubles that are
+    either exact integers or exact halves — the DECIMAL(28,6)
+    accumulation is exact."""
+    o = load_tables(spark, sf_dir)["orders"]
+    x = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cuts = x.groupBy("o_orderpriority").agg(
+        F.expr(f"percentile(cents, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(cents, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("cents").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return (
+        x.join(F.broadcast(cuts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cents") < F.col("lo")).cast("int"))
+            .cast("bigint")
+            .alias("n_clip_lo"),
+            F.sum((F.col("cents") > F.col("hi")).cast("int"))
+            .cast("bigint")
+            .alias("n_clip_hi"),
+            F.round(
+                F.sum(F.col("cents").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                6,
+            ).alias("mean_winsor"),
+        )
+    )
