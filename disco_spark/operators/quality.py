@@ -179,3 +179,91 @@ def quality_constraint_violations(
         .unionByName(fk_oc)
         .unionByName(lo_rules)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the forensic screen for fabricated or
+# re-keyed monetary columns. First digits come from exact integer
+# cents rendered as strings (integer-to-string is engine-identical —
+# no float log10 anywhere near a power-of-ten boundary).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "benford_acctbal_audit",
+    oracle="""
+    WITH cents AS (
+      SELECT 'customer' AS src,
+             CAST(ROUND(abs(c_acctbal) * 100) AS BIGINT) AS c
+      FROM customer
+      UNION ALL
+      SELECT 'supplier', CAST(ROUND(abs(s_acctbal) * 100) AS BIGINT)
+      FROM supplier
+    ),
+    digit AS (
+      SELECT src, CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM cents WHERE c > 0
+    ),
+    obs AS (SELECT src, d, COUNT(*) AS n FROM digit GROUP BY 1, 2),
+    tot AS (SELECT src, SUM(n) AS t FROM obs GROUP BY 1)
+    SELECT obs.src, obs.d, obs.n,
+           ROUND(CAST(obs.n AS DOUBLE) / tot.t, 6) AS share,
+           ROUND(log10(1.0 + 1.0 / obs.d), 6) AS benford,
+           ROUND(CAST(obs.n AS DOUBLE) / tot.t
+                 - log10(1.0 + 1.0 / obs.d), 6) AS excess
+    FROM obs JOIN tot USING (src)
+    """,
+)
+def benford_acctbal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of account balances (customer +
+    supplier): observed leading-digit shares vs log10(1+1/d) with the
+    excess per digit — the classic forensic-accounting screen for
+    synthetic or tampered monetary columns (uniform generators, like
+    this synthetic data's, light up immediately).
+
+    The leading digit is taken from exact integer cents cast to a
+    string — decimal-shift-invariant and engine-identical; no float
+    log10 of the value itself, so power-of-ten boundaries can't
+    misround. One union scan, a 2x9-cell grouped count, broadcast
+    totals."""
+    t = load_tables(spark, sf_dir)
+    cents = (
+        t["customer"]
+        .select(
+            F.lit("customer").alias("src"),
+            F.round(F.abs(F.col("c_acctbal")) * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .unionByName(
+            t["supplier"].select(
+                F.lit("supplier").alias("src"),
+                F.round(F.abs(F.col("s_acctbal")) * 100)
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+    )
+    obs = (
+        cents.filter(F.col("c") > 0)
+        .select(
+            "src",
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("d"),
+        )
+        .groupBy("src", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.broadcast(obs.groupBy("src").agg(F.sum("n").alias("t")))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.join(tot, "src").select(
+        "src",
+        "d",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        F.round(benford, 6).alias("benford"),
+        F.round(
+            F.col("n").cast("double") / F.col("t") - benford, 6
+        ).alias("excess"),
+    )
