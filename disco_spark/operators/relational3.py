@@ -300,3 +300,73 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@query(
+    "gini_supplier_revenue",
+    # Gini = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over revenues
+    # sorted ascending with exact global ranks; everything integer
+    # until the final rounded ratio (DECIMAL(38,0) folds guard the
+    # rank-weighted sum, which is the one product that CAN outgrow
+    # BIGINT at scale)
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, l_suppkey) AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(i AS DECIMAL(38,0)) * cents) AS six
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_suppliers,
+           CAST(sx AS DOUBLE) / 100 AS total_revenue,
+           ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+)
+def gini_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across suppliers —
+    the single-number inequality metric behind the Pareto/ABC cut
+    (pareto_abc_parts answers "who is the top 80%", this answers "how
+    concentrated is the whole distribution"; 0 = equal, ->1 =
+    winner-take-all).
+
+    Exact global ranks come from the shared two-pass row-number
+    harness (ascending cents, suppkey tie-break — no single-partition
+    window); the rank-weighted sum folds in DECIMAL(38,0) (rank x
+    cents products outgrow BIGINT long before a 100 TB lineitem does).
+    One row out."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents")
+    )
+    ranked, n = global_row_number(rev, ["cents", "l_suppkey"], out="i")
+    s = ranked.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias(
+            "six"
+        ),
+    )
+    return s.select(
+        F.lit(n).cast("bigint").alias("n_suppliers"),
+        (F.col("sx").cast("double") / 100).alias("total_revenue"),
+        F.round(
+            (2 * F.col("six") - (n + 1) * F.col("sx")).cast("double")
+            / (F.lit(n) * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -111,3 +111,153 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run_len").cast("bigint").alias("n_active_months"),
         F.max("run_len").alias("longest_streak"),
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    # offline changepoint estimate per event type: argmax_k |C_k| with
+    # C_k = n*P_k - k*T over daily counts (the mean-shift CUSUM scaled
+    # by n to stay in exact integers; P_k = inclusive prefix count,
+    # T = total). Earliest day wins ties.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER w AS k,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(x) OVER (PARTITION BY event_type) AS t
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type, day,
+             abs(CAST(n AS BIGINT) * CAST(p AS BIGINT)
+                 - CAST(k AS BIGINT) * CAST(t AS BIGINT)) AS absc,
+             n, t
+      FROM c
+    )
+    SELECT event_type, day AS changepoint_day,
+           CAST(absc AS BIGINT) AS max_abs_scaled,
+           CAST(n AS BIGINT) AS n_days
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY absc DESC, day) AS rnk
+      FROM scored
+    ) WHERE rnk = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline mean-shift changepoint per event type: the day k
+    maximizing |n*P_k - k*T| over the daily-count series — the
+    n-scaled CUSUM statistic (equivalent to argmax |P_k - k*T/n|, kept
+    in exact integers so both engines agree bit-for-bit; multipliers
+    are day counts, so no overflow at any realistic scale). The
+    monitoring question behind "when did this stream's behavior
+    change".
+
+    ONE Exchange on event_type; every window partitions on it, and
+    each partition holds one row per day (bounded by calendar span,
+    not event volume)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    c = (
+        daily.withColumn("k", F.row_number().over(wo))
+        .withColumn(
+            "p",
+            F.sum("x").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("t", F.sum("x").over(wall))
+    )
+    scored = c.select(
+        "event_type",
+        "day",
+        F.abs(F.col("n") * F.col("p") - F.col("k") * F.col("t")).alias(
+            "absc"
+        ),
+        "n",
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc("absc"), F.asc("day")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.col("absc").cast("bigint").alias("max_abs_scaled"),
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+@query(
+    "orders_mom_growth",
+    # month-over-month and year-over-year revenue growth via self-joins
+    # on the integer month index (never a global window): growth only
+    # where the exact prior month/year-month exists
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT cur.mi AS month_index,
+           CAST(cur.cents AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(cur.cents - prev.cents AS DOUBLE)
+                 / prev.cents, 6) AS mom_growth,
+           ROUND(CAST(cur.cents - yoy.cents AS DOUBLE)
+                 / yoy.cents, 6) AS yoy_growth
+    FROM m cur
+    LEFT JOIN m prev ON prev.mi = cur.mi - 1
+    LEFT JOIN m yoy ON yoy.mi = cur.mi - 12
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth: monthly
+    exact-cents revenue, joined to itself at mi-1 and mi-12 (growth is
+    NULL where the exact prior period is absent — no lag-over-sorted-
+    everything, so a missing month can't silently compare against the
+    wrong period). The finance-reporting staple.
+
+    The monthly table is calendar-bounded (one row per month); both
+    self-joins are hash joins on the integer month index."""
+    o = load_tables(spark, sf_dir)["orders"]
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    cur, prev, yoy = m.alias("cur"), m.alias("prev"), m.alias("yoy")
+    g = (
+        cur.join(prev, F.col("prev.mi") == F.col("cur.mi") - 1, "left")
+        .join(yoy, F.col("yoy.mi") == F.col("cur.mi") - 12, "left")
+    )
+    return g.select(
+        F.col("cur.mi").alias("month_index"),
+        (F.col("cur.cents").cast("double") / 100).alias("revenue"),
+        F.round(
+            (F.col("cur.cents") - F.col("prev.cents")).cast("double")
+            / F.col("prev.cents"),
+            6,
+        ).alias("mom_growth"),
+        F.round(
+            (F.col("cur.cents") - F.col("yoy.cents")).cast("double")
+            / F.col("yoy.cents"),
+            6,
+        ).alias("yoy_growth"),
+    )
