@@ -90,3 +90,147 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
         F.round(scale, 6).alias("scale"),
     )
+
+
+@query(
+    "embedding_dim_variance",
+    # per-dimension mean/variance across the corpus (population form,
+    # exact decimal moment sums — the feature-scaling audit): a dead
+    # dimension (var ~ 0) or an unscaled one jumps out immediately
+    oracle="""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    s AS (
+      SELECT pos, COUNT(*) AS n,
+             CAST(SUM(CAST(val AS DECIMAL(38,15))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(val * val AS DECIMAL(38,15))) AS DOUBLE)
+               AS sxx
+      FROM e GROUP BY pos
+    )
+    SELECT pos, n,
+           ROUND(sx / n, 6) AS mean_v,
+           ROUND(sxx / n - (sx / n) * (sx / n), 6) AS var_v
+    FROM s
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and population variance over the embedding
+    corpus — the feature-scaling / dead-dimension audit run before
+    quantization or indexing (a near-zero-variance dimension wastes a
+    PQ subspace; wildly different scales break L2 geometry).
+
+    posexplode + one grouped aggregate: the only shuffle carries
+    (pos, partial-moment) pairs — dim cells total, independent of
+    corpus size. Moments fold as exact DECIMAL(38,15); the variance
+    formula runs on identical doubles both engines."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        F.posexplode("embedding").alias("pos0", "valf")
+    ).select((F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+    s = e.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(38,15)")).cast("double").alias("sx"),
+        F.sum((F.col("val") * F.col("val")).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    return s.select(
+        "pos",
+        "n",
+        F.round(mean, 6).alias("mean_v"),
+        F.round(F.col("sxx") / F.col("n") - mean * mean, 6).alias("var_v"),
+    )
+
+
+@query(
+    "embedding_centroid_shift",
+    # per-label centroid vs the corpus centroid, compared by cosine —
+    # the cluster-coherence / label-drift audit. Centroid components
+    # are exact-decimal sums divided by exact counts; the cosine folds
+    # its 16 per-dimension products through DECIMAL again so the
+    # statistic is shuffle-order-free.
+    oracle="""
+    WITH e AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    lc AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(38,15))) AS DOUBLE)
+               / COUNT(*) AS m,
+             COUNT(*) AS n
+      FROM e GROUP BY label, pos
+    ),
+    gc AS (
+      SELECT pos,
+             CAST(SUM(CAST(val AS DECIMAL(38,15))) AS DOUBLE)
+               / COUNT(*) AS g
+      FROM e GROUP BY pos
+    ),
+    terms AS (
+      SELECT lc.label, lc.n,
+             CAST(lc.m * gc.g AS DECIMAL(38,15)) AS t_dot,
+             CAST(lc.m * lc.m AS DECIMAL(38,15)) AS t_mm,
+             CAST(gc.g * gc.g AS DECIMAL(38,15)) AS t_gg
+      FROM lc JOIN gc USING (pos)
+    )
+    SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(t_dot) AS DOUBLE)
+                 / (sqrt(CAST(SUM(t_mm) AS DOUBLE))
+                    * sqrt(CAST(SUM(t_gg) AS DOUBLE))), 6)
+             AS cos_to_global
+    FROM terms GROUP BY label
+    """,
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid coherence: cosine between each label's mean
+    vector and the corpus mean — the label-drift audit (a label whose
+    centroid swings away from the corpus signals a skewed or
+    mislabeled cluster; near-1.0 everywhere signals labels carry no
+    geometric signal).
+
+    Two grouped exploded aggregates (label x dim cells, then dim
+    cells), a broadcast-size join on pos, and a per-label fold of the
+    dim-wise products — every shuffle is bounded by label x dim, not
+    by corpus size. Decimal folds at each stage keep the cosine
+    engine-identical."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "label", F.posexplode("embedding").alias("pos", "valf")
+    ).withColumn("val", F.col("valf").cast("double"))
+    lc = e.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gc = e.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("g")
+    )
+    terms = lc.join(F.broadcast(gc), "pos").select(
+        "label",
+        "n",
+        (F.col("m") * F.col("g")).cast("decimal(38,15)").alias("t_dot"),
+        (F.col("m") * F.col("m")).cast("decimal(38,15)").alias("t_mm"),
+        (F.col("g") * F.col("g")).cast("decimal(38,15)").alias("t_gg"),
+    )
+    return terms.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum("t_dot").cast("double")
+            / (
+                F.sqrt(F.sum("t_mm").cast("double"))
+                * F.sqrt(F.sum("t_gg").cast("double"))
+            ),
+            6,
+        ).alias("cos_to_global"),
+    )
