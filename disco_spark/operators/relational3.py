@@ -22,7 +22,7 @@ classic warehouse ask re-expressed scale-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from disco_spark.operators.relational2 import (
@@ -369,4 +369,123 @@ def gini_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(n) * F.col("sx")).cast("double"),
             6,
         ).alias("gini"),
+    )
+
+
+@query(
+    "nation_supplier_roster",
+    # ordered string aggregation: top-3 suppliers per nation by
+    # account balance, joined into one deterministic roster string —
+    # LISTAGG/string_agg(ORDER BY) parity
+    oracle="""
+    WITH ranked AS (
+      SELECT n.n_name, s.s_name, s.s_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.n_name
+               ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk,
+             COUNT(*) OVER (PARTITION BY n.n_name) AS n_suppliers
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT n_name,
+           CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY rnk) AS roster
+    FROM ranked WHERE rnk <= 3
+    GROUP BY n_name
+    """,
+)
+def nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg(ORDER BY)
+    parity): each nation's top-3 suppliers by account balance,
+    concatenated in rank order into one roster string. collect_list is
+    order-nondeterministic under shuffle, so the plan collects
+    (rank, name) STRUCTS and sorts the array before joining — the only
+    way to make distributed string aggregation deterministic.
+
+    Nation dim broadcasts onto suppliers; the rank window and both
+    folds share one s_nationkey-grained Exchange; rosters are bounded
+    at 3 names per group."""
+    t = load_tables(spark, sf_dir)
+    s = t["supplier"].join(
+        F.broadcast(t["nation"]),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    wall = Window.partitionBy("n_name")
+    ranked = s.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_suppliers", F.count(F.lit(1)).over(wall)
+    )
+    top = ranked.filter(F.col("rnk") <= 3)
+    return top.groupBy("n_name").agg(
+        F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rnk"), F.col("s_name")))
+                ),
+                lambda x: x["s_name"],
+            ),
+            ",",
+        ).alias("roster"),
+    )
+
+
+ECDF_PROBES = (50_000, 150_000, 300_000)
+
+
+@query(
+    "orders_value_ecdf",
+    # empirical CDF at fixed value probes per priority: one scan of
+    # conditional counts, stacked wide->long
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN o_totalprice <= {p} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+                 for i, p in enumerate(ECDF_PROBES))}
+      FROM orders GROUP BY 1
+    ),
+    long AS (
+      {" UNION ALL ".join(
+          f"SELECT o_orderpriority, {p} AS probe, b{i} AS n_below, n FROM c"
+          for i, p in enumerate(ECDF_PROBES))}
+    )
+    SELECT o_orderpriority, probe, n_below,
+           ROUND(CAST(n_below AS DOUBLE) / n, 6) AS cdf
+    FROM long
+    """,
+)
+def orders_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of order value at fixed probes per priority
+    (share of orders at-or-under 50k / 150k / 300k) — the
+    SLA-style "what fraction clears threshold X" report. One scan of
+    conditional aggregates (map-side partials, 5-group shuffle), then
+    a constant-width stack to long form; the probes never replicate
+    the input rows."""
+    o = load_tables(spark, sf_dir)["orders"]
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum((F.col("o_totalprice") <= p).cast("int"))
+        .cast("bigint")
+        .alias(f"b{i}")
+        for i, p in enumerate(ECDF_PROBES)
+    ]
+    c = o.groupBy("o_orderpriority").agg(*aggs)
+    stack = ", ".join(
+        f"{p}L, b{i}" for i, p in enumerate(ECDF_PROBES)
+    )
+    long = c.select(
+        "o_orderpriority",
+        "n",
+        F.expr(
+            f"stack({len(ECDF_PROBES)}, {stack}) AS (probe, n_below)"
+        ),
+    )
+    return long.select(
+        "o_orderpriority",
+        "probe",
+        "n_below",
+        F.round(F.col("n_below").cast("double") / F.col("n"), 6).alias(
+            "cdf"
+        ),
     )

@@ -462,3 +462,40 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars",
         F.md5(F.col("text")).alias("text_md5"),
     )
+
+
+@query(
+    "source_fixed_width",
+    oracle="""
+    SELECT n_nationkey, n_regionkey, n_name FROM nation
+    """,
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text interchange — the mainframe/COBOL-era layout
+    batch feeds still arrive in: serialize nation rows as
+    %04d%04d%-25s records (JVM format_string, one text column), read
+    them back as raw lines, and reconstruct the typed columns by
+    POSITION (substring + trim + cast — all Catalyst expressions, no
+    Python). The oracle reads the original table: matching output
+    proves the positional round trip is lossless for in-range values.
+    Like every reader here, parsing is schema-explicit — positions and
+    widths are the schema."""
+    from disco_spark.session import scratch_dir
+
+    t = load_tables(spark, sf_dir)
+    src = t["nation"].select(
+        F.format_string(
+            "%04d%04d%-25s",
+            F.col("n_nationkey"),
+            F.col("n_regionkey"),
+            F.col("n_name"),
+        ).alias("value")
+    )
+    path = scratch_dir("fixed_width_nation", sf_dir)
+    src.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.select(
+        F.substring("value", 1, 4).cast("int").alias("n_nationkey"),
+        F.substring("value", 5, 4).cast("int").alias("n_regionkey"),
+        F.rtrim(F.substring("value", 9, 25)).alias("n_name"),
+    )
