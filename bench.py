@@ -161,6 +161,20 @@ HEADLINE = [
     "interval_coalesce_coverage",
     "outlier_mad_orders",
     "events_funnel_3step",
+    "events_props_json_stats",
+    "unpivot_lineitem_measures",
+    "winsorized_stats_orders",
+    "orders_seasonality_dow",
+    "customer_order_streaks",
+    "benford_acctbal_audit",
+    "events_cusum_changepoint",
+    "orders_mom_growth",
+    "gini_supplier_revenue",
+    "embedding_dim_variance",
+    "embedding_centroid_shift",
+    "source_fixed_width",
+    "nation_supplier_roster",
+    "orders_value_ecdf",
 ]
 
 
