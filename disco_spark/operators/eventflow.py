@@ -216,3 +216,64 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((-F.sum("term")).cast("double"), 6).alias("entropy"),
         )
     )
+
+
+@query(
+    "events_burstiness_fano",
+    # index of dispersion (Fano factor) of each user's hourly event
+    # counts over the user's own active span — zero-hours inside the
+    # span count (they contribute 0 to both sums but stretch n_hours)
+    oracle="""
+    WITH h AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * c) AS BIGINT) AS sumsq,
+             MAX(hr) - MIN(hr) + 1 AS n_hours
+      FROM h GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_hours,
+           ROUND((CAST(sumsq AS DOUBLE) / n_hours
+                  - (CAST(n_events AS DOUBLE) / n_hours)
+                    * (CAST(n_events AS DOUBLE) / n_hours))
+                 / (CAST(n_events AS DOUBLE) / n_hours), 6) AS fano
+    FROM u
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per user: the Fano factor (variance/mean) of hourly
+    event counts over the user's active span — 1.0 = Poisson-like,
+    >> 1 = bursty sessions, << 1 = metronomic (bot-like). A stream-
+    quality feature for both anomaly screens and user modeling.
+
+    Hours inside the span with zero events count via the span length
+    (they add nothing to either sum). Everything is exact integers
+    until the final double formula — identical operands both engines.
+    One Exchange on user_id serves the hourly fold and the per-user
+    fold."""
+    ev = load_tables(spark, sf_dir)["events"]
+    h = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("hr"),
+    ).groupBy("user_id", "hr").agg(F.count(F.lit(1)).alias("c"))
+    u = h.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+        (F.max("hr") - F.min("hr") + 1).alias("n_hours"),
+    )
+    mean = F.col("n_events").cast("double") / F.col("n_hours")
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_hours",
+        F.round(
+            (F.col("sumsq").cast("double") / F.col("n_hours") - mean * mean)
+            / mean,
+            6,
+        ).alias("fano"),
+    )

@@ -261,3 +261,40 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    # exact degree histogram of the co-order graph: (degree, n_nodes)
+    # over the same capped/thresholded edge set as the triangle kernel
+    oracle=f"""
+    WITH {EDGES_CTES},
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM edges
+        UNION ALL
+        SELECT v AS node FROM edges
+      ) GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-order graph — the first
+    thing anyone plots before running graph kernels (hub spotting,
+    power-law eyeballing, join-skew forecasting for the triangle
+    pass). Pure integers: per-node degree from one union+groupBy over
+    the shared edge set, folded to (degree, n_nodes).
+
+    Scale: two aggregates whose shuffles carry (node) then (degree)
+    keys; the edge set is already hub-capped and
+    strength-thresholded (EDGES_CTES), so no degree can exceed what
+    the triangle kernel itself would see."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = coorder_edges(li)
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
