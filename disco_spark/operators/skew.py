@@ -154,3 +154,69 @@ def join_skew_salted(spark, sf_dir):
             F.sum("ps").cast("double").alias("revenue"),
         ],
     )
+
+
+@query(
+    "join_bloom_prefiltered",
+    # oracle = the PLAIN join: the bloom prefilter must be invisible in
+    # the result (no false negatives), exactly like the salted join's
+    # contract — revenue per supplier for one nation's suppliers (NATION_7 in this synthetic naming)
+    oracle="""
+    SELECT l.l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+    GROUP BY l.l_suppkey
+    """,
+)
+def join_bloom_prefiltered(spark, sf_dir: str):
+    """Bloom-prefiltered fact join — the runtime-filter technique that
+    makes selective dim joins viable at 100 TB: the qualifying
+    supplier keys (small side) fold into a broadcast bloom bitset
+    (textops.vocab.bloom_build — same packed-word bitset the
+    contamination screen uses), and the lineitem scan drops non-
+    matching rows in JVM bit arithmetic BEFORE the shuffle join. False
+    positives only cost wasted shuffle rows; the exact join removes
+    them, so the result equals the plain join bit-for-bit (the oracle
+    IS the plain join). Spark's own runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter) applies the same idea
+    planner-side; the explicit form works on any column expression and
+    under compat stages the optimizer can't see through."""
+    from disco_spark.session import load_tables
+    from disco_spark.textops.vocab import bloom_build, bloom_might_contain
+
+    t = load_tables(spark, sf_dir)
+    suppliers = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    bloom, m = bloom_build(spark, suppliers, "s_suppkey")
+    li = (
+        t["lineitem"]
+        .crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("bloom", "l_suppkey", m))
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(F.broadcast(suppliers), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("bigint")
+                ).cast("double")
+                / 100
+            ).alias("revenue")
+        )
+    )

@@ -489,3 +489,134 @@ def winsorized_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_winsor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion z-test: hash-assigned arms, two-proportion z statistic
+# — the experimentation primitive. Arms come from the SAME md5 bucket
+# convention as every split in this repo (sampling.hash_bucket), so
+# assignment is deterministic and engine-replayable.
+# ---------------------------------------------------------------------------
+from disco_spark.sampling import BUCKETS as _AB_BUCKETS  # noqa: E402
+from disco_spark.sampling import _bucket_sql as _sampling_bucket_sql  # noqa: E402
+
+# the SQL replay of sampling.hash_bucket(user_id) — single-sourced
+_bucket_sql_ab = _sampling_bucket_sql("user_id")
+
+AB_Z_CRIT = 1.96  # two-sided 5%
+# conversion = at least this many purchases: "any purchase" saturates
+# on this dense synthetic stream (every user converts -> pooled p = 1,
+# z undefined); a count threshold keeps both outcomes populated
+AB_CONV_MIN = 15
+
+
+@query(
+    "abtest_conversion_ztest",
+    oracle=f"""
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN {_bucket_sql_ab} % 2 = 0 THEN 'A' ELSE 'B' END
+               AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= {AB_CONV_MIN}
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_b
+      FROM arms
+    )
+    , z AS (
+      SELECT *,
+        CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+             THEN ROUND(
+               (CAST(conv_a AS DOUBLE) / n_a
+                - CAST(conv_b AS DOUBLE) / n_b)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                             / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 6)
+        END AS zval
+      FROM agg
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           zval AS z,
+           CASE WHEN abs(zval) > {AB_Z_CRIT} THEN 1 ELSE 0 END
+             AS significant
+    FROM z
+    """,
+)
+def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on purchase conversion: users hash
+    into arms (md5 bucket parity — the repo's one split convention),
+    conversion = any purchase, and the pooled two-proportion z
+    statistic decides significance at |z| > 1.96. The experimentation
+    readout every product team runs; on hash-split uniform data it
+    should (and does) come back non-significant — the null A/A test.
+
+    One Exchange on user_id for the per-user fold; the rest is a
+    single 1-row aggregate. The significance flag compares the ROUNDED
+    z, so both engines flag identically."""
+    from disco_spark.sampling import hash_bucket
+
+    ev = load_tables(spark, sf_dir)["events"]
+    arms = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            >= AB_CONV_MIN
+        )
+        .cast("int")
+        .alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(hash_bucket(F.col("user_id")) % 2 == 0, "A").otherwise("B"),
+    )
+    agg = arms.agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    conv_tot = F.col("conv_a") + F.col("conv_b")
+    n_tot = F.col("n_a") + F.col("n_b")
+    z = F.when(
+        (conv_tot > 0) & (conv_tot < n_tot),
+        F.round(
+            (ra - rb)
+            / F.sqrt(
+                pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            6,
+        ),
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z.alias("z"),
+        F.coalesce((F.abs(z) > AB_Z_CRIT).cast("int"), F.lit(0)).alias(
+            "significant"
+        ),
+    )

@@ -261,3 +261,75 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     )
+
+
+@query(
+    "lineitem_transit_backlog",
+    # items in transit per calendar day (shipped, not yet received):
+    # +1 at ship day, -1 the day after receipt, prefix-summed over the
+    # day-grain delta table. Days with no traffic don't appear (the
+    # backlog on such days equals the previous emitted day's value).
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey, o.o_orderdate AS start_day,
+             MAX(l.l_shipdate) AS last_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT CAST(start_day AS DATE) AS day, 1 AS d FROM span
+      UNION ALL
+      SELECT CAST(last_ship AS DATE) + 1, -1 FROM span
+    ),
+    byday AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+      FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(delta) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_open
+    FROM byday
+    """,
+)
+def lineitem_transit_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day — the interval-stabbing operator
+    (open orders, active sessions, concurrent jobs all share this
+    shape): each order is open from its order date until its LAST
+    lineitem ships; +1/-1 deltas at the boundaries, and the running
+    sum of day-grain deltas IS the number of open intervals.
+
+    One orderkey-grained join+fold computes each order's span; deltas
+    fold to one row per calendar day BEFORE any ordering; the running
+    sum over those ~2.5k day rows goes through the shared two-pass
+    range-partition prefix harness (global_prefix_sum) — no
+    single-partition window even though the day table is small,
+    because at 100 TB the same plan serves second-grain backlogs where
+    the grain table is NOT small."""
+    from disco_spark.operators.relational2 import global_prefix_sum
+
+    t = load_tables(spark, sf_dir)
+    span = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    deltas = span.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).alias("d"),
+    ).unionAll(
+        span.select(F.date_add("last_ship", 1).alias("day"), F.lit(-1))
+    )
+    byday = deltas.groupBy("day").agg(
+        F.sum("d").cast("bigint").alias("delta")
+    )
+    summed, _total = global_prefix_sum(byday, ["day"], "delta", out="pre")
+    return summed.select(
+        "day",
+        (F.col("pre") + F.col("delta")).cast("bigint").alias("n_open"),
+    )
