@@ -175,6 +175,11 @@ HEADLINE = [
     "source_fixed_width",
     "nation_supplier_roster",
     "orders_value_ecdf",
+    "graph_degree_distribution",
+    "events_burstiness_fano",
+    "join_bloom_prefiltered",
+    "abtest_conversion_ztest",
+    "lineitem_transit_backlog",
 ]
 
 
