@@ -620,3 +620,101 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two periods' supplier revenue
+# rankings — "did the leaderboard hold?" in one number. Exact integer
+# rank differences; rho = 1 - 6*sum(d^2) / (n(n^2-1)).
+# ---------------------------------------------------------------------------
+RANK_SPLIT_YEAR = 1999  # period 1: ship years < this; period 2: >= this
+
+
+def _period_rev_sql(cmp: str) -> str:
+    return f"""
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem WHERE year(l_shipdate) {cmp} {RANK_SPLIT_YEAR}
+      GROUP BY 1"""
+
+
+@query(
+    "spearman_rank_stability",
+    oracle=f"""
+    WITH p1 AS ({_period_rev_sql("<")}),
+    p2 AS ({_period_rev_sql(">=")}),
+    r1 AS (
+      SELECT l_suppkey, ROW_NUMBER() OVER (
+        ORDER BY cents DESC, l_suppkey) AS rk1 FROM p1
+      WHERE l_suppkey IN (SELECT l_suppkey FROM p2)
+    ),
+    r2 AS (
+      SELECT l_suppkey, ROW_NUMBER() OVER (
+        ORDER BY cents DESC, l_suppkey) AS rk2 FROM p2
+      WHERE l_suppkey IN (SELECT l_suppkey FROM p1)
+    ),
+    d AS (
+      SELECT r1.rk1 - r2.rk2 AS d
+      FROM r1 JOIN r2 USING (l_suppkey)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(1 - 6.0 * CAST(SUM(CAST(d AS DECIMAL(38,0)) * d)
+                                AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1)), 6)
+             AS spearman_rho
+    FROM d
+    """,
+)
+def spearman_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between early-period (ship year <
+    1999) and late-period supplier revenue rankings — the leaderboard-
+    stability statistic (1 = same order, 0 = unrelated, -1 =
+    inverted). Only suppliers active in BOTH periods rank.
+
+    Both rankings run through the shared two-pass row-number harness
+    on the common-supplier revenue tables (never a single-partition
+    window); rank differences are exact integers and d^2 folds in
+    DECIMAL(38,0) (sum(d^2) grows ~n^3). One row out."""
+    from disco_spark.operators.relational2 import global_row_number
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cents = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint")
+    ).alias("cents")
+
+    def period(cond):
+        return li.filter(cond).groupBy("l_suppkey").agg(cents)
+
+    yr = F.year("l_shipdate")
+    p1 = period(yr < RANK_SPLIT_YEAR)
+    p2 = period(yr >= RANK_SPLIT_YEAR)
+    common1 = p1.join(p2.select("l_suppkey"), "l_suppkey", "leftsemi")
+    common2 = p2.join(p1.select("l_suppkey"), "l_suppkey", "leftsemi")
+    r1, _ = global_row_number(
+        common1.withColumn("neg", -F.col("cents")), ["neg", "l_suppkey"],
+        out="rk1",
+    )
+    r2, _ = global_row_number(
+        common2.withColumn("neg", -F.col("cents")), ["neg", "l_suppkey"],
+        out="rk2",
+    )
+    d = r1.select("l_suppkey", "rk1").join(
+        r2.select("l_suppkey", "rk2"), "l_suppkey"
+    ).select((F.col("rk1") - F.col("rk2")).alias("d"))
+    n = F.count(F.lit(1)).cast("double")
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.round(
+            1
+            - 6.0
+            * F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).cast(
+                "double"
+            )
+            / (n * (n * F.count(F.lit(1)) - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -11,7 +11,7 @@ these operators extend the same one-pass-scan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
@@ -575,4 +575,50 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_ratio.alias("symbol_word_ratio"),
         n_stops.cast("bigint").alias("n_stop_hits"),
         keep.alias("keep"),
+    )
+
+
+# registered AFTER text_lang_id so its oracle can compose the
+# registered prediction oracle verbatim (curation-pipeline pattern)
+from disco_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH pred AS ({_ORACLES["text_lang_id"]}),
+    cells AS (
+      SELECT lang AS actual, lang_pred AS predicted, COUNT(*) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT actual, predicted, n,
+           ROUND(CAST(n AS DOUBLE) /
+                 CAST(SUM(n) OVER (PARTITION BY actual) AS DOUBLE), 6)
+             AS row_share
+    FROM cells
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword lang-ID against the labeled
+    lang column: (actual, predicted, count, per-actual share) — the
+    model-eval readout (diagonal shares = per-class recall). The
+    oracle composes the REGISTERED text_lang_id oracle, so the
+    prediction rule cannot drift between the two queries.
+
+    One grouped count over the predictions (|langs|^2 cells), a tiny
+    window for row normalization."""
+    pred = text_lang_id(spark, sf_dir)
+    cells = pred.groupBy(
+        F.col("lang").alias("actual"),
+        F.col("lang_pred").alias("predicted"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("actual")
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"),
+            6,
+        ).alias("row_share"),
     )
