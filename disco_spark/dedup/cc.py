@@ -270,3 +270,43 @@ def cluster_map(docs: DataFrame, pair_fn=None) -> DataFrame:
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
     return comp.unionByName(singletons)
+
+
+@query(
+    "dedup_rate_by_source",
+    # per-source duplication pressure: share of docs that are NON-
+    # canonical in the exact-Jaccard cluster map — composes the
+    # registered dedup_cluster_canonical oracle verbatim (curation
+    # pattern), so the cluster definition cannot drift
+    oracle=f"""
+    WITH cm AS ({{CLUSTER_ORACLE}}),
+    j AS (
+      SELECT d.source,
+             CASE WHEN cm.cluster_id <> cm.doc_id THEN 1 ELSE 0 END
+               AS is_dup
+      FROM documents d JOIN cm ON cm.doc_id = d.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM j GROUP BY source
+    """.replace("{CLUSTER_ORACLE}", _cluster_oracle(_EXACT_PAIRS_CTES)),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate per source — the curation dashboard number
+    that decides which feeds get aggressive dedup: share of each
+    source's documents that are NON-canonical (cluster_id != doc_id)
+    under the exact shingle-Jaccard cluster map. Composes the same
+    cluster_map the canonical-dedup query registers, joined back to
+    the source column and folded to |sources| rows."""
+    t = load_tables(spark, sf_dir)
+    cm = cluster_map(t["documents"])
+    j = t["documents"].select("doc_id", "source").join(cm, "doc_id")
+    is_dup = (F.col("cluster_id") != F.col("doc_id")).cast("int")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_dup).cast("bigint").alias("n_dups"),
+        F.round(
+            F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )

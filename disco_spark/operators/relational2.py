@@ -1105,3 +1105,92 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    # cumulative revenue per cohort customer by months-since-first —
+    # the money sibling of the retention grid (cohort windows are
+    # calendar-bounded: <= 13 rows per cohort partition)
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(12 * EXTRACT(YEAR FROM o_orderdate)
+                 + EXTRACT(MONTH FROM o_orderdate)) AS first_m
+      FROM orders GROUP BY 1
+    ),
+    sizes AS (
+      SELECT first_m, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+    ),
+    monthly AS (
+      SELECT f.first_m,
+             (12 * EXTRACT(YEAR FROM o.o_orderdate)
+              + EXTRACT(MONTH FROM o.o_orderdate)) - f.first_m
+               AS months_since,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(m.first_m AS BIGINT) AS cohort_m,
+           CAST(m.months_since AS BIGINT) AS months_since,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(SUM(m.cents) OVER (
+                   PARTITION BY m.first_m ORDER BY m.months_since
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 100 / s.cohort_size, 6)
+             AS cum_ltv_per_customer
+    FROM monthly m JOIN sizes s ON s.first_m = m.first_m
+    WHERE m.months_since <= 12
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per cohort customer: cohorts by first
+    order month, exact-cents revenue accumulated over months-since-
+    first (<= 12) and normalized by cohort size — the LTV curve every
+    payback-period model reads off. The money sibling of
+    cohort_orders_retention (same integer month arithmetic).
+
+    The running sum partitions by cohort over <= 13 month rows —
+    calendar-bounded, so a per-cohort window is the right plan (the
+    grain table, not the order volume, bounds window size)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    m = 12 * F.year("o_orderdate") + F.month("o_orderdate")
+    o = t["orders"].select(
+        "o_custkey",
+        m.alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    sizes = firsts.groupBy("first_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    monthly = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "first_m", (F.col("m") - F.col("first_m")).alias("months_since")
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("first_m")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.filter(F.col("months_since") <= 12)
+        .join(F.broadcast(sizes), "first_m")
+        .select(
+            F.col("first_m").cast("bigint").alias("cohort_m"),
+            F.col("months_since").cast("bigint").alias("months_since"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.sum("cents").over(w).cast("double")
+                / 100
+                / F.col("cohort_size"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

@@ -202,3 +202,107 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("freq").cast("double")).alias("ly"),
     )
     return regr_by_group(xy, "lx", "ly", "vocab")
+
+
+HEAPS_PCTS = (10, 25, 50, 100)
+
+
+def _heaps_probe_sql(pct: int) -> str:
+    return f"(({pct} * maxd) // 100)"
+
+
+@query(
+    "vocab_growth_heaps",
+    # Heaps'-law curve: vocabulary size at doc-prefix checkpoints.
+    # Cumulative-distinct is not prefix-decomposable, but each term's
+    # FIRST occurrence is a plain MIN — V(prefix) = #terms whose
+    # first_doc falls inside the prefix. Pure integers.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    mx AS (SELECT MAX(doc_id) AS maxd FROM d),
+    firstocc AS (
+      SELECT term, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY term
+    ),
+    docs_agg AS (
+      SELECT {", ".join(
+        f"CAST(SUM(CASE WHEN doc_id <= {_heaps_probe_sql(p)} THEN 1 ELSE 0 END) AS BIGINT) AS nd{i}, "
+        f"CAST(SUM(CASE WHEN doc_id <= {_heaps_probe_sql(p)} THEN len(toks) ELSE 0 END) AS BIGINT) AS nt{i}"
+        for i, p in enumerate(HEAPS_PCTS))}
+      FROM d CROSS JOIN mx
+    ),
+    vocab_agg AS (
+      SELECT {", ".join(
+        f"CAST(SUM(CASE WHEN first_doc <= {_heaps_probe_sql(p)} THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+        for i, p in enumerate(HEAPS_PCTS))}
+      FROM firstocc CROSS JOIN mx
+    )
+    {" UNION ALL ".join(
+      f"SELECT {p} AS pct, nd{i} AS n_docs, nt{i} AS n_tokens, v{i} AS vocab_size FROM docs_agg CROSS JOIN vocab_agg"
+      for i, p in enumerate(HEAPS_PCTS))}
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: vocabulary size at 10/25/50/100%
+    document-prefix checkpoints (by doc_id order) with the token
+    counts those prefixes contain — the "is the corpus still teaching
+    the tokenizer new words" diagnostic (sublinear growth = healthy
+    natural text; flat = exhausted/duplicated corpus).
+
+    Cumulative-distinct doesn't decompose over prefixes, but each
+    term's FIRST occurrence is one MIN aggregate — vocabulary at any
+    checkpoint is then a conditional count over the first-occurrence
+    table. Two grouped aggregates + two 1-row conditional folds; the
+    probes never re-scan text."""
+    t = load_tables(spark, sf_dir)
+    d = with_toks(t["documents"]).select(
+        "doc_id", "toks", F.size("toks").alias("n_toks")
+    )
+    mx = F.broadcast(d.agg(F.max("doc_id").alias("maxd")))
+    firstocc = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+
+    def probe_expr(p):
+        return F.expr(f"({p} * maxd) div 100")
+
+    docs_agg = d.crossJoin(mx).agg(
+        *[
+            a
+            for i, p in enumerate(HEAPS_PCTS)
+            for a in (
+                F.sum((F.col("doc_id") <= probe_expr(p)).cast("int"))
+                .cast("bigint")
+                .alias(f"nd{i}"),
+                F.sum(
+                    F.when(
+                        F.col("doc_id") <= probe_expr(p), F.col("n_toks")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"nt{i}"),
+            )
+        ]
+    )
+    vocab_agg = firstocc.crossJoin(mx).agg(
+        *[
+            F.sum((F.col("first_doc") <= probe_expr(p)).cast("int"))
+            .cast("bigint")
+            .alias(f"v{i}")
+            for i, p in enumerate(HEAPS_PCTS)
+        ]
+    )
+    wide = docs_agg.crossJoin(F.broadcast(vocab_agg))
+    stack = ", ".join(
+        f"{p}, nd{i}, nt{i}, v{i}" for i, p in enumerate(HEAPS_PCTS)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(HEAPS_PCTS)}, {stack}) "
+            "AS (pct, n_docs, n_tokens, vocab_size)"
+        )
+    )
