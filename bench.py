@@ -180,6 +180,11 @@ HEADLINE = [
     "join_bloom_prefiltered",
     "abtest_conversion_ztest",
     "lineitem_transit_backlog",
+    "spearman_rank_stability",
+    "langid_confusion_matrix",
+    "orders_cohort_ltv",
+    "dedup_rate_by_source",
+    "vocab_growth_heaps",
 ]
 
 
