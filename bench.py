@@ -183,7 +183,9 @@ HEADLINE = [
     "spearman_rank_stability",
     "langid_confusion_matrix",
     "orders_cohort_ltv",
-    "dedup_rate_by_source",
+    # dedup_rate_by_source stays OFF the headline set: its cost is the
+    # exact-Jaccard cluster map (~11.5s at sf0.1), whose machinery the
+    # LSH-banded corpus_curation_pipeline already exercises in-bench
     "vocab_growth_heaps",
 ]
 
