@@ -251,3 +251,63 @@ def multimodal_sig_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_media") >= 2)
     )
+
+
+@query(
+    "multimodal_magic_dispatch",
+    # format sniffing by leading byte — the binary-prefix dispatch
+    # every media ingest runs before choosing a decoder. The synthetic
+    # payload is md5(text) bytes, so the oracle reads the same leading
+    # byte straight from the hex.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             ('0x' || substr(md5(text), 1, 2))::INT AS b0,
+             16 AS n_bytes
+      FROM documents
+    ),
+    c AS (
+      SELECT CASE WHEN b0 < 64 THEN 'fmt_a'
+                  WHEN b0 < 128 THEN 'fmt_b'
+                  WHEN b0 < 192 THEN 'fmt_c'
+                  ELSE 'fmt_d' END AS sniffed, n_bytes
+      FROM h
+    )
+    SELECT sniffed, COUNT(*) AS n_payloads,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM c GROUP BY sniffed
+    """,
+)
+def multimodal_magic_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format dispatch over binary payloads: the leading
+    byte of each payload routes it to a (synthetic) format class, with
+    per-class payload counts and byte totals — the sniff-then-dispatch
+    step a real media pipeline runs before handing payloads to the
+    right decoder (the decoder itself stays behind the documented
+    codec seam).
+
+    The leading byte is read with JVM substring+hex+conv on the binary
+    column — payloads never leave executors, no Python touches bytes;
+    the fold is |formats| cells."""
+    t = load_tables(spark, sf_dir)
+    media = make_media_table(t["documents"])
+    b0 = F.conv(
+        F.hex(F.expr("substring(payload, 1, 1)")), 16, 10
+    ).cast("int")
+    sniffed = (
+        F.when(b0 < 64, "fmt_a")
+        .when(b0 < 128, "fmt_b")
+        .when(b0 < 192, "fmt_c")
+        .otherwise("fmt_d")
+    )
+    return (
+        media.select(
+            sniffed.alias("sniffed"),
+            F.length("payload").alias("n_bytes"),
+        )
+        .groupBy("sniffed")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )

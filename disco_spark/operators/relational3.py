@@ -489,3 +489,50 @@ def orders_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cdf"
         ),
     )
+
+
+@query(
+    "heatmap_qty_price_bins",
+    # 2-D histogram: quantity in 10 fixed-width bins x price in $10k
+    # bins capped at 9 — pure integer bin arithmetic both engines
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin_q,
+             LEAST(9, CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      // 1000000) AS bin_p,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem
+    )
+    SELECT bin_q, bin_p, COUNT(*) AS n,
+           CAST(SUM(rev_cents) AS DOUBLE) / 100 AS revenue
+    FROM b GROUP BY 1, 2
+    """,
+)
+def heatmap_qty_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap) of lineitem quantity x price: quantity
+    in ten 5-unit bins, price in $10k bins capped at the 9th — the
+    density grid behind every scatter-replacement heatmap at volumes
+    where plotting raw points is impossible. One scan, one shuffle of
+    at most 100 (bin, partial) cells; bin indexes are pure integer
+    arithmetic (the cents ROUND happens before any cast, per the
+    cross-engine rule)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    b = li.select(
+        ((F.col("l_quantity").cast("bigint") - 1) / 5)
+        .cast("bigint")
+        .alias("bin_q"),
+        F.least(F.lit(9).cast("bigint"), (pc / 1000000).cast("bigint")).alias(
+            "bin_p"
+        ),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    return b.groupBy("bin_q", "bin_p").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("rev_cents").cast("double") / 100).alias("revenue"),
+    )

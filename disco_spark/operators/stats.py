@@ -718,3 +718,75 @@ def spearman_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index per nation — the grouped
+# sibling of the global Gini: sum of squared supplier revenue shares
+# within each nation's supplier pool.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hhi_supplier_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    nat AS (
+      SELECT n.n_name, rev.cents
+      FROM rev
+      JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    tot AS (SELECT n_name, SUM(cents) AS t, COUNT(*) AS n FROM nat GROUP BY 1)
+    SELECT nat.n_name,
+           CAST(MAX(tot.n) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(
+             (CAST(nat.cents AS DOUBLE) / tot.t)
+             * (CAST(nat.cents AS DOUBLE) / tot.t)
+             AS DECIMAL(28,15))) AS DOUBLE), 6) AS hhi
+    FROM nat JOIN tot USING (n_name)
+    GROUP BY nat.n_name
+    """,
+)
+def hhi_supplier_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per nation — the grouped sibling of gini_supplier_revenue (1/n =
+    perfectly even, 1.0 = single-supplier monopoly; the antitrust
+    screen applied to data-source concentration audits verbatim).
+
+    Revenue shares are exact-integer-cents ratios; squared shares fold
+    as DECIMAL(28,15) (PSI pattern) so the index is shuffle-order-
+    free. Nation totals broadcast back onto the per-supplier rows."""
+    t = load_tables(spark, sf_dir)
+    rev = t["lineitem"].groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents")
+    )
+    nat = rev.join(
+        F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+    ).join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("n_name", "cents")
+    tot = nat.groupBy("n_name").agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    share = F.col("cents").cast("double") / F.col("t")
+    return (
+        nat.join(F.broadcast(tot), "n_name")
+        .select("n_name", "n", (share * share).cast("decimal(28,15)").alias("sq"))
+        .groupBy("n_name")
+        .agg(
+            F.max("n").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum("sq").cast("double"), 6).alias("hhi"),
+        )
+    )
