@@ -536,3 +536,68 @@ def heatmap_qty_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("rev_cents").cast("double") / 100).alias("revenue"),
     )
+
+
+@query(
+    "order_basket_structs",
+    # oracle replays the array semantics RELATIONALLY (window + agg) —
+    # a genuine cross-model check: engine-side arrays of structs vs
+    # oracle-side ranked rows must agree exactly
+    oracle="""
+    WITH x AS (
+      SELECT l_orderkey, l_partkey,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    top AS (
+      SELECT l_orderkey, l_partkey AS top_partkey, qty AS top_qty
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY l_orderkey ORDER BY qty DESC, l_partkey DESC
+        ) AS rnk FROM x
+      ) WHERE rnk = 1
+    )
+    SELECT x.l_orderkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(x.qty) AS BIGINT) AS total_qty,
+           MAX(top.top_partkey) AS top_partkey,
+           MAX(top.top_qty) AS top_qty
+    FROM x JOIN top USING (l_orderkey)
+    GROUP BY x.l_orderkey
+    """,
+)
+def order_basket_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data basket construction: each order's lineitems fold
+    into an ARRAY OF STRUCTS (qty, partkey), then JVM higher-order
+    functions read it back out — size, aggregate() for the quantity
+    total, element_at(sorted, -1) for the top item (max qty, partkey
+    as tie-break). The pattern every feature store uses to ship
+    per-entity nested features in one row; everything stays in
+    whole-stage codegen, no explode-back, no Python.
+
+    The oracle computes the same answers relationally (rank window +
+    grouped sums) — engine arrays and oracle rows must agree
+    exactly."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    basket = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_quantity").cast("bigint").alias("qty"),
+                    F.col("l_partkey").alias("pk"),
+                )
+            )
+        ).alias("basket")
+    )
+    top = F.element_at(F.col("basket"), -1)
+    return basket.select(
+        "l_orderkey",
+        F.size("basket").cast("bigint").alias("n_items"),
+        F.aggregate(
+            F.col("basket"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x["qty"],
+        ).alias("total_qty"),
+        top["pk"].alias("top_partkey"),
+        top["qty"].alias("top_qty"),
+    )

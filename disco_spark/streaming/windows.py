@@ -522,3 +522,68 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, join_views_purchases, output_mode="append",
         state_partitions=8,
     )
+
+
+@query(
+    "streaming_sliding_topk_types",
+    # top-2 event types per 1-hour window sliding every 30 min: the
+    # windowed agg runs IN the stream (availableNow); the rank over
+    # the completed windows is a batch fold over the sink — exactly
+    # how a production job serves "top movers per window" (rank
+    # happens on the materialized aggregate, not inside the stream)
+    oracle="""
+    WITH grid AS (
+      SELECT *, unnest([time_bucket(INTERVAL '30 minutes', ts),
+                        time_bucket(INTERVAL '30 minutes', ts)
+                          - INTERVAL '30 minutes']) AS ws
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM grid
+      WHERE ts < ws + INTERVAL '1 hour'
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start
+        ORDER BY n_events DESC, event_type) AS rnk
+      FROM agg
+    ) WHERE rnk <= 2
+    """,
+)
+def streaming_sliding_topk_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2 event types per sliding 1-hour window (30-min slide),
+    computed as a REAL streaming job: the per-(window, type) counts
+    aggregate inside Structured Streaming (availableNow, watermarked),
+    and the rank is a batch window over the materialized sink — the
+    standard split for "top-k per window" (rank is not an incremental
+    aggregate; production jobs rank the stored window aggregates).
+
+    Per-window state is |types| counters; the rank partitions by
+    window_start over <= |types| rows."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy(
+            F.window("ts", "1 hour", "30 minutes"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    sunk = run_stream_to_memory(spark, sf_dir, transform)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        sunk.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .drop("rnk")
+    )
