@@ -187,6 +187,11 @@ HEADLINE = [
     # exact-Jaccard cluster map (~11.5s at sf0.1), whose machinery the
     # LSH-banded corpus_curation_pipeline already exercises in-bench
     "vocab_growth_heaps",
+    "hhi_supplier_by_nation",
+    "heatmap_qty_price_bins",
+    "multimodal_magic_dispatch",
+    "streaming_sliding_topk_types",
+    "order_basket_structs",
 ]
 
 
