@@ -333,3 +333,103 @@ def lineitem_transit_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         (F.col("pre") + F.col("delta")).cast("bigint").alias("n_open"),
     )
+
+
+@query(
+    "orders_seasonal_decompose",
+    # classical additive decomposition of the daily order-count series:
+    # trend = 7-day centered moving average (full windows only, built
+    # by OFFSET SELF-JOIN on the day grain — no global window),
+    # seasonal = per-ISO-dow mean of the detrended series, residual =
+    # detrended - seasonal. Exact integer counts; only the final
+    # averages are rounded doubles.
+    oracle="""
+    WITH byday AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    offsets AS (SELECT unnest(generate_series(-3, 3)) AS off),
+    ma AS (
+      SELECT b.day,
+             CAST(SUM(n.cnt) AS BIGINT) AS wsum, COUNT(*) AS wn
+      FROM byday b
+      JOIN offsets o ON TRUE
+      JOIN byday n ON n.day = b.day + CAST(o.off AS INTEGER)
+      GROUP BY b.day HAVING COUNT(*) = 7
+    ),
+    detr AS (
+      SELECT b.day, b.cnt, isodow(b.day) AS dow,
+             CAST(b.cnt AS DOUBLE) - CAST(ma.wsum AS DOUBLE) / 7 AS d
+      FROM byday b JOIN ma ON ma.day = b.day
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(CAST(d AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*)
+               AS s
+      FROM detr GROUP BY dow
+    )
+    SELECT detr.day, detr.cnt AS observed,
+           ROUND(detr.cnt - detr.d, 6) AS trend,
+           ROUND(seas.s, 6) AS seasonal,
+           ROUND(detr.d - seas.s, 6) AS residual
+    FROM detr JOIN seas USING (dow)
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of daily order
+    volume: observed = trend + seasonal + residual, with trend the
+    7-day centered moving average (emitted only where the full week
+    exists), seasonal the per-ISO-weekday mean of the detrended
+    series, residual the rest — the decomposition every anomaly/
+    forecast pipeline starts from.
+
+    Scale shape: the raw scan folds to the day grain FIRST; the moving
+    average is an offset SELF-JOIN on the day table (7 equi-join
+    probes per day, shuffled on day) rather than any global ordered
+    window, so the plan holds even at second-grain series where the
+    grain table is large. Seasonal means fold detrended terms as
+    DECIMAL(28,15)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    byday = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = byday.sparkSession.range(-3, 4).select(
+        F.col("id").cast("int").alias("off")
+    )
+    probes = byday.crossJoin(F.broadcast(offsets)).select(
+        F.col("day"), F.expr("date_add(day, off)").alias("nday")
+    )
+    nbr = byday.select(
+        F.col("day").alias("nday"), F.col("cnt").alias("ncnt")
+    )
+    ma = (
+        probes.join(nbr, "nday")
+        .groupBy("day")
+        .agg(
+            F.sum("ncnt").cast("bigint").alias("wsum"),
+            F.count(F.lit(1)).alias("wn"),
+        )
+        .filter(F.col("wn") == 7)
+    )
+    detr = byday.join(ma, "day").select(
+        "day",
+        "cnt",
+        (F.expr("weekday(day)") + 1).alias("dow"),
+        (
+            F.col("cnt").cast("double")
+            - F.col("wsum").cast("double") / 7
+        ).alias("d"),
+    )
+    seas = detr.groupBy("dow").agg(
+        (
+            F.sum(F.col("d").cast("decimal(28,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    return detr.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.col("cnt").alias("observed"),
+        F.round(F.col("cnt") - F.col("d"), 6).alias("trend"),
+        F.round(F.col("s"), 6).alias("seasonal"),
+        F.round(F.col("d") - F.col("s"), 6).alias("residual"),
+    )
