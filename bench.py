@@ -192,6 +192,7 @@ HEADLINE = [
     "multimodal_magic_dispatch",
     "streaming_sliding_topk_types",
     "order_basket_structs",
+    "orders_seasonal_decompose",
 ]
 
 
