@@ -669,31 +669,32 @@ def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def global_prefix_sum(
-    df: DataFrame, order_cols: list[str], value_col: str, out: str = "start"
-) -> tuple[DataFrame, int]:
-    """Exact EXCLUSIVE prefix sum of ``value_col`` over the total order
-    given by ``order_cols`` — WITHOUT a single-partition window (the
-    naive `Window.orderBy(...)` serializes the whole table through one
-    task — a straight OOM at 100TB).
-
-    Two-pass range-partition plan:
+def _global_prefix(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    agg,
+    py_fold,
+    identity,
+):
+    """Shared two-pass range-partition prefix core (the ONE place the
+    repartitionByRange + persist-pins-boundaries + driver-fold + local-
+    window mechanics live; sum and max are thin wrappers):
       1. `repartitionByRange` on the order columns (sampled boundaries;
          partition id ascends with the sort key), persist — the persist
          pins the sampled boundaries so pass 2 sees the same partitions;
-      2. sum ``value_col`` per range partition (tiny driver-side
-         collect, one row per partition) to get each partition's global
-         offset;
-      3. a partition-local running sum + that offset.
-    The per-partition window does shuffle on partition id, but every
-    task holds ~1/N of the rows — no single-partition exchange appears
-    anywhere in the plan. Exactness does not depend on where the sampled
-    boundaries land, only on the order columns being a total order.
+      2. fold ``value_col`` per range partition with ``agg`` (tiny
+         driver-side collect, one row per partition), accumulate each
+         partition's exclusive offset with ``py_fold`` from
+         ``identity``;
+      3. expose the partition-local exclusive window fold + the
+         partition's offset for the wrapper to combine.
+    Every task holds ~1/N of the rows — no single-partition exchange
+    anywhere. Exactness does not depend on where the sampled boundaries
+    land, only on the order columns being a total order.
 
-    This is the ONE shared two-pass harness: `global_row_number` is the
-    value=1 special case, `textops.packing` uses it for token offsets.
-
-    Returns (df with `out` column, grand total).
+    Returns (partitioned df incl. `_pid`, local exclusive-prefix
+    Column, per-partition offset Column, grand fold over all rows).
     """
     from pyspark.sql.window import Window
 
@@ -704,26 +705,47 @@ def global_prefix_sum(
         "_pid", F.spark_partition_id()
     )
     part = lazy_persist(part)
-    subtotals = sorted(
-        part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect(),
+    subs = sorted(
+        part.groupBy("_pid").agg(agg(value_col).alias("v")).collect(),
         key=lambda r: r["_pid"],
     )
-    offsets, total = {}, 0
-    for r in subtotals:
-        offsets[r["_pid"]] = total
-        total += r["s"]
+    offsets, running = {}, identity
+    for r in subs:
+        offsets[r["_pid"]] = running
+        running = py_fold(running, r["v"])
     off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    summed = part.withColumn(
-        out,
-        (F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off[F.col("_pid")]).cast(
-            "long"
-        ),
-    ).drop("_pid")
+    local = F.coalesce(agg(value_col).over(w), F.lit(identity))
+    return part, local, off[F.col("_pid")], running
+
+
+def global_prefix_sum(
+    df: DataFrame, order_cols: list[str], value_col: str, out: str = "start"
+) -> tuple[DataFrame, int]:
+    """Exact EXCLUSIVE prefix sum of ``value_col`` over the total order
+    given by ``order_cols`` — WITHOUT a single-partition window (the
+    naive `Window.orderBy(...)` serializes the whole table through one
+    task — a straight OOM at 100TB). Thin wrapper over the shared
+    `_global_prefix` core (offset combines by addition).
+
+    This is the ONE shared two-pass harness: `global_row_number` is the
+    value=1 special case, `global_prefix_max` the max sibling,
+    `textops.packing` uses it for token offsets.
+
+    Returns (df with `out` column, grand total).
+    """
+    import operator
+
+    part, local, offset, total = _global_prefix(
+        df, order_cols, value_col, F.sum, operator.add, 0
+    )
+    summed = part.withColumn(out, (local + offset).cast("long")).drop(
+        "_pid"
+    )
     return summed, total
 
 
@@ -735,42 +757,14 @@ def global_prefix_max(
     identity: int = -(2**62),
 ) -> DataFrame:
     """Exact EXCLUSIVE prefix max of ``value_col`` over the total order
-    given by ``order_cols`` — the max sibling of `global_prefix_sum`,
-    same two-pass range-partition plan (NO single-partition window):
-    per-range-partition max -> tiny driver cummax over partition ids ->
-    partition-local window max + the partition's offset. Rows with no
-    predecessor see ``identity`` (must compare below every real value).
-    """
-    from pyspark.sql.window import Window
-
-    from disco_spark.session import default_parallelism
-
-    nparts = default_parallelism(df.sparkSession)
-    part = df.repartitionByRange(nparts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    given by ``order_cols`` — the max sibling of `global_prefix_sum`
+    on the same `_global_prefix` core (offset combines by greatest).
+    Rows with no predecessor see ``identity`` (must compare below
+    every real value)."""
+    part, local, offset, _running = _global_prefix(
+        df, order_cols, value_col, F.max, max, identity
     )
-    part = lazy_persist(part)
-    submax = sorted(
-        part.groupBy("_pid").agg(F.max(value_col).alias("m")).collect(),
-        key=lambda r: r["_pid"],
-    )
-    offsets, running = {}, identity
-    for r in submax:
-        offsets[r["_pid"]] = running
-        running = max(running, r["m"])
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return part.withColumn(
-        out,
-        F.greatest(
-            F.coalesce(F.max(value_col).over(w), F.lit(identity)),
-            off[F.col("_pid")],
-        ),
-    ).drop("_pid")
+    return part.withColumn(out, F.greatest(local, offset)).drop("_pid")
 
 
 def global_row_number(df: DataFrame, cols: list[str], out: str = "rn") -> tuple[DataFrame, int]:

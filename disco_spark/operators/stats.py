@@ -497,7 +497,6 @@ def winsorized_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # convention as every split in this repo (sampling.hash_bucket), so
 # assignment is deterministic and engine-replayable.
 # ---------------------------------------------------------------------------
-from disco_spark.sampling import BUCKETS as _AB_BUCKETS  # noqa: E402
 from disco_spark.sampling import _bucket_sql as _sampling_bucket_sql  # noqa: E402
 
 # the SQL replay of sampling.hash_bucket(user_id) — single-sourced
@@ -690,8 +689,12 @@ def spearman_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         return li.filter(cond).groupBy("l_suppkey").agg(cents)
 
     yr = F.year("l_shipdate")
-    p1 = period(yr < RANK_SPLIT_YEAR)
-    p2 = period(yr >= RANK_SPLIT_YEAR)
+    from disco_spark.session import lazy_persist
+
+    # both period tables feed BOTH semi-joins below — persist once so
+    # lineitem is scanned/aggregated twice, not four times
+    p1 = lazy_persist(period(yr < RANK_SPLIT_YEAR))
+    p2 = lazy_persist(period(yr >= RANK_SPLIT_YEAR))
     common1 = p1.join(p2.select("l_suppkey"), "l_suppkey", "leftsemi")
     common2 = p2.join(p1.select("l_suppkey"), "l_suppkey", "leftsemi")
     r1, _ = global_row_number(

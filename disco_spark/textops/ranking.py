@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from disco_spark.operators.stats import regr_by_group
+from disco_spark.operators.stats import _msum_sql, regr_by_group
 from disco_spark.registry import query
 from disco_spark.session import load_tables
 from disco_spark.textops.analysis import _TOKS_SQL, with_toks
@@ -161,11 +161,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
       SELECT vocab, COUNT(*) AS n,
-             CAST(SUM(CAST(lx AS DECIMAL(28,15))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(ly AS DECIMAL(28,15))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(lx * lx AS DECIMAL(28,15))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(lx * ly AS DECIMAL(28,15))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(ly * ly AS DECIMAL(28,15))) AS DOUBLE) AS syy
+             {_msum_sql("lx", "sx")}, {_msum_sql("ly", "sy")}, {_msum_sql("lx * lx", "sxx")}, {_msum_sql("lx * ly", "sxy")}, {_msum_sql("ly * ly", "syy")}
       FROM xy GROUP BY vocab
     )
     SELECT vocab, n,
