@@ -601,3 +601,51 @@ def order_basket_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         top["pk"].alias("top_partkey"),
         top["qty"].alias("top_qty"),
     )
+
+
+@query(
+    "window_percent_rank_prices",
+    # percent_rank + cume_dist per priority — the two normalized-rank
+    # window functions the decile/row_number family doesn't cover.
+    # Ties resolve identically in both engines because the order key
+    # (cents, orderkey) is a total order.
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(cents AS DOUBLE) / 100 AS price,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cum_dist
+    FROM x WINDOW w AS (
+      PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+    """,
+)
+def window_percent_rank_prices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Normalized rank positions per order priority: percent_rank
+    ((rank-1)/(n-1)) and cume_dist (peers-at-or-below / n) over the
+    exact-cents price order — the "where does this order sit in its
+    class" score pair, covering the two normalized window functions
+    the decile/ntile family doesn't.
+
+    One Exchange on o_orderpriority; the order key (cents, orderkey)
+    is a total order, so ranks and peer groups are engine-identical.
+    Both statistics are ratios of exact integers rounded to 6."""
+    o = load_tables(spark, sf_dir)["orders"]
+    x = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    return x.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.col("cents").cast("double") / 100).alias("price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )

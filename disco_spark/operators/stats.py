@@ -793,3 +793,51 @@ def hhi_supplier_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sq").cast("double"), 6).alias("hhi"),
         )
     )
+
+
+@query(
+    "regr_qty_vs_discount_by_brand",
+    # discount elasticity per part brand: does a deeper discount move
+    # quantity? Same exact-moment normal-equation construction as
+    # regr_price_vs_qty, grouped by a JOINED dim attribute.
+    oracle=f"""
+    WITH x AS (
+      SELECT p.p_brand, l.l_discount AS x, l.l_quantity AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    sums AS (
+      SELECT p_brand, COUNT(*) AS n,
+             {_msum_sql("x", "sx")}, {_msum_sql("y", "sy")},
+             {_msum_sql("x * x", "sxx")}, {_msum_sql("x * y", "sxy")},
+             {_msum_sql("y * y", "syy")}
+      FROM x GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    ORDER BY p_brand
+    """,
+)
+def regr_qty_vs_discount_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discount elasticity per brand: least-squares slope of quantity
+    on discount within each part brand — the pricing-analytics read
+    ("which brands actually move on promotion"). Reuses the shared
+    exact-moment regr_by_group construction over a broadcast-dim join;
+    grouping by a joined attribute is the shape the ungrouped
+    regr_price_vs_qty can't show."""
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    return regr_by_group(x, "x", "y", "p_brand")
