@@ -193,6 +193,8 @@ HEADLINE = [
     "streaming_sliding_topk_types",
     "order_basket_structs",
     "orders_seasonal_decompose",
+    "regr_qty_vs_discount_by_brand",
+    "window_percent_rank_prices",
 ]
 
 
