@@ -649,3 +649,78 @@ def window_percent_rank_prices(
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@query(
+    "weighted_median_price_by_priority",
+    # quantity-weighted median lineitem price per priority: smallest
+    # price whose running weight reaches half the total — exact
+    # integer weights, total-order key, no interpolation
+    oracle="""
+    WITH x AS (
+      SELECT o.o_orderpriority,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l.l_quantity AS BIGINT) AS wt,
+             l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    run AS (
+      SELECT o_orderpriority, cents, wt,
+             SUM(wt) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY cents, l_orderkey, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(wt) OVER (PARTITION BY o_orderpriority) AS tot
+      FROM x
+    )
+    SELECT o_orderpriority,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS DOUBLE)
+             / 100 AS weighted_median_price,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM run GROUP BY o_orderpriority
+    """,
+)
+def weighted_median_price_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median lineitem price per order priority: the
+    smallest price at which the running quantity reaches half the
+    group's total — the inventory-weighted "typical price" (a plain
+    median over-weights one-unit lines). Exact integer weights over a
+    total order (cents, orderkey, partkey), so the cut row is
+    engine-identical; no interpolation.
+
+    One Exchange on o_orderpriority serves both windows and the final
+    fold."""
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_partkey",
+    )
+    wrun = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents", "l_orderkey", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    run = x.withColumn("cum", F.sum("wt").over(wrun)).withColumn(
+        "tot", F.sum("wt").over(wall)
+    )
+    return run.groupBy("o_orderpriority").agg(
+        (
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))
+            ).cast("double")
+            / 100
+        ).alias("weighted_median_price"),
+        F.max("tot").cast("bigint").alias("total_weight"),
+    )

@@ -302,3 +302,54 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (pct, n_docs, n_tokens, vocab_size)"
         )
     )
+
+
+PHRASE = ("spark", "stream")
+
+
+@query(
+    "phrase_search_bigram",
+    # positional phrase search: docs where 'spark' is IMMEDIATELY
+    # followed by 'stream' — adjacency join on token positions (the
+    # positional-posting-list operator boolean CNF queries can't
+    # express), plus the occurrence count per doc
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, generate_subscripts({_TOKS_SQL}, 1) AS p,
+             unnest({_TOKS_SQL}) AS term
+      FROM documents
+    )
+    SELECT a.doc_id, COUNT(*) AS n_occurrences
+    FROM pos a JOIN pos b
+      ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: documents containing the exact phrase
+    '{spark stream}' as adjacent tokens, with per-doc occurrence
+    counts — the positional-index operator that boolean/CNF index
+    queries (discodb_*) cannot express. Posting lists carry (doc,
+    position); the phrase is an equi-join on (doc_id, position+1)
+    AFTER filtering each side to its term — the join input is two
+    term posting lists, never the full position table.
+
+    At 100 TB the filtered posting lists are the per-term index rows a
+    real positional index stores; adjacency stays an equi-join (k-term
+    phrases chain k-1 joins)."""
+    t = load_tables(spark, sf_dir)
+    pos = with_toks(t["documents"]).select(
+        "doc_id", F.posexplode("toks").alias("p", "term")
+    )
+    a = pos.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_id) & (F.col("pb") == F.col("pa") + 1))
+        .groupBy(a.doc_id)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
