@@ -195,6 +195,8 @@ HEADLINE = [
     "orders_seasonal_decompose",
     "regr_qty_vs_discount_by_brand",
     "window_percent_rank_prices",
+    "phrase_search_bigram",
+    "weighted_median_price_by_priority",
 ]
 
 
