@@ -277,3 +277,63 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fano"),
     )
+
+
+CCDF_THRESHOLDS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+@query(
+    "events_user_activity_ccdf",
+    # complementary CDF of per-user event counts at power-of-2
+    # thresholds — the heavy-tail diagnostic (straight line on log-log
+    # = power law). Conditional counts over the per-user fold; the
+    # thresholds never re-scan events.
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    t AS (SELECT COUNT(*) AS n_users FROM u)
+    {" UNION ALL ".join(f'''
+    SELECT {th} AS threshold,
+           CAST((SELECT SUM(CASE WHEN c >= {th} THEN 1 ELSE 0 END)
+                 FROM u) AS BIGINT) AS n_at_or_above,
+           ROUND(CAST((SELECT SUM(CASE WHEN c >= {th} THEN 1 ELSE 0 END)
+                       FROM u) AS DOUBLE) / t.n_users, 6) AS ccdf
+    FROM t''' for th in CCDF_THRESHOLDS)}
+    """,
+)
+def events_user_activity_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complementary CDF of per-user event counts at power-of-two
+    thresholds: share of users with >= t events — the heavy-tail
+    diagnostic behind capacity planning and bot screens (power-law
+    tails show as straight lines over these log-spaced probes).
+
+    One per-user fold, then a single 1-row aggregate of conditional
+    counts stacked to long form — thresholds never replicate or
+    re-scan the event rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    aggs = [F.count(F.lit(1)).alias("n_users")] + [
+        F.sum((F.col("c") >= th).cast("int"))
+        .cast("bigint")
+        .alias(f"a{i}")
+        for i, th in enumerate(CCDF_THRESHOLDS)
+    ]
+    wide = u.agg(*aggs)
+    stack = ", ".join(
+        f"{th}, a{i}" for i, th in enumerate(CCDF_THRESHOLDS)
+    )
+    long = wide.select(
+        "n_users",
+        F.expr(
+            f"stack({len(CCDF_THRESHOLDS)}, {stack})"
+            " AS (threshold, n_at_or_above)"
+        ),
+    )
+    return long.select(
+        "threshold",
+        "n_at_or_above",
+        F.round(
+            F.col("n_at_or_above").cast("double") / F.col("n_users"), 6
+        ).alias("ccdf"),
+    )

@@ -433,3 +433,96 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s"), 6).alias("seasonal"),
         F.round(F.col("d") - F.col("s"), 6).alias("residual"),
     )
+
+
+ACF_LAGS = (1, 7)
+
+
+@query(
+    "orders_autocorr_daily",
+    # autocorrelation of the daily order-count series at lags 1 and 7
+    # — exact-moment Pearson over (x_t, x_{t-lag}) day-joined pairs;
+    # the weekly-cycle detector behind the seasonal decomposition
+    oracle=f"""
+    WITH byday AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      {" UNION ALL ".join(f'''
+      SELECT {lag} AS lag,
+             CAST(a.cnt AS DOUBLE) AS x, CAST(b.cnt AS DOUBLE) AS y
+      FROM byday a JOIN byday b ON b.day = a.day - {lag}''' for lag in ACF_LAGS)}
+    ),
+    sums AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS acf
+    FROM sums
+    """,
+)
+def orders_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order volume at lags 1 and 7 — the
+    is-there-a-weekly-cycle detector (acf(7) >> acf(1) says weekly
+    seasonality; both ~0 says white noise). Pearson over day-joined
+    (x_t, x_{t-lag}) pairs with the repo's exact decimal moments.
+
+    The series folds to the day grain first; each lag is one
+    equi-join on the shifted day key (never an ordered window), so
+    the plan is grain-bounded like the decomposition's."""
+    o = load_tables(spark, sf_dir)["orders"]
+    byday = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    parts = []
+    for lag in ACF_LAGS:
+        a = byday.alias("a")
+        b = byday.select(
+            F.expr(f"date_add(day, {lag})").alias("jday"),
+            F.col("cnt").alias("bcnt"),
+        )
+        parts.append(
+            a.join(b, F.col("a.day") == F.col("jday")).select(
+                F.lit(lag).alias("lag"),
+                F.col("a.cnt").cast("double").alias("x"),
+                F.col("bcnt").cast("double").alias("y"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+
+    def msum(e, alias):
+        return F.sum(e.cast("decimal(38,10)")).cast("double").alias(alias)
+
+    x, y = F.col("x"), F.col("y")
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        msum(x, "sx"),
+        msum(y, "sy"),
+        msum(x * x, "sxx"),
+        msum(x * y, "sxy"),
+        msum(y * y, "syy"),
+    )
+    n = F.col("n").cast("double")
+    return sums.select(
+        "lag",
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    )
