@@ -724,3 +724,81 @@ def weighted_median_price_by_priority(
         ).alias("weighted_median_price"),
         F.max("tot").cast("bigint").alias("total_weight"),
     )
+
+
+@query(
+    "nation_trade_matrix",
+    # full supplier-nation x customer-nation revenue flow matrix (the
+    # all-pairs generalization of the q7 two-nation corridor), with
+    # each cell's share of total trade
+    oracle="""
+    WITH flows AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(cents) AS t FROM flows)
+    SELECT supp_nation, cust_nation,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(cents AS DOUBLE) / tot.t, 6) AS share
+    FROM flows CROSS JOIN tot
+    """,
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nation-to-nation trade matrix: revenue flowing from every
+    supplier nation to every customer nation (the all-pairs
+    generalization of q7's two-nation corridor) with each cell's share
+    of total trade — the chord-diagram / trade-balance input.
+
+    One fact-fact join on orderkey, both nation lookups broadcast; the
+    output is at most |nations|^2 cells and the total rides along as a
+    lazy broadcast 1-row aggregate. Exact integer cents throughout."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("snk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("cnk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    flows = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cnk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    tot = F.broadcast(flows.agg(F.sum("cents").alias("t")))
+    return flows.crossJoin(tot).select(
+        "supp_nation",
+        "cust_nation",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.round(F.col("cents").cast("double") / F.col("t"), 6).alias(
+            "share"
+        ),
+    )

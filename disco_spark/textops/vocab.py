@@ -370,3 +370,106 @@ def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
             F.zip_with("bloom", "__other", lambda x, y: x.bitwiseOR(y)).alias("bloom")
         )
     return merged
+
+
+KL_VOCAB = 500
+
+
+@query(
+    "text_kl_unigram_by_source",
+    # KL(source || corpus) over the top-500 corpus unigrams with
+    # add-one smoothing — the text-drift sibling of the numeric PSI
+    # monitor. Ranked vocab cut on exact counts (term tie-break);
+    # probability ratios are exact-integer ratios; terms fold as
+    # DECIMAL(28,15).
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({{toks}}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term, cnt FROM (
+        SELECT term, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+        FROM tok GROUP BY term
+      ) WHERE rn <= {KL_VOCAB}
+    ),
+    corpus_tot AS (SELECT SUM(cnt) AS ct FROM vocab),
+    src AS (
+      SELECT t.source, t.term, COUNT(*) AS c
+      FROM tok t JOIN vocab v USING (term)
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.source, v.term, v.cnt,
+             COALESCE(src.c, 0) + 1 AS c_smooth
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN vocab v
+      LEFT JOIN src ON src.source = s.source AND src.term = v.term
+    ),
+    src_tot AS (
+      SELECT source, SUM(c_smooth) AS st FROM grid GROUP BY 1
+    ),
+    terms AS (
+      SELECT g.source,
+             CAST((CAST(g.c_smooth AS DOUBLE) / t.st)
+                  * ln((CAST(g.c_smooth AS DOUBLE) / t.st)
+                       / ((CAST(g.cnt AS DOUBLE) + 1) / (c.ct + {KL_VOCAB})))
+                  AS DECIMAL(28,15)) AS kl_term
+      FROM grid g
+      JOIN src_tot t USING (source)
+      CROSS JOIN corpus_tot c
+    )
+    SELECT source,
+           ROUND(CAST(SUM(kl_term) AS DOUBLE), 6) AS kl_divergence
+    FROM terms GROUP BY source
+    """.replace("{toks}", _TOKS_SQL),
+)
+def text_kl_unigram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per source: KL(source || corpus) over
+    the top-500 corpus unigrams, add-one smoothed on both sides — the
+    text sibling of the numeric PSI monitor (drift_psi_sources): which
+    feeds' language diverges from the corpus mix.
+
+    The vocab is a bounded exact TakeOrdered broadcast onto the token
+    scan; the (source x vocab) grid is |sources| * 500 cells; KL terms
+    fold as DECIMAL(28,15) so the statistic is shuffle-order-free."""
+    from disco_spark.textops.analysis import with_toks
+
+    t = load_tables(spark, sf_dir)
+    tok = with_toks(t["documents"]).select(
+        "source", F.explode("toks").alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(KL_VOCAB)
+    )
+    corpus_tot = F.broadcast(vocab.agg(F.sum("cnt").alias("ct")))
+    src = (
+        tok.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = t["documents"].select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(src, ["source", "term"], "left")
+        .withColumn("c_smooth", F.coalesce(F.col("c"), F.lit(0)) + 1)
+    )
+    src_tot = grid.groupBy("source").agg(F.sum("c_smooth").alias("st"))
+    p = F.col("c_smooth").cast("double") / F.col("st")
+    q = (F.col("cnt").cast("double") + 1) / (
+        F.col("ct") + F.lit(KL_VOCAB)
+    )
+    terms = (
+        grid.join(F.broadcast(src_tot), "source")
+        .crossJoin(corpus_tot)
+        .select(
+            "source",
+            (p * F.log(p / q)).cast("decimal(28,15)").alias("kl_term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("kl_term").cast("double"), 6).alias("kl_divergence")
+    )
