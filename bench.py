@@ -197,6 +197,10 @@ HEADLINE = [
     "window_percent_rank_prices",
     "phrase_search_bigram",
     "weighted_median_price_by_priority",
+    "orders_autocorr_daily",
+    "events_user_activity_ccdf",
+    "text_kl_unigram_by_source",
+    "nation_trade_matrix",
 ]
 
 
