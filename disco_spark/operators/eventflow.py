@@ -337,3 +337,73 @@ def events_user_activity_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_at_or_above").cast("double") / F.col("n_users"), 6
         ).alias("ccdf"),
     )
+
+
+@query(
+    "events_type_jaccard_matrix",
+    # pairwise Jaccard similarity of the USER SETS behind each event
+    # type — bounded |types|^2 output; intersections via one
+    # (user, type-pair) co-presence join on the distinct user-type
+    # table, never on raw events
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS both
+      FROM ut a JOIN ut b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.both,
+           ROUND(CAST(i.both AS DOUBLE)
+                 / (sa.n + sb.n - i.both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_type_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: pairwise Jaccard similarity of the
+    user sets behind each event type (who clicks also views?) — the
+    set-similarity report behind segment-overlap dashboards.
+
+    The self-join runs on the DISTINCT (user, type) table (at most
+    |types| rows per user — a bounded fan-out, unlike raw-event
+    self-joins); sizes broadcast back onto the |types|^2 pair cells.
+    Exact integer intersections; Jaccard is a ratio of exact ints."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "both",
+            F.round(
+                F.col("both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -802,3 +802,35 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@query(
+    "part_supplier_redundancy",
+    # supply-chain redundancy: how many parts have 1, 2, 3... distinct
+    # suppliers — the single-source-of-failure audit
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    per_part AS (
+      SELECT l_partkey, COUNT(*) AS n_suppliers FROM ps GROUP BY 1
+    )
+    SELECT n_suppliers, COUNT(*) AS n_parts
+    FROM per_part GROUP BY n_suppliers
+    """,
+)
+def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-redundancy histogram: for each part, how many distinct
+    suppliers have actually shipped it, folded to (n_suppliers,
+    n_parts) — the single-source-risk audit (n_suppliers = 1 rows are
+    the fragile tail). Two grouped aggregates over the deduped
+    (part, supplier) pairs; the dedup shuffle moves two int columns
+    only."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return per_part.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
