@@ -201,6 +201,8 @@ HEADLINE = [
     "events_user_activity_ccdf",
     "text_kl_unigram_by_source",
     "nation_trade_matrix",
+    "part_supplier_redundancy",
+    "events_type_jaccard_matrix",
 ]
 
 
