@@ -805,3 +805,63 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+@query(
+    "dedup_posting_skew_profile",
+    # posting-list skew audit: how many shingles appear in 1, 2, 3-4,
+    # 5-8, 9+ documents — the df distribution that PREDICTS whether an
+    # exact shingle self-join is feasible (candidate pairs scale with
+    # sum(df^2); a fat 9+ band is the OOM warning light this repo hit
+    # on the replica-salted sf1 set)
+    oracle=f"""
+    WITH {{shingles}},
+    df AS (
+      SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY 1
+    ),
+    banded AS (
+      SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+                  WHEN df <= 4 THEN '3-4' WHEN df <= 8 THEN '5-8'
+                  ELSE '9+' END AS df_band,
+             df
+      FROM df
+    )
+    SELECT df_band, COUNT(*) AS n_shingles,
+           CAST(SUM(CAST(df AS DECIMAL(38,0)) * df) AS BIGINT)
+             AS pair_weight
+    FROM banded GROUP BY df_band
+    """.replace("{shingles}", _SHINGLES_SQL),
+)
+def dedup_posting_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle posting-list skew audit: the document-frequency
+    distribution of 3-gram shingles, banded, with each band's
+    sum(df^2) pair weight — the capacity-planning number for every
+    shingle self-join in this repo (candidate pairs ~ sum over
+    shingles of df^2; a heavy '9+' band is exactly the blowup the
+    replica-salted sf1 set produced). Run this BEFORE an exact-Jaccard
+    dedup to decide exact-vs-LSH.
+
+    Plan: the shared shingle projection, one df aggregate, a 5-cell
+    fold; df^2 weights accumulate in DECIMAL(38,0)."""
+    from disco_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = shingle_df(docs)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    band = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") == 2, "2")
+        .when(F.col("df") <= 4, "3-4")
+        .when(F.col("df") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    return (
+        df.select(band.alias("df_band"), "df")
+        .groupBy("df_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("df").cast("decimal(38,0)") * F.col("df"))
+            .cast("bigint")
+            .alias("pair_weight"),
+        )
+    )

@@ -335,16 +335,12 @@ def lineitem_transit_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "orders_seasonal_decompose",
-    # classical additive decomposition of the daily order-count series:
-    # trend = 7-day centered moving average (full windows only, built
-    # by OFFSET SELF-JOIN on the day grain — no global window),
-    # seasonal = per-ISO-dow mean of the detrended series, residual =
-    # detrended - seasonal. Exact integer counts; only the final
-    # averages are rounded doubles.
-    oracle="""
-    WITH byday AS (
+# shared DuckDB CTE chain for the additive decomposition (byday ->
+# centered MA -> detrended -> per-dow seasonal) — BOTH the
+# decomposition oracle and the seasonally-adjusted anomaly oracle
+# compose from this single source (SESSION_CTES pattern)
+DECOMPOSE_CTES = """
+    byday AS (
       SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt
       FROM orders GROUP BY 1
     ),
@@ -367,7 +363,19 @@ def lineitem_transit_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(d AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*)
                AS s
       FROM detr GROUP BY dow
-    )
+    )"""
+
+
+@query(
+    "orders_seasonal_decompose",
+    # classical additive decomposition of the daily order-count series:
+    # trend = 7-day centered moving average (full windows only, built
+    # by OFFSET SELF-JOIN on the day grain — no global window),
+    # seasonal = per-ISO-dow mean of the detrended series, residual =
+    # detrended - seasonal. Exact integer counts; only the final
+    # averages are rounded doubles.
+    oracle=f"""
+    WITH {DECOMPOSE_CTES}
     SELECT detr.day, detr.cnt AS observed,
            ROUND(detr.cnt - detr.d, 6) AS trend,
            ROUND(seas.s, 6) AS seasonal,
@@ -525,4 +533,66 @@ def orders_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("acf"),
+    )
+
+
+@query(
+    "orders_anomaly_seasonal_adjusted",
+    # seasonally-ADJUSTED anomaly days: flag on the decomposition
+    # RESIDUAL via the median/MAD modified-z gate — a weekend dip is
+    # not an anomaly, a dip on a normally-busy Tuesday is. Composes
+    # DECOMPOSE_CTES (shared with the decomposition oracle) + the
+    # Iglewicz-Hoaglin gate from outlier_mad_orders.
+    oracle=f"""
+    WITH {DECOMPOSE_CTES},
+    resid AS (
+      SELECT detr.day, detr.cnt,
+             ROUND(detr.d - seas.s, 6) AS r
+      FROM detr JOIN seas USING (dow)
+    ),
+    med AS (SELECT median(r) AS m FROM resid),
+    dev AS (
+      SELECT resid.day, resid.cnt, resid.r, abs(resid.r - med.m) AS adev
+      FROM resid CROSS JOIN med
+    ),
+    mad AS (SELECT median(adev) AS mad FROM dev)
+    SELECT dev.day, dev.cnt AS observed, dev.r AS residual
+    FROM dev CROSS JOIN mad
+    WHERE 0.6745 * dev.adev > 3.5 * mad.mad
+    """,
+)
+def orders_anomaly_seasonal_adjusted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonally-adjusted anomaly days: the decomposition residual
+    (orders_seasonal_decompose's third component) gated by the
+    median/MAD modified z-score (outlier_mad_orders' rule) — the
+    composed detector that doesn't page on weekends but does page on a
+    dead Tuesday. Both building blocks are registered operators; this
+    query proves they compose in one Catalyst plan, and its oracle
+    composes their shared CTE/rule text so the definitions cannot
+    drift.
+
+    Residuals are rounded to 6 decimals BEFORE the gate on both
+    engines, so the median/MAD cut sees identical operands."""
+    from disco_spark.operators.stats import MAD_SCALE, MAD_Z_CUT
+
+    resid = orders_seasonal_decompose(spark, sf_dir).select(
+        "day",
+        F.col("observed"),
+        F.col("residual").alias("r"),
+    )
+    med = F.broadcast(
+        resid.agg(F.expr("percentile(r, 0.5)").alias("m"))
+    )
+    dev = resid.crossJoin(med).withColumn(
+        "adev", F.abs(F.col("r") - F.col("m"))
+    )
+    mad = F.broadcast(dev.agg(F.expr("percentile(adev, 0.5)").alias("mad")))
+    return (
+        dev.crossJoin(mad)
+        .filter(
+            F.lit(MAD_SCALE) * F.col("adev") > F.lit(MAD_Z_CUT) * F.col("mad")
+        )
+        .select("day", "observed", F.col("r").alias("residual"))
     )
