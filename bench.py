@@ -203,6 +203,8 @@ HEADLINE = [
     "nation_trade_matrix",
     "part_supplier_redundancy",
     "events_type_jaccard_matrix",
+    "orders_anomaly_seasonal_adjusted",
+    "dedup_posting_skew_profile",
 ]
 
 
