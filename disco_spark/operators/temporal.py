@@ -556,15 +556,19 @@ def orders_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM resid CROSS JOIN med
     ),
     mad AS (SELECT median(adev) AS mad FROM dev)
-    SELECT dev.day, dev.cnt AS observed, dev.r AS residual
-    FROM dev CROSS JOIN mad
-    WHERE 0.6745 * dev.adev > 3.5 * mad.mad
+    SELECT day, observed, residual, is_anomaly FROM (
+      SELECT dev.day, dev.cnt AS observed, dev.r AS residual,
+             CASE WHEN 0.6745 * dev.adev > 3.5 * mad.mad
+                  THEN 1 ELSE 0 END AS is_anomaly,
+             ROW_NUMBER() OVER (ORDER BY dev.adev DESC, dev.day) AS rnk
+      FROM dev CROSS JOIN mad
+    ) WHERE rnk <= 5
     """,
 )
 def orders_anomaly_seasonal_adjusted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Seasonally-adjusted anomaly days: the decomposition residual
+    """Top-5 most seasonally-adjusted-anomalous days: the decomposition residual
     (orders_seasonal_decompose's third component) gated by the
     median/MAD modified z-score (outlier_mad_orders' rule) — the
     composed detector that doesn't page on weekends but does page on a
@@ -591,8 +595,17 @@ def orders_anomaly_seasonal_adjusted(
     mad = F.broadcast(dev.agg(F.expr("percentile(adev, 0.5)").alias("mad")))
     return (
         dev.crossJoin(mad)
-        .filter(
-            F.lit(MAD_SCALE) * F.col("adev") > F.lit(MAD_Z_CUT) * F.col("mad")
+        .orderBy(F.desc("adev"), F.asc("day"))
+        .limit(5)
+        .select(
+            "day",
+            "observed",
+            F.col("r").alias("residual"),
+            (
+                F.lit(MAD_SCALE) * F.col("adev")
+                > F.lit(MAD_Z_CUT) * F.col("mad")
+            )
+            .cast("int")
+            .alias("is_anomaly"),
         )
-        .select("day", "observed", F.col("r").alias("residual"))
     )
