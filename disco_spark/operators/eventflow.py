@@ -407,3 +407,83 @@ def events_type_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_entropy_rate",
+    # entropy rate of the first-order Markov chain: H = -sum_s pi(s)
+    # sum_d P(d|s) log2 P(d|s) with pi the empirical share of
+    # transitions leaving s — "how predictable is the next event".
+    # Composes the same ordered-stream CTE as the transition matrix.
+    oracle=f"""
+    WITH {ORDERED_EVENTS_CTE},
+    p AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS dst
+      FROM e
+    ),
+    c AS (
+      SELECT src, dst, COUNT(*) AS n FROM p
+      WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT src, SUM(n) AS sn FROM c GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM c),
+    terms AS (
+      SELECT CAST(
+        (CAST(c.n AS DOUBLE) / tot.t)
+        * log2(CAST(c.n AS DOUBLE) / s.sn)
+        AS DECIMAL(28,15)) AS term
+      FROM c JOIN s USING (src) CROSS JOIN tot
+    )
+    SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n_transitions,
+           ROUND(CAST(-SUM(term) AS DOUBLE), 6) AS entropy_rate_bits
+    FROM terms
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event stream's first-order Markov chain:
+    the expected surprise (bits) of the NEXT event type given the
+    current one — 0 = fully predictable flows, log2(|types|) =
+    uniformly random. The one-number summary the transition-matrix
+    query feeds (low entropy rate = strong funnels; compare against
+    events_user_entropy's order-free diversity).
+
+    Note pi(s)*P(d|s) = n_sd/total, so each term is
+    (n_sd/total)*log2(n_sd/n_s.) — ratios of exact integers, folded
+    as DECIMAL(28,15). Same single user_id Exchange as the matrix."""
+    t = load_tables(spark, sf_dir)
+    ev = ordered_events(t["events"])
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    c = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = c.groupBy("src").agg(F.sum("n").alias("sn"))
+    tot = F.broadcast(c.agg(F.sum("n").alias("t")))
+    terms = (
+        c.join(F.broadcast(s), "src")
+        .crossJoin(tot)
+        .select(
+            "t",
+            (
+                (F.col("n").cast("double") / F.col("t"))
+                * F.log2(F.col("n").cast("double") / F.col("sn"))
+            )
+            .cast("decimal(28,15)")
+            .alias("term"),
+        )
+    )
+    return terms.agg(
+        F.max("t").cast("bigint").alias("n_transitions"),
+        F.round((-F.sum("term")).cast("double"), 6).alias(
+            "entropy_rate_bits"
+        ),
+    )

@@ -609,3 +609,100 @@ def orders_anomaly_seasonal_adjusted(
             .alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "orders_runs_test",
+    # Wald-Wolfowitz runs test on the daily series: is the
+    # above/below-median sequence random? Runs counted by the
+    # gaps-and-islands trick on exact global day ranks; z from exact
+    # integer counts. Days AT the median are excluded (standard).
+    oracle="""
+    WITH byday AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    med AS (SELECT median(cnt) AS m FROM byday),
+    signed AS (
+      SELECT day, CASE WHEN cnt > m THEN 1 ELSE 0 END AS above,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM byday CROSS JOIN med WHERE cnt <> m
+    ),
+    runs AS (
+      SELECT COUNT(*) AS n_runs FROM (
+        SELECT DISTINCT above, rn - grp_rn FROM (
+          SELECT above, rn, ROW_NUMBER() OVER (
+            PARTITION BY above ORDER BY rn) AS grp_rn
+          FROM signed
+        )
+      )
+    ),
+    counts AS (
+      SELECT CAST(SUM(above) AS BIGINT) AS n1,
+             CAST(SUM(1 - above) AS BIGINT) AS n2
+      FROM signed
+    )
+    SELECT counts.n1, counts.n2,
+           CAST(runs.n_runs AS BIGINT) AS n_runs,
+           ROUND((runs.n_runs
+                  - (2.0 * counts.n1 * counts.n2
+                     / (counts.n1 + counts.n2) + 1))
+                 / sqrt(2.0 * counts.n1 * counts.n2
+                        * (2.0 * counts.n1 * counts.n2
+                           - counts.n1 - counts.n2)
+                        / ((counts.n1 + counts.n2)
+                           * (counts.n1 + counts.n2)
+                           * (counts.n1 + counts.n2 - 1))), 6) AS z
+    FROM runs CROSS JOIN counts
+    """,
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily order volume: counts runs of
+    above/below-median days and standardizes against the
+    random-sequence expectation — |z| >> 2 means the series clusters
+    or oscillates (trend/seasonality), ~0 means day-to-day volumes mix
+    randomly. The classic model-free randomness audit.
+
+    The above/below sequence gets exact global ranks from the shared
+    two-pass row-number harness; runs are counted with the
+    gaps-and-islands trick (rn - per-sign rn is constant within a
+    run), entirely in integers until the final z."""
+    from disco_spark.operators.relational2 import global_row_number
+
+    o = load_tables(spark, sf_dir)["orders"]
+    byday = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    med = F.broadcast(byday.agg(F.expr("percentile(cnt, 0.5)").alias("m")))
+    signed = (
+        byday.crossJoin(med)
+        .filter(F.col("cnt") != F.col("m"))
+        .select("day", (F.col("cnt") > F.col("m")).cast("int").alias("above"))
+    )
+    ranked, _n = global_row_number(signed, ["day"], out="rn")
+    w = Window.partitionBy("above").orderBy("rn")
+    islands = ranked.withColumn(
+        "grp", F.col("rn") - F.row_number().over(w)
+    )
+    runs = F.broadcast(
+        islands.agg(
+            F.countDistinct(F.struct("above", "grp")).alias("n_runs")
+        )
+    )
+    counts = islands.agg(
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("above")).cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nr = F.col("n_runs").cast("double")
+    mean = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return counts.crossJoin(runs).select(
+        "n1",
+        "n2",
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        F.round((nr - mean) / F.sqrt(var), 6).alias("z"),
+    )
