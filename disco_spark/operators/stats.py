@@ -841,3 +841,229 @@ def regr_qty_vs_discount_by_brand(
         F.col("l_quantity").alias("y"),
     )
     return regr_by_group(x, "x", "y", "p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution tests: Kolmogorov-Smirnov and Mann-Whitney U
+# comparing order totalprice between two customer market segments.
+# The "did the distribution shift" primitives every data owner runs
+# before blending corpora (here: an A/A-style null on uniform
+# synthetic segments). Both are built on ONE shared construction: the
+# per-distinct-value (cents) count table with exclusive prefix counts
+# from the global_prefix_sum harness — exact integers end-to-end, so
+# the engines agree bit-for-bit; doubles appear only in the final
+# scalar statistic.
+#
+# Scale story: the grouped table is |distinct prices| rows; prefix
+# counts come from the shared two-pass range-partition harness (no
+# single-partition window anywhere), and everything after is a
+# constant-size aggregate. Reference analog: none (beyond-reference
+# statistics surface).
+# ---------------------------------------------------------------------------
+TS_SEG_A, TS_SEG_B = "BUILDING", "MACHINERY"
+
+# shared oracle CTEs: per-cents two-sample counts + cumulative counts
+# (DuckDB replays the prefix harness as one ordered window — the
+# oracle is single-node, the Spark plan is not)
+_TWO_SAMPLE_CTES = f"""
+    seg AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN c_mktsegment = '{TS_SEG_A}' THEN 1 ELSE 0 END
+               AS is_a
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{TS_SEG_A}', '{TS_SEG_B}')
+    ),
+    g AS (
+      SELECT cents,
+             CAST(SUM(is_a) AS BIGINT) AS a_cnt,
+             CAST(SUM(1 - is_a) AS BIGINT) AS b_cnt
+      FROM seg GROUP BY 1
+    ),
+    n AS (
+      SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+             CAST(SUM(b_cnt) AS BIGINT) AS n_b
+      FROM g
+    )"""
+
+
+def _two_sample_grouped(spark: SparkSession, sf_dir: str):
+    """(grouped-by-cents counts with exclusive prefix counts, n_a, n_b)
+    for the two-segment totalprice comparison — the shared Spark
+    construction under both two-sample tests. Exclusive prefix of the
+    combined count is a_start + b_start (prefix sums are additive), so
+    ONE pair of harness passes serves KS and the rank sums."""
+    from disco_spark.operators.relational2 import global_prefix_sum
+
+    t = load_tables(spark, sf_dir)
+    cust = (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_mktsegment").isin(TS_SEG_A, TS_SEG_B))
+    )
+    seg = (
+        t["orders"]
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+            (F.col("c_mktsegment") == TS_SEG_A).cast("bigint").alias(
+                "is_a"
+            ),
+        )
+    )
+    g = seg.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("a_cnt"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("b_cnt"),
+    )
+    g, n_a = global_prefix_sum(g, ["cents"], "a_cnt", out="a_start")
+    g, n_b = global_prefix_sum(g, ["cents"], "b_cnt", out="b_start")
+    return g, int(n_a), int(n_b)
+
+
+KS_COEFF = 1.358  # two-sided 5% critical coefficient
+
+
+@query(
+    "ks_test_price_segments",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_CTES},
+    c AS (
+      SELECT CAST(SUM(a_cnt) OVER (ORDER BY cents) AS BIGINT) AS ca,
+             CAST(SUM(b_cnt) OVER (ORDER BY cents) AS BIGINT) AS cb
+      FROM g
+    ),
+    d AS (
+      SELECT MAX(ABS(ca * n.n_b - cb * n.n_a)) AS d_num FROM c, n
+    )
+    SELECT n.n_a AS n_a, n.n_b AS n_b,
+           ROUND(CAST(d.d_num AS DOUBLE) / (n.n_a * n.n_b), 6) AS d_stat,
+           ROUND({KS_COEFF} * sqrt(CAST(n.n_a + n.n_b AS DOUBLE)
+                                   / (n.n_a * n.n_b)), 6) AS d_crit,
+           CASE WHEN ROUND(CAST(d.d_num AS DOUBLE) / (n.n_a * n.n_b), 6)
+                     > ROUND({KS_COEFF}
+                             * sqrt(CAST(n.n_a + n.n_b AS DOUBLE)
+                                    / (n.n_a * n.n_b)), 6)
+                THEN 1 ELSE 0 END AS significant
+    FROM d, n
+    """,
+)
+def ks_test_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between {TS_SEG_A} and
+    {TS_SEG_B} order prices. D's numerator is computed entirely in
+    integers — max |ca*n_b - cb*n_a| over inclusive cumulative counts
+    at each distinct price — so the statistic is exact up to one final
+    double division; the alpha=0.05 critical value 1.358*sqrt(N/(n_a
+    n_b)) is scalar arithmetic both engines replay identically.
+
+    Plan: one segment-filtered join, one groupBy(cents), the shared
+    two-pass prefix harness (range-partitioned — no single-partition
+    window), one constant-size max-aggregate."""
+    import math
+
+    g, n_a, n_b = _two_sample_grouped(spark, sf_dir)
+    ca = F.col("a_start") + F.col("a_cnt")
+    cb = F.col("b_start") + F.col("b_cnt")
+    top = g.agg(F.max(F.abs(ca * n_b - cb * n_a)).alias("d_num"))
+    d_stat = F.round(F.col("d_num").cast("double") / F.lit(n_a * n_b), 6)
+    d_crit = F.round(
+        F.lit(KS_COEFF * math.sqrt((n_a + n_b) / (n_a * n_b))), 6
+    )
+    return top.select(
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        d_stat.alias("d_stat"),
+        d_crit.alias("d_crit"),
+        (d_stat > d_crit).cast("int").alias("significant"),
+    )
+
+
+MWU_Z_CRIT = 1.96  # two-sided 5%
+
+
+@query(
+    "mannwhitney_u_price_segments",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_CTES},
+    r AS (
+      SELECT a_cnt, b_cnt,
+             CAST(COALESCE(SUM(a_cnt + b_cnt) OVER (
+                    ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS c_before
+      FROM g
+    ),
+    s AS (
+      SELECT SUM(a_cnt * (2 * c_before + (a_cnt + b_cnt) + 1)) AS two_r1,
+             SUM((a_cnt + b_cnt) * (a_cnt + b_cnt) * (a_cnt + b_cnt)
+                 - (a_cnt + b_cnt)) AS tie_sum
+      FROM r
+    ),
+    fin AS (
+      SELECT n.n_a, n.n_b,
+             (CAST(s.two_r1 AS DOUBLE)
+              - CAST(n.n_a AS DOUBLE) * (n.n_a + 1)) / 2 AS u1,
+             CAST(n.n_a * n.n_b AS DOUBLE) / 2 AS mean_u,
+             (CAST(n.n_a * n.n_b AS DOUBLE) / 12)
+               * ((n.n_a + n.n_b + 1)
+                  - CAST(s.tie_sum AS DOUBLE)
+                    / (CAST(n.n_a + n.n_b AS DOUBLE)
+                       * (n.n_a + n.n_b - 1))) AS varu
+      FROM s, n
+    )
+    SELECT n_a, n_b, ROUND(u1, 6) AS u_stat,
+           CASE WHEN varu > 0
+                THEN ROUND((u1 - mean_u) / sqrt(varu), 6) END AS z,
+           CASE WHEN ABS(CASE WHEN varu > 0
+                              THEN ROUND((u1 - mean_u) / sqrt(varu), 6)
+                         END) > {MWU_Z_CRIT}
+                THEN 1 ELSE 0 END AS significant
+    FROM fin
+    """,
+)
+def mannwhitney_u_price_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between {TS_SEG_A} and
+    {TS_SEG_B} order prices, with exact tie handling: midranks are
+    tracked as 2*rank integers (2*C_before + t + 1 per tie group), so
+    2*R1 and the tie correction sum(t^3 - t) accumulate exactly; the
+    normal approximation z = (U - n_a n_b/2) / sqrt(var) with the
+    tie-corrected variance happens once, in scalar doubles both
+    engines replay identically.
+
+    Same shared grouped-counts + prefix-harness construction as the KS
+    test (c_before = a_start + b_start; prefix sums are additive).
+    No continuity correction (documented choice; both engines agree)."""
+    g, n_a, n_b = _two_sample_grouped(spark, sf_dir)
+    N = n_a + n_b
+    t_cnt = F.col("a_cnt") + F.col("b_cnt")
+    c_before = F.col("a_start") + F.col("b_start")
+    s = g.agg(
+        F.sum(
+            (F.col("a_cnt") * (2 * c_before + t_cnt + 1)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("two_r1"),
+        F.sum((t_cnt * t_cnt * t_cnt - t_cnt).cast("decimal(38,0)")).alias(
+            "tie_sum"
+        ),
+    )
+    u1 = (
+        F.col("two_r1").cast("double") - F.lit(float(n_a) * (n_a + 1))
+    ) / 2
+    mean_u = F.lit(float(n_a * n_b) / 2)
+    var = F.lit(n_a * n_b / 12.0) * (
+        F.lit(N + 1)
+        - F.col("tie_sum").cast("double") / F.lit(float(N) * (N - 1))
+    )
+    z = F.when(var > 0, F.round((u1 - mean_u) / F.sqrt(var), 6))
+    return s.select(
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        F.round(u1, 6).alias("u_stat"),
+        z.alias("z"),
+        F.coalesce((F.abs(z) > MWU_Z_CRIT).cast("int"), F.lit(0)).alias(
+            "significant"
+        ),
+    )
