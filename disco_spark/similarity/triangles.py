@@ -298,3 +298,191 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction + degree mixing on the same shared co-order graph:
+# resource-allocation scores for non-adjacent pairs, and the degree
+# assortativity coefficient. Both compose from EDGES_CTES so the graph
+# definition cannot drift from the triangle/clustering kernels.
+# ---------------------------------------------------------------------------
+RA_TOPK = 25
+
+# shared undirected adjacency + exact integer degrees on top of edges
+_UND_DEG_CTES = """
+    und AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM und GROUP BY 1
+    )"""
+
+
+def _und_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(undirected adjacency (src, dst), per-node degrees (node, d)) —
+    the Spark mirror of _UND_DEG_CTES."""
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    return und, deg
+
+
+@query(
+    "graph_ra_link_prediction",
+    oracle=f"""
+    WITH {EDGES_CTES},{_UND_DEG_CTES},
+    wedge AS (
+      SELECT w1.dst AS a, w2.dst AS b, w1.src AS z
+      FROM und w1 JOIN und w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    ),
+    cand AS (
+      SELECT w.a, w.b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             SUM(CAST(ROUND(1.0 / deg.d, 12) AS DECIMAL(28,12)))
+               AS ra_raw
+      FROM wedge w JOIN deg ON deg.node = w.z
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN edges e ON e.u = c.a AND e.v = c.b
+      WHERE e.u IS NULL
+    )
+    SELECT a, b, n_common, CAST(ra_raw AS DOUBLE) AS ra_score
+    FROM nonadj
+    ORDER BY ra_score DESC, a, b
+    LIMIT {RA_TOPK}
+    """,
+)
+def graph_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RA_TOPK} predicted links by the resource-allocation index
+    (Zhou-Lu-Zhang 2009): for each NON-adjacent pair sharing at least
+    one neighbor, RA = sum over common neighbors z of 1/deg(z) —
+    Adamic-Adar's exactly-computable sibling ("which parts will be
+    co-ordered next"). Each 1/d term is one IEEE double division
+    rounded to 12 dp, then accumulated in DECIMAL — exact and
+    order-independent, so both engines produce identical scores and
+    identical ranking (ties broken on (a, b)).
+
+    Scale: wedge generation is the same middle-vertex join the
+    triangle kernel uses, on the same hub-capped strength-thresholded
+    edge set (sum of deg^2 bounded by the caps); candidate scoring is
+    one groupBy on the pair key; the anti-join removes existing edges
+    before the bounded top-k."""
+    from disco_spark.session import lazy_persist
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = lazy_persist(coorder_edges(li))
+    und, deg = _und_deg(e)
+    w1 = und.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    w2 = und.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wedges = w1.join(w2, "z").filter(F.col("a") < F.col("b"))
+    term = F.round(F.lit(1.0) / F.col("d"), 12).cast("decimal(28,12)")
+    cand = (
+        wedges.join(deg, F.col("node") == F.col("z"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(term).alias("ra_raw"),
+        )
+    )
+    nonadj = cand.join(
+        e,
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            "a",
+            "b",
+            "n_common",
+            F.col("ra_raw").cast("double").alias("ra_score"),
+        )
+        .orderBy(F.desc("ra_score"), "a", "b")
+        .limit(RA_TOPK)
+    )
+
+
+@query(
+    "graph_assortativity_degree",
+    oracle=f"""
+    WITH {EDGES_CTES},{_UND_DEG_CTES},
+    pairs AS (
+      SELECT d1.d AS du, d2.d AS dv
+      FROM und
+      JOIN deg d1 ON d1.node = und.src
+      JOIN deg d2 ON d2.node = und.dst
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(du AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(du * du AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(du * dv AS DECIMAL(38,0))) AS sxy
+      FROM pairs
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes AS n_nodes, ne.n_edges AS n_edges,
+           CASE WHEN (CAST(sxx AS DOUBLE) / m
+                      - (CAST(sx AS DOUBLE) / m)
+                        * (CAST(sx AS DOUBLE) / m)) > 0
+                THEN ROUND((CAST(sxy AS DOUBLE) / m
+                            - (CAST(sx AS DOUBLE) / m)
+                              * (CAST(sx AS DOUBLE) / m))
+                           / (CAST(sxx AS DOUBLE) / m
+                              - (CAST(sx AS DOUBLE) / m)
+                                * (CAST(sx AS DOUBLE) / m)), 6)
+           END AS assortativity
+    FROM s, ne, nn
+    """,
+)
+def graph_assortativity_degree(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the directed expansion of the co-order
+    graph's edges — do hub parts co-order with other hubs (r > 0) or
+    with the periphery (r < 0)? Both endpoint sums collapse to one
+    (the expansion is symmetric), so four exact integer moments decide
+    the coefficient; the only doubles are the final scalar divisions,
+    written identically in both engines. A regular graph has zero
+    degree variance -> NULL (CASE-guarded; Spark ANSI would throw).
+
+    Scale: degrees from one groupBy over the adjacency, two hash
+    joins to attach endpoint degrees, one constant-size moment
+    aggregate. Nothing wider than the edge list ever shuffles."""
+    from disco_spark.session import lazy_persist
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = lazy_persist(coorder_edges(li))
+    und, deg = _und_deg(e)
+    d1 = deg.select(F.col("node").alias("_n1"), F.col("d").alias("du"))
+    d2 = deg.select(F.col("node").alias("_n2"), F.col("d").alias("dv"))
+    pairs = und.join(d1, F.col("_n1") == F.col("src")).join(
+        d2, F.col("_n2") == F.col("dst")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("du").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("du") * F.col("du")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("du") * F.col("dv")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    mean = F.col("sx").cast("double") / F.col("m")
+    num = F.col("sxy").cast("double") / F.col("m") - mean * mean
+    den = F.col("sxx").cast("double") / F.col("m") - mean * mean
+    return s.crossJoin(ne).crossJoin(nn).select(
+        "n_nodes",
+        "n_edges",
+        F.when(den > 0, F.round(num / den, 6)).alias("assortativity"),
+    )
