@@ -267,3 +267,81 @@ def benford_acctbal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("t") - benford, 6
         ).alias("excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit: does column X determine column Y?
+# The profiling question behind key discovery, denormalization checks
+# and "can I join on this" — here as a declared candidate list mixing
+# key FDs (must hold) with attribute FDs (expected to fail on this
+# uniform synthetic data), each reported with its violation counts.
+# ---------------------------------------------------------------------------
+FD_CANDIDATES = [
+    # (table, determinant, dependent)
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+
+
+def _fd_oracle_one(table: str, det: str, dep: str) -> str:
+    return f"""
+      SELECT '{table}: {det} -> {dep}' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(MAX(cd) AS BIGINT) AS max_distinct_dep,
+             CASE WHEN MAX(cd) = 1 THEN 1 ELSE 0 END AS holds
+      FROM (
+        SELECT {det}, COUNT(DISTINCT {dep}) AS cd
+        FROM {table} GROUP BY 1
+      )"""
+
+
+@query(
+    "fd_violations_audit",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_one(*c) for c in FD_CANDIDATES
+    )
+    + " ORDER BY fd",
+)
+def fd_violations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit a declared list of candidate functional dependencies
+    X -> Y: for each, the number of determinant groups, how many
+    groups see more than one distinct dependent value (violations),
+    the worst group's distinct-dependent count, and a holds flag.
+    Key FDs (p_partkey -> p_brand, o_orderkey -> o_custkey) must
+    hold; the attribute FDs document that brand does NOT determine
+    type nor customer determine priority here.
+
+    Plan: one groupBy(determinant) + exact COUNT(DISTINCT dependent)
+    per candidate, folded to a 1-row summary each, unioned — cost is
+    one scan + one shuffle per audited FD, output constant-size. At
+    100 TB swap the exact distinct for approx_count_distinct > 1
+    screening (the profile_orders_columns_approx pattern) if the
+    determinant cardinality itself is huge; for key-discovery use
+    the exact form stays definitive."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for table, det, dep in FD_CANDIDATES:
+        g = (
+            t[table]
+            .groupBy(det)
+            .agg(F.count_distinct(F.col(dep)).alias("cd"))
+        )
+        parts.append(
+            g.agg(
+                F.lit(f"{table}: {det} -> {dep}").alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum((F.col("cd") > 1).cast("int"))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("cd").cast("bigint").alias("max_distinct_dep"),
+                (F.max("cd") == 1).cast("int").alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fd")

@@ -706,3 +706,121 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_runs").cast("bigint").alias("n_runs"),
         F.round((nr - mean) / F.sqrt(var), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-kernel EWMA of daily revenue — the forecasting/monitoring
+# smoother (EWMA control chart), made cross-engine exact: the
+# 10-term exponential kernel's weights 0.3 * 0.7^k are EXACT decimals
+# (7^k/10^(k+1) terminates), generated once in Python and embedded as
+# identical literals in both engines, so the weighted sum accumulates
+# in DECIMAL with zero float drift; the only doubles are the final
+# normalize-and-round.
+# ---------------------------------------------------------------------------
+EWMA_K = 10  # kernel length (days)
+
+
+def _ewma_weights() -> list[tuple[int, str]]:
+    """(lag k, exact decimal literal for 0.3 * 0.7^k), k = 0..EWMA_K-1.
+    3*7^k scaled by 10^(k+1) terminates: one shared literal list."""
+    return [
+        (k, "0." + str(3 * 7**k).zfill(k + 1)) for k in range(EWMA_K)
+    ]
+
+
+# sum of the kernel weights = 1 - 0.7^10, exact
+_EWMA_WSUM = "0.9717524751"
+
+_EWMA_WEIGHTS_SQL = ", ".join(
+    f"({k}, CAST('{w}' AS DECIMAL(12,11)))" for k, w in _ewma_weights()
+)
+
+
+@query(
+    "orders_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    weights AS (
+      SELECT * FROM (VALUES {_EWMA_WEIGHTS_SQL}) AS t(k, w)
+    ),
+    contrib AS (
+      SELECT daily.day + weights.k AS target,
+             CAST(daily.cents AS DECIMAL(24,0)) * weights.w AS weighted
+      FROM daily, weights
+    ),
+    smoothed AS (
+      SELECT target, SUM(weighted) AS num, COUNT(*) AS n_lags
+      FROM contrib GROUP BY 1
+    )
+    SELECT d.day AS day, d.cents AS actual_cents,
+           ROUND(CAST(s.num AS DOUBLE) / {_EWMA_WSUM} / 100, 4)
+             AS ewma_dollars,
+           CASE WHEN CAST(d.cents AS DOUBLE) / 100
+                     > 1.5 * ROUND(CAST(s.num AS DOUBLE)
+                                   / {_EWMA_WSUM} / 100, 4)
+                THEN 1 ELSE 0 END AS spike
+    FROM smoothed s JOIN daily d ON d.day = s.target
+    WHERE s.n_lags = {EWMA_K}
+    ORDER BY day
+    """,
+)
+def orders_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily order revenue (alpha = 0.3, 10-day
+    truncated kernel, renormalized by 1 - 0.7^10): each day's smoothed
+    level is the exact-decimal weighted sum of its trailing 10 days,
+    emitted alongside the actual and a 1.5x spike flag — the EWMA
+    control chart every revenue monitor runs. Days without a full
+    trailing window are excluded (no partial-kernel bias).
+
+    Plan: one grouped daily aggregate, a 10-row broadcast kernel join
+    (each day fans out to the 10 targets it contributes to — shuffle
+    keyed on target day), one grouped decimal sum, one join back for
+    the actual. Output is calendar-bounded (~2.4k rows at ANY scale
+    factor — the date span is fixed); all shuffles carry daily
+    aggregates, never raw orders."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    weights = spark.sql(
+        f"SELECT * FROM (VALUES {_EWMA_WEIGHTS_SQL}) AS t(k, w)"
+    )
+    contrib = daily.crossJoin(F.broadcast(weights)).select(
+        F.date_add(F.col("day"), F.col("k")).alias("target"),
+        (F.col("cents").cast("decimal(24,0)") * F.col("w")).alias(
+            "weighted"
+        ),
+    )
+    smoothed = contrib.groupBy("target").agg(
+        F.sum("weighted").alias("num"),
+        F.count(F.lit(1)).alias("n_lags"),
+    )
+    ewma = F.round(
+        F.col("num").cast("double") / F.lit(float(_EWMA_WSUM)) / 100, 4
+    )
+    return (
+        smoothed.filter(F.col("n_lags") == EWMA_K)
+        .join(daily, F.col("day") == F.col("target"))
+        .select(
+            "day",
+            F.col("cents").alias("actual_cents"),
+            ewma.alias("ewma_dollars"),
+            (F.col("cents").cast("double") / 100 > 1.5 * ewma)
+            .cast("int")
+            .alias("spike"),
+        )
+        .orderBy("day")
+    )
