@@ -259,9 +259,12 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     return _jaccard_from_shingles(lazy_persist(shingle_df(docs)))
 
 
-def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
-    """sizes + inverted-index pair join + Jaccard filter over a
-    (doc_id, shingle) DataFrame (caller persists it)."""
+def pair_overlaps(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(common, sizes) over a (doc_id, shingle) DataFrame: the
+    inverted-index pair join counting shared shingles per u < v pair,
+    plus per-doc set sizes — the ONE overlap-count core under both the
+    symmetric Jaccard and the asymmetric containment scorers (caller
+    persists `sh`)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # rename by NAME, not position (joins reorder columns: an anti-join
     # on shingle puts shingle first)
@@ -273,6 +276,13 @@ def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return common, sizes
+
+
+def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
+    """sizes + inverted-index pair join + Jaccard filter over a
+    (doc_id, shingle) DataFrame (caller persists it)."""
+    common, sizes = pair_overlaps(sh)
     return _jaccard_select(common, sizes)
 
 
@@ -864,4 +874,110 @@ def dedup_posting_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("pair_weight"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment dedup: |A ∩ B| / min(|A|, |B|) over shingle
+# sets — the near-SUPERSET detector Jaccard structurally misses (a
+# short doc pasted into a long one has tiny Jaccard but containment
+# ~1). Standard training-data policy: drop the contained doc, keep
+# the container.
+# --------------------------------------------------------------------------
+CONTAINMENT_MIN = 0.5
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM shingles GROUP BY 1
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb,
+             ROUND(CAST(c AS DOUBLE) / LEAST(sa.n, sb.n), 6)
+               AS containment,
+             ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT CASE WHEN nb < na THEN doc_b ELSE doc_a END AS contained_doc,
+           CASE WHEN nb < na THEN doc_a ELSE doc_b END AS container_doc,
+           containment, jaccard
+    FROM scored WHERE containment >= {CONTAINMENT_MIN}
+    ORDER BY contained_doc, container_doc
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection: for doc pairs sharing shingles, the
+    containment coefficient |A∩B| / min(|A|,|B|) >= {CONTAINMENT_MIN}
+    — emitted as (contained_doc, container_doc) with the Jaccard
+    alongside to show WHY this measure exists (planted near-dups score
+    ~1 on both; a snippet inside a 10x-longer doc scores high
+    containment, low Jaccard). Smaller shingle set = contained side;
+    equal sizes keep the u < v orientation. All counts exact integers;
+    the two ratios are one rounded double division each.
+
+    Plan: shares the pair_overlaps inverted-index core with
+    dedup_ngram_jaccard (one persisted tokenize+shingle scan, posting
+    join, grouped counts, two size joins). Same 100 TB posture as the
+    Jaccard family: cap hot shingles / DF-prune first (the
+    df_pruned and posting-skew-profile siblings document exactly
+    which postings explode and why)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    common, sizes = pair_overlaps(lazy_persist(shingle_df(docs)))
+    scored = (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("_ida"), F.col("n").alias("na")
+            ),
+            F.col("_ida") == F.col("doc_a"),
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("_idb"), F.col("n").alias("nb")
+            ),
+            F.col("_idb") == F.col("doc_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.round(
+                F.col("c").cast("double")
+                / F.least(F.col("na"), F.col("nb")),
+                6,
+            ).alias("containment"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    contained_first = F.col("nb") < F.col("na")
+    return (
+        scored.filter(F.col("containment") >= CONTAINMENT_MIN)
+        .select(
+            F.when(contained_first, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("contained_doc"),
+            F.when(contained_first, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("container_doc"),
+            "containment",
+            "jaccard",
+        )
+        .orderBy("contained_doc", "container_doc")
     )
