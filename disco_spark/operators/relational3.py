@@ -30,7 +30,7 @@ from disco_spark.operators.relational2 import (
     global_row_number,
 )
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 
 
 @query(
@@ -833,4 +833,151 @@ def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_part.groupBy("n_suppliers").agg(
         F.count(F.lit(1)).alias("n_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality with between/within-nation decomposition — the
+# additively-decomposable sibling of gini_supplier_revenue: the Gini
+# says HOW concentrated supplier revenue is, the Theil decomposition
+# says WHERE (between national markets, or among suppliers inside
+# them). T_total = (1/n) sum (x/mu) ln(x/mu); T_between uses group
+# means; T_within = T_total - T_between (exact additivity of Theil T).
+# ---------------------------------------------------------------------------
+_THEIL_REV_CTE = """
+    rev AS (
+      SELECT s.s_nationkey AS nk,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN supplier s ON s.s_suppkey = l_suppkey
+      GROUP BY l_suppkey, s.s_nationkey
+    )"""
+
+
+@query(
+    "theil_supplier_nation_decomposition",
+    oracle=f"""
+    WITH {_THEIL_REV_CTE},
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx
+      FROM rev
+    ),
+    t_tot AS (
+      SELECT SUM(CAST(
+               (CAST(rev.cents AS DOUBLE) * tot.n / tot.sx)
+               * ln(CAST(rev.cents AS DOUBLE) * tot.n / tot.sx)
+             AS DECIMAL(28,15))) AS tsum
+      FROM rev, tot WHERE rev.cents > 0
+    ),
+    grp AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(cents) AS BIGINT) AS sg
+      FROM rev GROUP BY 1
+    ),
+    t_btw AS (
+      SELECT SUM(CAST(
+               (CAST(grp.sg AS DOUBLE) / tot.sx)
+               * ln((CAST(grp.sg AS DOUBLE) * tot.n)
+                    / (CAST(tot.sx AS DOUBLE) * grp.ng))
+             AS DECIMAL(28,15))) AS bsum
+      FROM grp, tot WHERE grp.sg > 0
+    )
+    SELECT tot.n AS n_suppliers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM grp) AS n_nations,
+           ROUND(CAST(t_tot.tsum AS DOUBLE) / tot.n, 6) AS theil_total,
+           ROUND(CAST(t_btw.bsum AS DOUBLE), 6) AS theil_between,
+           ROUND(CAST(t_tot.tsum AS DOUBLE) / tot.n
+                 - CAST(t_btw.bsum AS DOUBLE), 6) AS theil_within,
+           CASE WHEN t_tot.tsum <> 0
+                THEN ROUND(CAST(t_btw.bsum AS DOUBLE)
+                           / (CAST(t_tot.tsum AS DOUBLE) / tot.n), 6)
+                ELSE 0 END AS between_share
+    FROM tot, t_tot, t_btw
+    """,
+)
+def theil_supplier_nation_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil T index of supplier revenue inequality, decomposed into
+    between-nation and within-nation components (T is the inequality
+    measure that decomposes ADDITIVELY — Gini does not). Income share
+    ratios x*n/sx and group terms (sg/sx)*ln((sg*n)/(sx*ng)) are
+    doubles over exact integer cents/counts, each term
+    DECIMAL(28,15)-accumulated (order-independent, the entropy-query
+    pattern); T_within falls out by exact additivity.
+
+    Plan: one lineitem->supplier join + per-supplier groupBy; totals
+    and group sums ride as lazy 1-row/25-row cross-joined aggregates
+    (no driver collect); both term folds are constant-size. On this
+    uniform synthetic data between_share is near zero — nations are
+    statistically identical markets; skew in real data shifts it."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(F.col("s_nationkey").alias("nk"), "cents")
+    )
+    rev = lazy_persist(rev)
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    share = F.col("cents").cast("double") * F.col("n") / F.col("sx")
+    t_tot = (
+        rev.filter(F.col("cents") > 0)
+        .crossJoin(tot)
+        .select((share * F.log(share)).cast("decimal(28,15)").alias("tm"))
+        .agg(F.sum("tm").alias("tsum"))
+    )
+    grp = rev.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("cents").cast("bigint").alias("sg"),
+    )
+    grp = lazy_persist(grp)
+    bterm = (F.col("sg").cast("double") / F.col("sx")) * F.log(
+        (F.col("sg").cast("double") * F.col("n"))
+        / (F.col("sx").cast("double") * F.col("ng"))
+    )
+    t_btw = (
+        grp.filter(F.col("sg") > 0)
+        .crossJoin(tot)
+        .select(bterm.cast("decimal(28,15)").alias("bm"))
+        .agg(F.sum("bm").alias("bsum"))
+    )
+    n_nations = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations")
+    )
+    theil_total = F.col("tsum").cast("double") / F.col("n")
+    theil_between = F.col("bsum").cast("double")
+    return (
+        tot.crossJoin(t_tot)
+        .crossJoin(t_btw)
+        .crossJoin(n_nations)
+        .select(
+            F.col("n").alias("n_suppliers"),
+            "n_nations",
+            F.round(theil_total, 6).alias("theil_total"),
+            F.round(theil_between, 6).alias("theil_between"),
+            F.round(theil_total - theil_between, 6).alias("theil_within"),
+            F.when(
+                F.col("tsum") != 0,
+                F.round(theil_between / theil_total, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("between_share"),
+        )
     )

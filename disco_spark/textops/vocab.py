@@ -473,3 +473,118 @@ def text_kl_unigram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source").agg(
         F.round(F.sum("kl_term").cast("double"), 6).alias("kl_divergence")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — vocab_top_bigrams ranks by raw frequency, which
+# surfaces stopword pairs; pointwise mutual information normalizes by
+# the unigram marginals and surfaces the pairs that co-occur far more
+# than chance (the collocation-mining primitive behind phrase
+# vocabularies and tokenizer merge candidates).
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5  # noise floor: a 1-count pair can have huge PMI
+PMI_TOPK = 25
+
+
+@query(
+    "vocab_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY 1
+    ),
+    u AS (SELECT CAST(SUM(n_w) AS BIGINT) AS u_tot FROM uni),
+    big AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM toks WHERE len(toks) >= 2)
+      GROUP BY 1, 2
+    ),
+    b AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS b_tot FROM big)
+    SELECT concat_ws(' ', w1, w2) AS bigram, n_xy,
+           ROUND(log2((CAST(n_xy AS DOUBLE) / b_tot)
+                      / ((CAST(u1.n_w AS DOUBLE) / u_tot)
+                         * (CAST(u2.n_w AS DOUBLE) / u_tot))), 6) AS pmi
+    FROM big
+    JOIN uni u1 ON u1.w = big.w1
+    JOIN uni u2 ON u2.w = big.w2, u, b
+    WHERE n_xy >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bigram LIMIT {PMI_TOPK}
+    """,
+)
+def vocab_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} collocations by PMI = log2(p(xy) / (p(x)p(y)))
+    over adjacent token bigrams with count >= {PMI_MIN_COUNT}.
+    Marginals come from unigram occurrence counts, the joint from
+    bigram counts — all exact integers; the PMI is ONE rounded log2
+    per surviving bigram (the entropy-query log determinism
+    precedent), so ranking and values replay identically.
+
+    Plan: one tokenized scan persisted, exploded twice (unigrams,
+    bigram structs), two grouped counts, two hash joins to attach
+    marginals, totals as lazy 1-row cross-joined aggregates, bounded
+    top-k. At 100 TB both count tables partial-aggregate map-side;
+    the marginal joins key on the word — broadcastable only if the
+    vocab is small, hash-join otherwise (left to AQE)."""
+    t = load_tables(spark, sf_dir)
+    base = lazy_persist(with_toks(t["documents"]).select("toks"))
+    toks = F.col("toks")
+    uni = (
+        base.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    )
+    uni = lazy_persist(uni)
+    u = uni.agg(F.sum("n_w").cast("bigint").alias("u_tot"))
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    big_all = (
+        base.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    )
+    big_all = lazy_persist(big_all)
+    # the bigram total is over ALL bigrams (the joint distribution),
+    # not just those clearing the noise floor
+    b = big_all.agg(F.sum("n_xy").cast("bigint").alias("b_tot"))
+    big = big_all.filter(F.col("n_xy") >= PMI_MIN_COUNT)
+    joined = (
+        big.join(
+            uni.select(F.col("w").alias("_w1"), F.col("n_w").alias("n1")),
+            F.col("_w1") == F.col("w1"),
+        )
+        .join(
+            uni.select(F.col("w").alias("_w2"), F.col("n_w").alias("n2")),
+            F.col("_w2") == F.col("w2"),
+        )
+        .crossJoin(u)
+        .crossJoin(b)
+    )
+    pmi = F.round(
+        F.log2(
+            (F.col("n_xy").cast("double") / F.col("b_tot"))
+            / (
+                (F.col("n1").cast("double") / F.col("u_tot"))
+                * (F.col("n2").cast("double") / F.col("u_tot"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_xy",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(PMI_TOPK)
+    )
