@@ -981,3 +981,87 @@ def theil_supplier_nation_decomposition(
             .alias("between_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve of customer revenue concentration — the curve BEHIND
+# gini_supplier_revenue's single number: per revenue decile (ranked
+# ascending), the share and cumulative share of total spend. Reads as
+# "the bottom 50% of customers hold cum_revenue_share of revenue".
+# ---------------------------------------------------------------------------
+@query(
+    "orders_lorenz_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             (10 * ROW_NUMBER() OVER (ORDER BY cents, o_custkey)
+              + COUNT(*) OVER () - 1) // COUNT(*) OVER () AS decile
+      FROM rev
+    ),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS dc
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(dc) AS BIGINT) AS t FROM d),
+    c AS (
+      SELECT decile, n_customers, dc,
+             CAST(SUM(dc) OVER (ORDER BY decile) AS BIGINT) AS cum
+      FROM d
+    )
+    SELECT CAST(c.decile AS BIGINT) AS decile, n_customers,
+           ROUND(CAST(dc AS DOUBLE) / t, 6) AS revenue_share,
+           ROUND(CAST(cum AS DOUBLE) / t, 6) AS cum_revenue_share
+    FROM c, tot ORDER BY decile
+    """,
+)
+def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points at decile resolution over per-customer
+    lifetime spend (exact integer cents): customers ranked ascending
+    by spend through the shared two-pass row-number harness, decile =
+    ceil(10*rank/n) by pure integer arithmetic (the rfm quartile
+    convention at k=10), then per-decile exact sums. The cumulative
+    window runs over TEN rows — bounded, so its single-partition
+    window is free at any scale; everything before it is
+    range-partitioned. Shares are one rounded double division each."""
+    o = load_tables(spark, sf_dir)["orders"]
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked, n = global_row_number(rev, ["cents", "o_custkey"], out="rn")
+    decile = ((10 * F.col("rn") + n - 1) / n).cast("bigint")
+    d = (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("dc"),
+        )
+    )
+    tot = d.agg(F.sum("dc").cast("bigint").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.withColumn("cum", F.sum("dc").over(w).cast("bigint"))
+    return (
+        c.crossJoin(tot)
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("dc").cast("double") / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(F.col("cum").cast("double") / F.col("t"), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )

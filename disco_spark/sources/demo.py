@@ -499,3 +499,45 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("value", 5, 4).cast("int").alias("n_regionkey"),
         F.rtrim(F.substring("value", 9, 25)).alias("n_name"),
     )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV roundtrip — the one interchange format every
+    enterprise handoff still uses: write documents as quoted CSV
+    (escape='\"' makes Spark double embedded quotes per RFC 4180
+    instead of its legacy backslash default) and read back with an
+    EXPLICIT schema + multiLine (fields may contain newlines — which
+    also means CSV files are NOT line-splittable; at 100 TB that makes
+    CSV a per-file-parallel ingest format, another reason corpora move
+    to JSONL/Parquet once inside). Text fidelity through
+    quoting/escaping is proven by hashing text against the source
+    table, same contract as source_jsonl_roundtrip."""
+    from disco_spark.session import scratch_dir
+
+    t = load_tables(spark, sf_dir)
+    src = t["documents"].select("doc_id", "lang", "source", "text")
+    path = scratch_dir("csv_docs", sf_dir)
+    (
+        src.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, source string, text string"
+        )
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return back.select(
+        "doc_id", "lang", "source", F.md5(F.col("text")).alias("text_md5")
+    )
