@@ -1,0 +1,78 @@
+"""Plan-shape gates for this session's operators (two-sample tests,
+link prediction, EWMA, FD audit, containment, PMI, Theil, Lorenz) —
+the scale claims their docstrings make, asserted on executed plans so
+regressions fail loudly (same contract as test_round7_plan_shapes.py)."""
+
+from __future__ import annotations
+
+import re
+
+from disco_spark import registry
+
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_no_unbounded_sp_window(plan: str, name: str) -> None:
+    """No ordered window without PARTITION BY (the single-task global
+    sort every harness user must avoid)."""
+    assert not re.search(
+        r"Window .*windowspecdefinition\(((?!PARTITION).)*ORDER", plan
+    ), name
+
+
+def test_two_sample_harness_hygiene(spark):
+    """KS and MWU ride the shared prefix harness: range-partitioned
+    exchanges present, no global ordered window, SinglePartition only
+    under keys=[] 1-row folds."""
+    for name in ("ks_test_price_segments", "mannwhitney_u_price_segments"):
+        plan = _plan(spark, name)
+        assert "Exchange rangepartitioning" in plan, name
+        _assert_no_unbounded_sp_window(plan, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_graph_and_overlap_joins_are_keyed(spark):
+    """Wedge/posting joins must be hash/merge joins on real keys —
+    never a cartesian product."""
+    for name in (
+        "graph_ra_link_prediction",
+        "graph_assortativity_degree",
+        "dedup_containment_ngram",
+        "vocab_pmi_collocations",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        _assert_no_unbounded_sp_window(plan, name)
+
+
+def test_constant_size_aggregate_family(spark):
+    """EWMA, FD audit, Theil: grouped/1-row folds only — no global
+    ordered window, no cartesian; the only nested-loop joins are
+    broadcast 1-row/kernel-sized sides."""
+    for name in (
+        "orders_ewma_daily",
+        "fd_violations_audit",
+        "theil_supplier_nation_decomposition",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        _assert_no_unbounded_sp_window(plan, name)
+
+
+def test_lorenz_windows_only_over_deciles(spark):
+    """The Lorenz cumulative window may order only the 10-row decile
+    frame; ranks over raw customer revenue must come from the harness
+    (no window ordering cents/rn)."""
+    plan = _plan(spark, "orders_lorenz_deciles")
+    assert "Exchange rangepartitioning" in plan
+    for m in re.finditer(
+        r"windowspecdefinition\(((?!PARTITION).)*ORDER BY (\w+)", plan
+    ):
+        assert m.group(2).startswith("decile"), m.group(0)
