@@ -205,6 +205,19 @@ HEADLINE = [
     "events_type_jaccard_matrix",
     "orders_anomaly_seasonal_adjusted",
     "dedup_posting_skew_profile",
+    "orders_runs_test",
+    "events_entropy_rate",
+    "ks_test_price_segments",
+    "mannwhitney_u_price_segments",
+    "graph_ra_link_prediction",
+    "graph_assortativity_degree",
+    "orders_ewma_daily",
+    "fd_violations_audit",
+    "dedup_containment_ngram",
+    "vocab_pmi_collocations",
+    "theil_supplier_nation_decomposition",
+    "orders_lorenz_deciles",
+    "source_csv_roundtrip",
 ]
 
 
