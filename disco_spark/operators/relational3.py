@@ -1065,3 +1065,158 @@ def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ inventory matrix — the two-axis classification every supply
+# planner runs: ABC = revenue concentration (the pareto_abc_parts
+# cut), XYZ = demand PREDICTABILITY via the coefficient of variation
+# of weekly demand. The 3x3 matrix tells you what to forecast
+# statistically (AX) vs what to buffer or make-to-order (CZ).
+# ---------------------------------------------------------------------------
+XYZ_X_MAX = 0.5  # cv below -> X (steady demand)
+XYZ_Y_MAX = 0.6  # cv below -> Y; above -> Z (erratic)
+_ABC_WEEK_ANCHOR = "1995-01-01"
+
+
+@query(
+    "part_abc_xyz_matrix",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM rev),
+    cum AS (
+      SELECT l_partkey, rev_cents,
+             CAST(SUM(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS c
+      FROM rev
+    ),
+    abc AS (
+      SELECT l_partkey, rev_cents,
+             CASE WHEN CAST(c AS DOUBLE) / t <= 0.8 THEN 'A'
+                  WHEN CAST(c AS DOUBLE) / t <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM cum, tot
+    ),
+    weekly AS (
+      SELECT l_partkey,
+             date_diff('day', DATE '{_ABC_WEEK_ANCHOR}',
+                       CAST(l_shipdate AS DATE)) // 7 AS wk,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS sqq
+      FROM weekly GROUP BY 1
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN cv < {XYZ_X_MAX} THEN 'X'
+                  WHEN cv < {XYZ_Y_MAX} THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM (
+        SELECT l_partkey,
+               ROUND(sqrt(GREATEST(CAST(sqq AS DOUBLE) / nw
+                          - (CAST(sq AS DOUBLE) / nw)
+                            * (CAST(sq AS DOUBLE) / nw), 0))
+                     / (CAST(sq AS DOUBLE) / nw), 6) AS cv
+        FROM mom
+      )
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev_cents) AS DOUBLE) / (SELECT t FROM tot), 6)
+             AS revenue_share
+    FROM abc JOIN xyz USING (l_partkey)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 ABC-XYZ matrix over parts: ABC from cumulative revenue
+    share (A <= 80%, B <= 95% — the pareto_abc_parts convention,
+    exact integer cents through the shared two-pass prefix harness,
+    never a single-partition window), XYZ from the ROUNDED coefficient
+    of variation of weekly shipped quantity (exact integer moments;
+    one sqrt/divide in double, GREATEST-guarded against float
+    cancellation below zero). Each matrix cell reports its part count
+    and revenue share.
+
+    Plan: two grouped scans of lineitem (revenue, weekly demand), one
+    harness pass for the cumulative rank, per-part moment fold, one
+    part-keyed join, 9-row final aggregate."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    ).withColumn("neg_cents", -F.col("rev_cents"))
+    from disco_spark.operators.relational2 import global_prefix_sum
+
+    cum, total = global_prefix_sum(
+        rev, ["neg_cents", "l_partkey"], "rev_cents", out="cum_before"
+    )
+    share = (F.col("cum_before") + F.col("rev_cents")).cast(
+        "double"
+    ) / F.lit(float(total))
+    abc = cum.select(
+        "l_partkey",
+        "rev_cents",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    weekly = li.select(
+        "l_partkey",
+        F.floor(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit(_ABC_WEEK_ANCHOR).cast("date"),
+            )
+            / 7
+        ).alias("wk"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qr"),
+    ).groupBy("l_partkey", "wk").agg(
+        F.sum("qr").cast("bigint").alias("q")
+    )
+    mom = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+    )
+    mean = F.col("sq").cast("double") / F.col("nw")
+    var = F.greatest(
+        F.col("sqq").cast("double") / F.col("nw") - mean * mean,
+        F.lit(0.0),
+    )
+    cv = F.round(F.sqrt(var) / mean, 6)
+    xyz = mom.select(
+        "l_partkey",
+        F.when(cv < XYZ_X_MAX, "X")
+        .when(cv < XYZ_Y_MAX, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("rev_cents").cast("double") / F.lit(float(total)), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

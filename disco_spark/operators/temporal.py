@@ -824,3 +824,141 @@ def orders_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier customer survival — survival analysis with RIGHT
+# CENSORING, the churn-modeling primitive: tenure = first->last order,
+# a customer whose last order is > KM_CHURN_DAYS before the dataset
+# horizon has churned (event); everyone else is censored (still
+# active when observation ended). S(t) multiplies (1 - d_t/n_t) over
+# 30-day tenure buckets.
+# ---------------------------------------------------------------------------
+KM_CHURN_DAYS = 90
+KM_BUCKET_DAYS = 30
+
+
+@query(
+    "customer_survival_km",
+    oracle=f"""
+    WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS first_o,
+             MAX(CAST(o_orderdate AS DATE)) AS last_o
+      FROM orders GROUP BY 1
+    ),
+    labeled AS (
+      SELECT date_diff('day', first_o, last_o) // {KM_BUCKET_DAYS} AS t,
+             CASE WHEN date_diff('day', last_o, maxd.md) > {KM_CHURN_DAYS}
+                  THEN 1 ELSE 0 END AS ev
+      FROM cust, maxd
+    ),
+    g AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM labeled GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM g),
+    r AS (
+      SELECT t, d, c,
+             tot.n - CAST(COALESCE(SUM(d + c) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM g, tot
+    ),
+    s AS (
+      SELECT t, d, c, n_risk,
+             SUM(CAST(CASE WHEN d < n_risk
+                   THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                   ELSE 0 END AS DECIMAL(28,15))) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS logsum,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS died_out
+      FROM r
+    )
+    SELECT CAST(t AS BIGINT) AS t_bucket, n_risk, d AS d_churned,
+           c AS c_censored,
+           CASE WHEN died_out = 1 THEN 0
+                ELSE ROUND(exp(CAST(logsum AS DOUBLE)), 6)
+           END AS s_hat
+    FROM s ORDER BY t_bucket
+    """,
+)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer tenure ({KM_BUCKET_DAYS}
+    -day buckets): per bucket the at-risk count, churn events (last
+    order > {KM_CHURN_DAYS} days before the data horizon), censored
+    exits (still-active customers whose observed tenure ends here),
+    and the product-limit estimate S(t). The product is computed as
+    exp of a DECIMAL-accumulated sum of ln((n-d)/n) terms (each term
+    one IEEE log of exact-integer operands — both engines replay it
+    identically); a bucket where everyone at risk churns pins S to 0
+    thereafter (guarded; ln(0) would poison the fold).
+
+    Plan: one groupBy(customer), one groupBy(bucket) down to a
+    CALENDAR-BOUNDED frame (~80 rows at any data scale — tenure is
+    capped by the fixed date span), where the cumulative windows run
+    single-partition by design, like the Lorenz 10-row fold."""
+    o = load_tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate").cast("date")
+    maxd = o.agg(F.max(d).alias("md"))
+    cust = o.groupBy("o_custkey").agg(
+        F.min(d).alias("first_o"), F.max(d).alias("last_o")
+    )
+    labeled = cust.crossJoin(F.broadcast(maxd)).select(
+        F.floor(
+            F.datediff(F.col("last_o"), F.col("first_o")) / KM_BUCKET_DAYS
+        )
+        .cast("bigint")
+        .alias("t"),
+        (
+            F.datediff(F.col("md"), F.col("last_o")) > KM_CHURN_DAYS
+        )
+        .cast("int")
+        .alias("ev"),
+    )
+    g = labeled.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = g.agg(F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cur = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.crossJoin(tot).withColumn(
+        "n_risk",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).cast("bigint"),
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk")
+        ),
+    ).otherwise(F.lit(0.0))
+    s = r.withColumn(
+        "logsum", F.sum(term.cast("decimal(28,15)")).over(w_cur)
+    ).withColumn(
+        "died_out",
+        F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(w_cur),
+    )
+    return s.select(
+        F.col("t").alias("t_bucket"),
+        "n_risk",
+        F.col("d").alias("d_churned"),
+        F.col("c").alias("c_censored"),
+        F.when(F.col("died_out") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("logsum").cast("double")), 6))
+        .alias("s_hat"),
+    ).orderBy("t_bucket")
