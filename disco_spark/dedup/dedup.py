@@ -981,3 +981,120 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_doc", "container_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-quality audit: for every LSH candidate pair, the
+# sketch-estimated Jaccard (fraction of agreeing signature components)
+# against the exact shingle Jaccard — the "trust the sketch?" readout
+# that tells you whether N_HASHES is adequate BEFORE a threshold
+# decision ships (the profile exact-vs-approx pattern, applied to the
+# dedup sketch itself).
+# --------------------------------------------------------------------------
+_EST_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(N_HASHES)
+)
+
+
+@query(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_SQL},
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM shingles GROUP BY 1
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b
+                       AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b, {_EST_MATCH_SQL} AS n_match
+      FROM cands c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, CAST(e.n_match AS BIGINT) AS n_match,
+           ROUND(CAST(e.n_match AS DOUBLE) / {N_HASHES}, 6) AS est_jaccard,
+           ROUND(CAST(cm.cnt AS DOUBLE) / (sa.n + sb.n - cm.cnt), 6)
+             AS exact_jaccard,
+           ROUND(ABS(CAST(e.n_match AS DOUBLE) / {N_HASHES}
+                     - CAST(cm.cnt AS DOUBLE)
+                       / (sa.n + sb.n - cm.cnt)), 6) AS abs_err
+    FROM est e
+    JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """,
+)
+def dedup_minhash_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per LSH candidate pair: component-agreement MinHash estimate of
+    Jaccard (n_match / {N_HASHES}) vs the exact shingle Jaccard, with
+    the absolute error. With only {N_HASHES} hashes the estimate is
+    deliberately coarse (granularity 1/{N_HASHES}) — this audit is the
+    registered evidence of exactly HOW coarse, and the template a
+    larger deployment reruns after raising N_HASHES.
+
+    Plan: one persisted shingle scan feeds signatures, sizes, and the
+    exact-verify join; candidates stay band-bucketed (never all
+    pairs); the estimate is a signature self-equijoin on the bounded
+    candidate list. All hashing is md5 (engine-identical), all counts
+    integers, two rounded double divisions per pair."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = lazy_persist(shingle_df(docs))
+    sig = lazy_persist(minhash_signatures(sh))
+    cands = band_candidates(sig)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("_sa"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("_sb"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(N_HASHES)
+    )
+    est = (
+        cands.join(sa, F.col("_sa") == F.col("doc_a"))
+        .join(sb, F.col("_sb") == F.col("doc_b"))
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n").alias("nb"))
+    est_j = F.col("n_match").cast("double") / N_HASHES
+    exact_j = F.col("cnt").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("cnt")
+    )
+    return (
+        est.join(common, ["doc_a", "doc_b"])
+        .join(za, F.col("_za") == F.col("doc_a"))
+        .join(zb, F.col("_zb") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_match").cast("bigint").alias("n_match"),
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(exact_j, 6).alias("exact_jaccard"),
+            F.round(F.abs(est_j - exact_j), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1067,3 +1067,118 @@ def mannwhitney_u_price_segments(
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-bucket jackknife CI for the mean order value — error bars
+# WITHOUT distributional assumptions and without nondeterministic
+# resampling: the "bootstrap" every deterministic pipeline can afford.
+# Buckets come from the repo's one md5 split convention, so the
+# resample plan is engine-replayable bit-for-bit.
+# ---------------------------------------------------------------------------
+JK_GROUPS = 10
+
+
+@query(
+    "orders_mean_ci_jackknife",
+    oracle=f"""
+    WITH b AS (
+      SELECT ({_sampling_bucket_sql("o_orderkey")}) % {JK_GROUPS} AS g,
+             CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS si
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ni) AS BIGINT) AS n, CAST(SUM(si) AS BIGINT) AS s
+      FROM b
+    ),
+    loo AS (
+      SELECT (CAST(tot.s - b.si AS DOUBLE) / (tot.n - b.ni)) / 100 AS mi
+      FROM b, tot
+    ),
+    mb AS (
+      SELECT CAST(SUM(CAST(mi AS DECIMAL(28,12))) AS DOUBLE)
+             / {JK_GROUPS} AS mbar
+      FROM loo
+    ),
+    v AS (
+      SELECT CAST(SUM(CAST((loo.mi - mb.mbar) * (loo.mi - mb.mbar)
+                   AS DECIMAL(28,15))) AS DOUBLE)
+             * ({JK_GROUPS} - 1) / {JK_GROUPS} AS var
+      FROM loo, mb
+    )
+    SELECT tot.n AS n_orders,
+           ROUND((CAST(tot.s AS DOUBLE) / tot.n) / 100, 4) AS mean_value,
+           ROUND(sqrt(v.var), 4) AS se_jackknife,
+           ROUND((CAST(tot.s AS DOUBLE) / tot.n) / 100
+                 - 1.96 * sqrt(v.var), 4) AS ci_lo,
+           ROUND((CAST(tot.s AS DOUBLE) / tot.n) / 100
+                 + 1.96 * sqrt(v.var), 4) AS ci_hi
+    FROM tot, v
+    """,
+)
+def orders_mean_ci_jackknife(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """95% CI for the mean order value by delete-one-bucket jackknife
+    over {JK_GROUPS} md5 hash buckets: leave-one-out means m_i =
+    (S - s_i)/(N - n_i), var = (g-1)/g * sum (m_i - mbar)^2, CI =
+    mean +- 1.96*se. Deterministic resampling — the buckets are the
+    repo's md5 split convention, so unlike a bootstrap both engines
+    (and any rerun) see identical resamples. The two {JK_GROUPS}-term
+    folds accumulate DECIMAL-rounded terms (order-independent).
+
+    Plan: one grouped scan to {JK_GROUPS} bucket rows; everything
+    after is arithmetic on a bounded frame (cross-joined 1-row
+    totals), immune to data volume."""
+    from disco_spark.sampling import hash_bucket
+    from disco_spark.session import lazy_persist
+
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.groupBy(
+        (hash_bucket(F.col("o_orderkey")) % JK_GROUPS).alias("g")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ni"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("si"),
+    )
+    b = lazy_persist(b)
+    tot = b.agg(
+        F.sum("ni").cast("bigint").alias("n"),
+        F.sum("si").cast("bigint").alias("s"),
+    )
+    loo = b.crossJoin(tot).select(
+        (
+            (F.col("s") - F.col("si")).cast("double")
+            / (F.col("n") - F.col("ni"))
+            / 100
+        ).alias("mi")
+    )
+    loo = lazy_persist(loo)
+    mb = loo.agg(
+        (
+            F.sum(F.col("mi").cast("decimal(28,12)")).cast("double")
+            / JK_GROUPS
+        ).alias("mbar")
+    )
+    v = loo.crossJoin(mb).agg(
+        (
+            F.sum(
+                ((F.col("mi") - F.col("mbar")) * (F.col("mi") - F.col("mbar")))
+                .cast("decimal(28,15)")
+            ).cast("double")
+            * (JK_GROUPS - 1)
+            / JK_GROUPS
+        ).alias("var")
+    )
+    mean = F.col("s").cast("double") / F.col("n") / 100
+    se = F.sqrt(F.col("var"))
+    return tot.crossJoin(v).select(
+        F.col("n").alias("n_orders"),
+        F.round(mean, 4).alias("mean_value"),
+        F.round(se, 4).alias("se_jackknife"),
+        F.round(mean - 1.96 * se, 4).alias("ci_lo"),
+        F.round(mean + 1.96 * se, 4).alias("ci_hi"),
+    )
