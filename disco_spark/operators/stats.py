@@ -1182,3 +1182,126 @@ def orders_mean_ci_jackknife(
         F.round(mean - 1.96 * se, 4).alias("ci_lo"),
         F.round(mean + 1.96 * se, 4).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test: weekday vs weekend mean order value — the unequal-
+# variance two-sample mean test that completes the testing family
+# (abtest z = proportions, KS = whole distribution, MWU = ranks,
+# Welch = means with its Satterthwaite df). Exact decimal moments;
+# scalar double arithmetic replayed identically by both engines.
+# ---------------------------------------------------------------------------
+WELCH_T_CRIT = 1.96  # two-sided 5%, df in the thousands here
+
+
+@query(
+    "welch_t_weekday_weekend",
+    oracle=f"""
+    WITH base AS (
+      SELECT CASE WHEN isodow(o_orderdate) <= 5 THEN 'weekday'
+                  ELSE 'weekend' END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(cents * cents AS DECIMAL(38,0))) AS s2
+      FROM base GROUP BY 1
+    ),
+    w AS (
+      SELECT a.n AS na, b.n AS nb,
+             CAST(a.s1 AS DOUBLE) / a.n AS ma,
+             CAST(b.s1 AS DOUBLE) / b.n AS mb,
+             (CAST(a.s2 AS DOUBLE)
+              - (CAST(a.s1 AS DOUBLE) / a.n) * CAST(a.s1 AS DOUBLE))
+               / (a.n - 1) AS va,
+             (CAST(b.s2 AS DOUBLE)
+              - (CAST(b.s1 AS DOUBLE) / b.n) * CAST(b.s1 AS DOUBLE))
+               / (b.n - 1) AS vb
+      FROM m a, m b
+      WHERE a.grp = 'weekday' AND b.grp = 'weekend'
+    )
+    SELECT na AS n_weekday, nb AS n_weekend,
+           ROUND(ma / 100, 4) AS mean_weekday,
+           ROUND(mb / 100, 4) AS mean_weekend,
+           CASE WHEN va / na + vb / nb > 0
+                THEN ROUND((ma - mb) / sqrt(va / na + vb / nb), 6)
+           END AS t,
+           CASE WHEN va / na + vb / nb > 0
+                THEN ROUND((va / na + vb / nb) * (va / na + vb / nb)
+                     / ((va / na) * (va / na) / (na - 1)
+                        + (vb / nb) * (vb / nb) / (nb - 1)), 2)
+           END AS df,
+           CASE WHEN va / na + vb / nb > 0
+                 AND ABS(ROUND((ma - mb) / sqrt(va / na + vb / nb), 6))
+                     > {WELCH_T_CRIT} THEN 1 ELSE 0 END AS significant
+    FROM w
+    """,
+)
+def welch_t_weekday_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean order value on
+    weekdays vs weekends, with the Satterthwaite effective df. Moments
+    accumulate as exact DECIMAL integer cents (sum and sum-of-squares
+    — the _msum posture at integer scale); mean/variance/t/df are
+    scalar doubles written identically in both engines. Spark's
+    weekday()+1 replays DuckDB's isodow. On uniform synthetic data
+    this is an A/A-style null read — not significant.
+
+    Plan: one scan to a 2-row grouped moment table, then constant
+    arithmetic. The self-pairing of the two rows is a broadcast
+    2x2 filter, not a shuffle."""
+    o = load_tables(spark, sf_dir)["orders"]
+    base = o.select(
+        F.when(F.weekday(F.col("o_orderdate")) + 1 <= 5, "weekday")
+        .otherwise("weekend")
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias(
+            "s2"
+        ),
+    )
+    a = m.filter(F.col("grp") == "weekday").select(
+        F.col("n").alias("na"), F.col("s1").alias("a1"),
+        F.col("s2").alias("a2"),
+    )
+    b = m.filter(F.col("grp") == "weekend").select(
+        F.col("n").alias("nb"), F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    j = a.crossJoin(b)
+    ma = F.col("a1").cast("double") / F.col("na")
+    mb = F.col("b1").cast("double") / F.col("nb")
+    va = (
+        F.col("a2").cast("double") - ma * F.col("a1").cast("double")
+    ) / (F.col("na") - 1)
+    vb = (
+        F.col("b2").cast("double") - mb * F.col("b1").cast("double")
+    ) / (F.col("nb") - 1)
+    sa, sb = va / F.col("na"), vb / F.col("nb")
+    t = F.when(sa + sb > 0, F.round((ma - mb) / F.sqrt(sa + sb), 6))
+    df = F.when(
+        sa + sb > 0,
+        F.round(
+            (sa + sb) * (sa + sb)
+            / (sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1)),
+            2,
+        ),
+    )
+    return j.select(
+        F.col("na").alias("n_weekday"),
+        F.col("nb").alias("n_weekend"),
+        F.round(ma / 100, 4).alias("mean_weekday"),
+        F.round(mb / 100, 4).alias("mean_weekend"),
+        t.alias("t"),
+        df.alias("df"),
+        F.coalesce((F.abs(t) > WELCH_T_CRIT).cast("int"), F.lit(0)).alias(
+            "significant"
+        ),
+    )

@@ -353,3 +353,162 @@ def phrase_search_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(a.doc_id)
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta — the classic stylometric distance between sources:
+# z-score each source's relative frequency of the corpus's top-K
+# words, then average |z_a - z_b| over words per source pair. The
+# authorship/provenance attribution primitive ("are these two corpus
+# sources the same register?"), and a drift sibling of the PSI/KL
+# screens built on marginal word frequencies instead of divergences.
+# ---------------------------------------------------------------------------
+DELTA_TOP_WORDS = 20
+
+
+@query(
+    "text_burrows_delta_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    top AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, w LIMIT {DELTA_TOP_WORDS}
+      )
+    ),
+    st AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ts
+      FROM toks GROUP BY 1
+    ),
+    c AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks JOIN top USING (w) GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT st.source, top.w,
+             CAST(COALESCE(c.c, 0) AS DOUBLE) / st.ts AS f
+      FROM st CROSS JOIN top
+      LEFT JOIN c ON c.source = st.source AND c.w = top.w
+    ),
+    ws AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(CAST(f AS DECIMAL(28,15))) AS DOUBLE) AS fs
+      FROM grid GROUP BY 1
+    ),
+    mu AS (SELECT w, ns, fs / ns AS mu FROM ws),
+    vr AS (
+      SELECT g.w, mu.mu,
+             sqrt(CAST(SUM(CAST((g.f - mu.mu) * (g.f - mu.mu)
+                      AS DECIMAL(28,15))) AS DOUBLE) / mu.ns) AS sd
+      FROM grid g JOIN mu ON mu.w = g.w GROUP BY g.w, mu.mu, mu.ns
+    ),
+    z AS (
+      SELECT g.source, g.w, (g.f - vr.mu) / vr.sd AS z
+      FROM grid g JOIN vr ON vr.w = g.w WHERE vr.sd > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(CAST(ABS(a.z - b.z) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+)
+def text_burrows_delta_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burrows' Delta between every pair of corpus sources over the
+    top-{DELTA_TOP_WORDS} words: relative frequencies f = c/tokens per
+    source (exact-integer ratios), per-word population z-scores across
+    sources (zero-variance words excluded — z undefined), delta =
+    mean |z_a - z_b|. All cross-source folds accumulate
+    DECIMAL-rounded terms (order-independent); output is bounded by
+    |sources|^2, not data volume.
+
+    Plan: one tokenized scan persisted feeds the top-word bound, the
+    per-source totals, and the counts; the densified grid is
+    |sources| x K cells (cross join of two broadcast-bounded sides);
+    the pair join runs on the word key over that bounded grid."""
+    from disco_spark.session import lazy_persist, load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = lazy_persist(
+        with_toks(docs).select("source", F.explode("toks").alias("w"))
+    )
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(DELTA_TOP_WORDS)
+        .select("w")
+    )
+    st = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ts")
+    )
+    c = (
+        toks.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        st.crossJoin(F.broadcast(top))
+        .join(c, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("ts")
+            ).alias("f"),
+        )
+    )
+    grid = lazy_persist(grid)
+    ws = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum(F.col("f").cast("decimal(28,15)")).cast("double").alias("fs"),
+    )
+    mu = ws.select("w", "ns", (F.col("fs") / F.col("ns")).alias("mu"))
+    vr = (
+        grid.join(mu, "w")
+        .groupBy("w", "mu", "ns")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    ((F.col("f") - F.col("mu")) * (F.col("f") - F.col("mu")))
+                    .cast("decimal(28,15)")
+                ).cast("double")
+                / F.col("ns")
+            ).alias("sd")
+        )
+    )
+    z = (
+        grid.join(vr.filter(F.col("sd") > 0), "w")
+        .select(
+            "source", "w", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "w", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(
+                F.sum(
+                    F.abs(F.col("za") - F.col("zb")).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )
