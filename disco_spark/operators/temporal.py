@@ -962,3 +962,129 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("logsum").cast("double")), 6))
         .alias("s_hat"),
     ).orderBy("t_bucket")
+
+
+# ---------------------------------------------------------------------------
+# One-sample KS goodness-of-fit: are customer inter-order gaps
+# exponentially distributed (i.e., is re-ordering a memoryless
+# Poisson-ish process)? The distribution-fit sibling of the
+# two-sample stats.ks_test_price_segments — same ECDF machinery, but
+# against a THEORETICAL CDF with the rate fit from the data.
+# ---------------------------------------------------------------------------
+GOF_MIN_GAP = 1  # same-day repeats excluded (exponential support t > 0)
+
+
+@query(
+    "orders_interarrival_expfit_ks",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT date_diff('day', prev_d, d) AS gap FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_d
+        FROM orders
+      ) WHERE prev_d IS NOT NULL
+        AND date_diff('day', prev_d, d) >= {GOF_MIN_GAP}
+    ),
+    g AS (
+      SELECT gap, CAST(COUNT(*) AS BIGINT) AS c FROM gaps GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(gap * c AS DECIMAL(38,0))) AS BIGINT) AS sg
+      FROM g
+    ),
+    cum AS (
+      SELECT gap, c,
+             CAST(SUM(c) OVER (ORDER BY gap) AS BIGINT) AS incl
+      FROM g
+    ),
+    diffs AS (
+      SELECT GREATEST(
+               ROUND(ABS(CAST(incl AS DOUBLE) / tot.n
+                     - (1 - exp(-(CAST(tot.n AS DOUBLE) / tot.sg)
+                                * gap))), 9),
+               ROUND(ABS(CAST(incl - c AS DOUBLE) / tot.n
+                     - (1 - exp(-(CAST(tot.n AS DOUBLE) / tot.sg)
+                                * gap))), 9)
+             ) AS dd
+      FROM cum, tot
+    )
+    SELECT tot.n AS n_gaps,
+           ROUND(CAST(tot.n AS DOUBLE) / tot.sg, 8) AS lambda_fit,
+           ROUND((SELECT MAX(dd) FROM diffs), 6) AS d_stat,
+           ROUND(1.358 / sqrt(CAST(tot.n AS DOUBLE)), 6) AS d_crit,
+           CASE WHEN ROUND((SELECT MAX(dd) FROM diffs), 6)
+                     > ROUND(1.358 / sqrt(CAST(tot.n AS DOUBLE)), 6)
+                THEN 1 ELSE 0 END AS reject_exponential
+    FROM tot
+    """,
+)
+def orders_interarrival_expfit_ks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-sample KS test of customer inter-order gaps (days, >=
+    {GOF_MIN_GAP}) against Exponential(lambda = 1/mean): D = max over
+    observed gaps of |ECDF - F| checked from BOTH ECDF sides (the
+    proper discrete-support statistic). Counts and the mean are exact
+    integers; each per-gap deviation is one exp() + divide rounded to
+    9 dp before the max (so a 1-ulp engine difference in exp cannot
+    flip the result), and D rounds to 6. Caveat stated plainly:
+    lambda is FIT from the sample, so the 1.358/sqrt(n) critical
+    value is the standard-KS heuristic (a Lilliefors-corrected
+    threshold would be tighter). On this synthetic data order dates
+    are uniform random — a Poisson-like process whose gaps ARE
+    near-exponential, so the test correctly fails to reject (D ~
+    0.008 vs crit ~ 0.012 at sf0.01): the null read that validates
+    the machinery, with the planted-signal rejection exercised in
+    pytest.
+
+    Plan: per-customer LAG windows (partitioned by customer — no
+    global window), grouped to the CALENDAR-BOUNDED distinct-gap
+    table (~2.4k rows max), where the cumulative fold is a bounded
+    single-partition window like the Lorenz/KM queries."""
+    o = load_tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        o.select(d.alias("d"), F.lag(d).over(w).alias("prev_d"))
+        .filter(F.col("prev_d").isNotNull())
+        .select(F.datediff(F.col("d"), F.col("prev_d")).alias("gap"))
+        .filter(F.col("gap") >= GOF_MIN_GAP)
+    )
+    g = gaps.groupBy("gap").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = g.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum((F.col("gap") * F.col("c")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("sg"),
+    )
+    wc = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.withColumn("incl", F.sum("c").over(wc).cast("bigint"))
+    lam = F.col("n").cast("double") / F.col("sg")
+    theo = 1 - F.exp(-lam * F.col("gap"))
+    dd = F.greatest(
+        F.round(F.abs(F.col("incl").cast("double") / F.col("n") - theo), 9),
+        F.round(
+            F.abs(
+                (F.col("incl") - F.col("c")).cast("double") / F.col("n")
+                - theo
+            ),
+            9,
+        ),
+    )
+    dmax = cum.crossJoin(tot).agg(F.max(dd).alias("dmax"))
+    d_stat = F.round(F.col("dmax"), 6)
+    d_crit = F.round(1.358 / F.sqrt(F.col("n").cast("double")), 6)
+    return tot.crossJoin(dmax).select(
+        F.col("n").alias("n_gaps"),
+        F.round(lam, 8).alias("lambda_fit"),
+        d_stat.alias("d_stat"),
+        d_crit.alias("d_crit"),
+        (d_stat > d_crit).cast("int").alias("reject_exponential"),
+    )

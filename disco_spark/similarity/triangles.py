@@ -486,3 +486,82 @@ def graph_assortativity_degree(
         "n_edges",
         F.when(den > 0, F.round(num / den, 6)).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (k=2, bounded rounds) — the degeneracy-ordering
+# kernel behind community cores and graph sparsification: repeatedly
+# drop nodes with degree < k until the survivor set stabilizes. Fixed
+# KCORE_ROUNDS unrolled rounds keep the plan static and the oracle an
+# exact CTE replay (the kmeans unrolled-Lloyd convention); the test
+# suite asserts the peel has CONVERGED on this graph by round 3, so
+# the registered result IS the true 2-core there.
+# ---------------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_cte_chain() -> str:
+    parts = [
+        """
+    und0 AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    )"""
+    ]
+    for r in range(KCORE_ROUNDS):
+        parts.append(f"""
+    deg{r} AS (SELECT src, COUNT(*) AS d FROM und{r} GROUP BY 1),
+    keep{r} AS (SELECT src AS node FROM deg{r} WHERE d >= {KCORE_K}),
+    und{r + 1} AS (
+      SELECT e.src, e.dst FROM und{r} e
+      JOIN keep{r} a ON a.node = e.src
+      JOIN keep{r} b ON b.node = e.dst
+    )""")
+    return ",".join(parts)
+
+
+@query(
+    "graph_kcore_membership",
+    oracle=f"""
+    WITH {EDGES_CTES},{_kcore_cte_chain()}
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM und{KCORE_ROUNDS} GROUP BY 1 ORDER BY node
+    """,
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the co-order graph after {KCORE_ROUNDS}
+    peeling rounds: surviving nodes with their in-core degree. Each
+    round is one grouped degree count + two semi-join-shaped filters
+    on the adjacency — O(rounds) keyed shuffles over a monotonically
+    shrinking edge set, no driver state, no iteration-to-fixpoint
+    (bounded rounds keep the oracle replayable; convergence on this
+    graph is pytest-asserted, and a larger deployment raises
+    KCORE_ROUNDS or re-runs until a round removes nothing)."""
+    from disco_spark.session import lazy_persist
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = coorder_edges(li)
+    und = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    for _ in range(KCORE_ROUNDS):
+        und = lazy_persist(und)
+        keep = (
+            und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        ka = keep.select(F.col("node").alias("_ka"))
+        kb = keep.select(F.col("node").alias("_kb"))
+        und = (
+            und.join(ka, F.col("_ka") == F.col("src"))
+            .join(kb, F.col("_kb") == F.col("dst"))
+            .select("src", "dst")
+        )
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy("node")
+    )
