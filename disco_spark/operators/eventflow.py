@@ -487,3 +487,181 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_rate_bits"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot-likelihood heuristic — the abuse/cleaning screen every event
+# pipeline runs before events become training data: bots are FAST
+# (high events/day), NARROW (low type entropy), and REGULAR (low
+# inter-event gap variability). Three deterministic features, three
+# fixed-threshold flags, a 0-3 score. On this uniform synthetic
+# stream nobody trips all three — the honest null — while the
+# planted-bot rejection is exercised in pytest.
+# ---------------------------------------------------------------------------
+BOT_RATE_MIN = 3.0  # events per active day above this -> fast
+BOT_ENTROPY_MAX = 2.0  # bits (uniform over 5 types = log2 5 ~ 2.32)
+BOT_GAP_CV_MAX = 0.5  # Poisson-ish traffic has cv ~ 1; clockwork << 1
+BOT_TOPK = 50
+
+
+@query(
+    "events_bot_score_heuristic",
+    oracle=f"""
+    WITH feat AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS active_days
+      FROM events GROUP BY 1
+    ),
+    tc AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tw AS (
+      SELECT user_id, c,
+             CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM tc
+    ),
+    ent AS (
+      SELECT user_id,
+             ROUND(CAST(-SUM(CAST(
+               (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)
+               AS DECIMAL(28,15))) AS DOUBLE), 6) AS entropy
+      FROM tw GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT user_id, epoch_us(ts) - epoch_us(prev_ts) AS g FROM (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ) WHERE prev_ts IS NOT NULL
+    ),
+    gm AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(g AS DECIMAL(38,0))) AS BIGINT) AS s1,
+             SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+               AS s2
+      FROM gaps GROUP BY 1
+    ),
+    cv AS (
+      SELECT user_id,
+             CASE WHEN ng >= 2 AND s1 > 0 THEN
+               ROUND(sqrt(GREATEST(CAST(s2 AS DOUBLE) / ng
+                          - (CAST(s1 AS DOUBLE) / ng)
+                            * (CAST(s1 AS DOUBLE) / ng), 0))
+                     / (CAST(s1 AS DOUBLE) / ng), 6)
+             END AS gap_cv
+      FROM gm
+    ),
+    scored AS (
+      SELECT f.user_id, f.n_events, f.active_days,
+             ROUND(CAST(f.n_events AS DOUBLE) / f.active_days, 4)
+               AS rate_per_day,
+             e.entropy, cv.gap_cv,
+             (CASE WHEN CAST(f.n_events AS DOUBLE) / f.active_days
+                        > {BOT_RATE_MIN} THEN 1 ELSE 0 END
+              + CASE WHEN e.entropy < {BOT_ENTROPY_MAX} THEN 1 ELSE 0 END
+              + CASE WHEN cv.gap_cv < {BOT_GAP_CV_MAX} THEN 1 ELSE 0 END)
+               AS bot_score
+      FROM feat f
+      JOIN ent e ON e.user_id = f.user_id
+      LEFT JOIN cv ON cv.user_id = f.user_id
+    )
+    SELECT * FROM scored
+    ORDER BY bot_score DESC, n_events DESC, user_id
+    LIMIT {BOT_TOPK}
+    """,
+)
+def events_bot_score_heuristic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{BOT_TOPK} most bot-like users by a three-flag heuristic:
+    rate_per_day > {BOT_RATE_MIN}, type entropy < {BOT_ENTROPY_MAX}
+    bits, inter-event gap CV < {BOT_GAP_CV_MAX} (clockwork
+    regularity). Gaps are exact epoch MICROSECONDS (unix_micros ==
+    DuckDB epoch_us — integer end-to-end; the decimal(19,0) squares
+    dodge bigint overflow on month-long gaps); entropy reuses the
+    events_user_entropy decimal-term fold; every flag compares
+    identically-computed doubles. NULL gap_cv (single-event users)
+    never flags.
+
+    Plan: three grouped passes over events (counts, type entropy,
+    per-user LAG gaps — all partitioned by user, no global window),
+    two user-keyed joins, bounded top-k."""
+    ev = load_tables(spark, sf_dir)["events"]
+    feat = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct(F.to_date("ts")).cast("bigint").alias(
+            "active_days"
+        ),
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        tc.withColumn("n", F.sum("c").over(wu))
+        .withColumn("term", (p * F.log2(p)).cast("decimal(28,15)"))
+        .groupBy("user_id")
+        .agg(
+            F.round((-F.sum("term")).cast("double"), 6).alias("entropy")
+        )
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.unix_micros(F.lag("ts").over(wl)).alias("prev_us"),
+        )
+        .filter(F.col("prev_us").isNotNull())
+        .select("user_id", (F.col("us") - F.col("prev_us")).alias("g"))
+    )
+    gm = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("g").cast("decimal(38,0)")).cast("bigint").alias("s1"),
+        F.sum(
+            F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    gmean = F.col("s1").cast("double") / F.col("ng")
+    gvar = F.greatest(
+        F.col("s2").cast("double") / F.col("ng") - gmean * gmean,
+        F.lit(0.0),
+    )
+    cv = gm.select(
+        F.col("user_id").alias("_cu"),
+        F.when(
+            (F.col("ng") >= 2) & (F.col("s1") > 0),
+            F.round(F.sqrt(gvar) / gmean, 6),
+        ).alias("gap_cv"),
+    )
+    ent2 = ent.select(
+        F.col("user_id").alias("_eu"), "entropy"
+    )
+    rate = F.col("n_events").cast("double") / F.col("active_days")
+    scored = (
+        feat.join(ent2, F.col("_eu") == F.col("user_id"))
+        .join(cv, F.col("_cu") == F.col("user_id"), "left")
+        .select(
+            "user_id",
+            "n_events",
+            "active_days",
+            F.round(rate, 4).alias("rate_per_day"),
+            "entropy",
+            "gap_cv",
+            (
+                (rate > BOT_RATE_MIN).cast("int")
+                + (F.col("entropy") < BOT_ENTROPY_MAX).cast("int")
+                + F.coalesce(
+                    (F.col("gap_cv") < BOT_GAP_CV_MAX).cast("int"),
+                    F.lit(0),
+                )
+            ).alias("bot_score"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("bot_score"), F.desc("n_events"), "user_id"
+    ).limit(BOT_TOPK)

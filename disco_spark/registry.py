@@ -185,6 +185,7 @@ def load_all() -> None:
     from disco_spark.streaming import sinks  # noqa: F401
     from disco_spark.multimodal import binary_ops  # noqa: F401
     from disco_spark.sources import demo  # noqa: F401
+    from disco_spark.sources import pyds  # noqa: F401
     from disco_spark.operators import asof  # noqa: F401
     from disco_spark.similarity import kmeans  # noqa: F401
     from disco_spark.similarity import pq  # noqa: F401

@@ -125,6 +125,25 @@ def write_disco_netstring(
     df.select(line.alias("value")).write.mode("overwrite").text(path)
 
 
+def iter_disco_frames(buf: bytes):
+    """Yield (key, value) pairs from one legacy disco netstring byte
+    stream ('<klen> <key> <vlen> <value>\\n' per record,
+    task_io.py:184-249) — the ONE frame parser shared by the
+    mapInPandas reader below and the Python DataSource
+    (sources/pyds.py)."""
+    i = 0
+
+    def frame(i: int) -> tuple[str, int]:
+        j = buf.index(b" ", i, i + 11)
+        n = int(buf[i:j])
+        return buf[j + 1 : j + 1 + n].decode(), j + 1 + n + 1
+
+    while i < len(buf):
+        k, i = frame(i)
+        v, i = frame(i)
+        yield k, v
+
+
 def read_disco_netstring(spark: SparkSession, path: str) -> DataFrame:
     """Parse legacy disco netstring byte streams back to (key, value).
 
@@ -139,16 +158,7 @@ def read_disco_netstring(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             keys, vals = [], []
             for blob in pdf["content"]:
-                buf = bytes(blob)
-                i = 0
-
-                def frame(i: int) -> tuple[str, int]:
-                    j = buf.index(b" ", i, i + 11)
-                    n = int(buf[i:j])
-                    return buf[j + 1 : j + 1 + n].decode(), j + 1 + n + 1
-                while i < len(buf):
-                    k, i = frame(i)
-                    v, i = frame(i)
+                for k, v in iter_disco_frames(bytes(blob)):
                     keys.append(k)
                     vals.append(v)
             yield pd.DataFrame({"key": keys, "value": vals})
