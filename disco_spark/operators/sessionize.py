@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 
 # session gap: a new session starts after > 30 min of inactivity
 GAP_SECONDS = 1800
@@ -335,4 +335,189 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("fp").isNotNull().cast("int"))
         .cast("bigint")
         .alias("n_view_click_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness + top session paths — the two product-analytics
+# reads every event warehouse serves daily: "how habitual is usage"
+# (average daily actives over period actives) and "what do sessions
+# actually do" (the most common opening event paths).
+# ---------------------------------------------------------------------------
+PATH_LEN = 3
+PATH_TOPK = 20
+
+
+@query(
+    "events_stickiness_dau_mau",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    daily AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY 1
+    ),
+    grains AS (
+      SELECT 'month' AS grain, date_trunc('month', day) AS period,
+             day, user_id FROM d
+      UNION ALL
+      SELECT 'week', date_trunc('week', day), day, user_id FROM d
+    ),
+    au AS (
+      SELECT grain, period,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS period_actives
+      FROM grains GROUP BY 1, 2
+    ),
+    ds AS (
+      SELECT g.grain, g.period,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS dau_sum
+      FROM (SELECT DISTINCT grain, period, day FROM grains) g
+      JOIN daily ON daily.day = g.day
+      GROUP BY 1, 2
+    )
+    SELECT ds.grain, CAST(ds.period AS DATE) AS period_start,
+           ds.n_days, au.period_actives,
+           ROUND(CAST(ds.dau_sum AS DOUBLE) / ds.n_days, 4) AS dau_avg,
+           ROUND(CAST(ds.dau_sum AS DOUBLE)
+                 / (ds.n_days * au.period_actives), 6) AS stickiness
+    FROM ds JOIN au ON au.grain = ds.grain AND au.period = ds.period
+    ORDER BY ds.grain, period_start
+    """,
+)
+def events_stickiness_dau_mau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stickiness = avg(DAU) / period actives at month and ISO-week
+    grain (Spark trunc == DuckDB date_trunc, both Monday-start): 1.0
+    means every period-active user shows up every day. Exact distinct
+    counts per day and per period; the ratio is one rounded double
+    division of exact integers.
+
+    Plan: two grouped distinct-count passes (day grain, period grain)
+    plus a calendar-bounded join — at 100 TB swap the exact distincts
+    for HLL sketches (rollup_hll_daily_users is the registered
+    pattern) if user cardinality per partition explodes."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = ev.select(F.to_date("ts").alias("day"), "user_id")
+    daily = d.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    grains = d.select(
+        F.lit("month").alias("grain"),
+        F.trunc("day", "month").alias("period"),
+        "day",
+        "user_id",
+    ).unionAll(
+        d.select(
+            F.lit("week").alias("grain"),
+            F.trunc("day", "week").alias("period"),
+            "day",
+            "user_id",
+        )
+    )
+    au = grains.groupBy("grain", "period").agg(
+        F.count_distinct("user_id").cast("bigint").alias("period_actives")
+    )
+    ds = (
+        grains.select("grain", "period", "day")
+        .distinct()
+        .join(daily, "day")
+        .groupBy("grain", "period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("dau").cast("bigint").alias("dau_sum"),
+        )
+    )
+    return (
+        ds.join(au, ["grain", "period"])
+        .select(
+            "grain",
+            F.col("period").alias("period_start"),
+            "n_days",
+            "period_actives",
+            F.round(
+                F.col("dau_sum").cast("double") / F.col("n_days"), 4
+            ).alias("dau_avg"),
+            F.round(
+                F.col("dau_sum").cast("double")
+                / (F.col("n_days") * F.col("period_actives")),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("grain", "period_start")
+    )
+
+
+@query(
+    "events_session_path_topk",
+    oracle=f"""
+    WITH {SESSION_CTES},
+    ranked AS (
+      SELECT user_id, session_seq, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, session_seq
+               ORDER BY sec, event_type) AS rn
+      FROM s
+    ),
+    paths AS (
+      SELECT concat_ws('>',
+               MAX(CASE WHEN rn = 1 THEN event_type END),
+               MAX(CASE WHEN rn = 2 THEN event_type END),
+               MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM ranked WHERE rn <= {PATH_LEN}
+      GROUP BY user_id, session_seq
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM paths)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 6) AS share
+    FROM paths, tot
+    GROUP BY path, tot.n
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOPK}
+    """,
+)
+def events_session_path_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{PATH_TOPK} opening session paths (first {PATH_LEN} event
+    types, 'a>b>c'): the clickstream-shape report. Within-second ties
+    order by event_type — deterministic in both engines without an
+    event-id column in the shared session CTEs; shorter sessions keep
+    their shorter path (concat_ws skips the missing positions).
+
+    Plan: the shared gap-sessionization (per-user windows), one
+    per-session ROW_NUMBER window on the SAME partitioning, a
+    3-position conditional fold per session, a grouped count, bounded
+    top-k."""
+    ev = load_tables(spark, sf_dir)["events"]
+    se = sessionized_events(ev)
+    w = Window.partitionBy("user_id", "session_seq").orderBy(
+        "sec", "event_type"
+    )
+    ranked = se.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = ranked.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    paths = lazy_persist(paths)
+    tot = paths.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .crossJoin(tot)
+        .select(
+            "path",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("n"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOPK)
     )
