@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 
 
 @query(
@@ -1087,4 +1087,137 @@ def orders_interarrival_expfit_ks(
         d_stat.alias("d_stat"),
         d_crit.alias("d_crit"),
         (d_stat > d_crit).cast("int").alias("reject_exponential"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest — "measure, don't guess" applied to the EWMA
+# smoother itself: use the trailing-kernel EWMA of days [t-10, t-1]
+# as the forecast for day t, score MAE against actuals, and compare
+# to the naive yesterday-persistence baseline. A forecaster that
+# cannot beat persistence is decoration; the skill score makes that
+# a single auditable number.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_ewma_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    weights AS (
+      SELECT * FROM (VALUES {_EWMA_WEIGHTS_SQL}) AS t(k, w)
+    ),
+    contrib AS (
+      SELECT daily.day + (weights.k + 1) AS target,
+             CAST(daily.cents AS DECIMAL(24,0)) * weights.w AS weighted
+      FROM daily, weights
+    ),
+    fc AS (
+      SELECT target, SUM(weighted) AS num, COUNT(*) AS n_lags
+      FROM contrib GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.cents AS actual,
+             prev.cents AS naive,
+             ROUND(CAST(fc.num AS DOUBLE) / {_EWMA_WSUM} / 100, 4)
+               AS ewma_f
+      FROM fc
+      JOIN daily d ON d.day = fc.target
+      JOIN daily prev ON prev.day = fc.target - 1
+      WHERE fc.n_lags = {EWMA_K}
+    ),
+    folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(ROUND(ABS(CAST(actual AS DOUBLE) / 100
+                                      - ewma_f), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS ae_ewma,
+             CAST(SUM(CAST(ABS(actual - naive) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 100 AS ae_naive
+      FROM scored
+    )
+    SELECT n_days,
+           ROUND(ae_ewma / n_days, 4) AS mae_ewma,
+           ROUND(ae_naive / n_days, 4) AS mae_naive,
+           CASE WHEN ae_naive > 0
+                THEN ROUND(1 - ae_ewma / ae_naive, 6) END AS skill
+    FROM folds
+    """,
+)
+def orders_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the EWMA revenue forecaster: forecast
+    for day t = exact-decimal kernel over days [t-10, t-1] (the
+    orders_ewma_daily weights shifted one day forward), scored by MAE
+    against actuals and against naive persistence (yesterday's
+    value); skill = 1 - MAE_ewma/MAE_naive (positive = the smoother
+    earns its keep). Absolute errors fold as DECIMAL-rounded terms;
+    the naive error is exact integer cents end-to-end.
+
+    Plan: same kernel-join shape as orders_ewma_daily (10-row
+    broadcast, shuffle keyed on target day), two day-keyed joins on
+    the CALENDAR-BOUNDED daily table, one constant-size fold."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    daily = lazy_persist(daily)
+    weights = spark.sql(
+        f"SELECT * FROM (VALUES {_EWMA_WEIGHTS_SQL}) AS t(k, w)"
+    )
+    contrib = daily.crossJoin(F.broadcast(weights)).select(
+        F.date_add(F.col("day"), F.col("k") + 1).alias("target"),
+        (F.col("cents").cast("decimal(24,0)") * F.col("w")).alias(
+            "weighted"
+        ),
+    )
+    fc = contrib.groupBy("target").agg(
+        F.sum("weighted").alias("num"),
+        F.count(F.lit(1)).alias("n_lags"),
+    )
+    act = daily.select(F.col("day").alias("_ad"), F.col("cents").alias("actual"))
+    prv = daily.select(F.col("day").alias("_pd"), F.col("cents").alias("naive"))
+    ewma_f = F.round(
+        F.col("num").cast("double") / F.lit(float(_EWMA_WSUM)) / 100, 4
+    )
+    scored = (
+        fc.filter(F.col("n_lags") == EWMA_K)
+        .join(act, F.col("_ad") == F.col("target"))
+        .join(prv, F.col("_pd") == F.date_sub(F.col("target"), 1))
+        .select("actual", "naive", ewma_f.alias("ewma_f"))
+    )
+    folds = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(
+            F.round(
+                F.abs(F.col("actual").cast("double") / 100 - F.col("ewma_f")),
+                6,
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("ae_ewma"),
+        (
+            F.sum(
+                F.abs(F.col("actual") - F.col("naive")).cast("decimal(38,0)")
+            ).cast("double")
+            / 100
+        ).alias("ae_naive"),
+    )
+    return folds.select(
+        "n_days",
+        F.round(F.col("ae_ewma") / F.col("n_days"), 4).alias("mae_ewma"),
+        F.round(F.col("ae_naive") / F.col("n_days"), 4).alias("mae_naive"),
+        F.when(
+            F.col("ae_naive") > 0,
+            F.round(1 - F.col("ae_ewma") / F.col("ae_naive"), 6),
+        ).alias("skill"),
     )

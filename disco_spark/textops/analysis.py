@@ -622,3 +622,68 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("row_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Template / boilerplate-prefix detection: documents opening with the
+# SAME first TEMPLATE_PREFIX_TOKENS tokens are almost always generated
+# from one template (form letters, scraped page chrome, licence
+# headers) — a cheap high-precision screen that catches families the
+# shingle-Jaccard dedup only catches pairwise. Canonical keep-one
+# policy: min doc_id represents the cluster.
+# ---------------------------------------------------------------------------
+TEMPLATE_PREFIX_TOKENS = 5
+
+
+@query(
+    "doc_template_prefix_clusters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[1], toks[2], toks[3], toks[4], toks[5])
+               AS prefix
+      FROM t WHERE len(toks) >= {TEMPLATE_PREFIX_TOKENS}
+    )
+    SELECT md5(prefix) AS prefix_hash, prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS rep_doc_id
+    FROM p GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    ORDER BY n_docs DESC, prefix_hash
+    """,
+)
+def doc_template_prefix_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clusters of documents sharing their first
+    {TEMPLATE_PREFIX_TOKENS} tokens: (prefix_hash, prefix, n_docs,
+    rep_doc_id = min id), singletons dropped. One tokenized scan, one
+    groupBy on the md5'd prefix — the shuffle key is a 32-byte hash
+    regardless of document size, the dedup_exact posture applied to
+    prefixes. At 100 TB this is the cheapest template screen there
+    is; survivors go on to the shingle/LSH family for fuzzier
+    matches."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.col("toks")
+    prefix = F.concat_ws(
+        " ",
+        *[
+            F.element_at(toks, i + 1)
+            for i in range(TEMPLATE_PREFIX_TOKENS)
+        ],
+    )
+    return (
+        with_toks(docs)
+        .filter(F.size(toks) >= TEMPLATE_PREFIX_TOKENS)
+        .select("doc_id", prefix.alias("prefix"))
+        .groupBy(F.md5(F.col("prefix")).alias("prefix_hash"), "prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "prefix_hash")
+    )
