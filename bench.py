@@ -218,6 +218,20 @@ HEADLINE = [
     "theil_supplier_nation_decomposition",
     "orders_lorenz_deciles",
     "source_csv_roundtrip",
+    "customer_survival_km",
+    "part_abc_xyz_matrix",
+    "dedup_minhash_estimate_audit",
+    "orders_mean_ci_jackknife",
+    "welch_t_weekday_weekend",
+    "text_burrows_delta_sources",
+    "graph_kcore_membership",
+    "orders_interarrival_expfit_ks",
+    "source_pyds_netstring",
+    "events_bot_score_heuristic",
+    "events_stickiness_dau_mau",
+    "events_session_path_topk",
+    "orders_ewma_backtest",
+    "doc_template_prefix_clusters",
 ]
 
 
