@@ -234,3 +234,310 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_to_global"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-level silhouette: per label, mean distance of its vectors to
+# their own centroid (cohesion) vs the distance to the NEAREST other
+# centroid (separation) — the embedding-space health read behind
+# "are these labels geometrically real". sep_score > 0 means the
+# nearest foreign centroid is farther than the label's own spread.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_label_silhouette",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    lc AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(38,15))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM e GROUP BY 1, 2
+    ),
+    dv AS (
+      SELECT e.vec_id, e.label,
+             ROUND(sqrt(CAST(SUM(CAST((e.val - lc.m) * (e.val - lc.m)
+                      AS DECIMAL(38,15))) AS DOUBLE)), 9) AS d
+      FROM e JOIN lc ON lc.label = e.label AND lc.pos = e.pos
+      GROUP BY 1, 2
+    ),
+    intra AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(d AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+               AS intra_mean
+      FROM dv GROUP BY 1
+    ),
+    cd AS (
+      SELECT a.label AS la, b.label AS lb,
+             ROUND(sqrt(CAST(SUM(CAST((a.m - b.m) * (a.m - b.m)
+                      AS DECIMAL(38,15))) AS DOUBLE)), 9) AS dist
+      FROM lc a JOIN lc b ON a.pos = b.pos AND a.label <> b.label
+      GROUP BY 1, 2
+    ),
+    nearest AS (
+      SELECT la AS label, lb AS nearest_label, dist FROM (
+        SELECT la, lb, dist, ROW_NUMBER() OVER (
+          PARTITION BY la ORDER BY dist, lb) AS r
+        FROM cd
+      ) WHERE r = 1
+    )
+    SELECT i.label, i.n_vecs, ROUND(i.intra_mean, 6) AS intra_mean,
+           n.nearest_label, ROUND(n.dist, 6) AS nearest_inter,
+           CASE WHEN GREATEST(n.dist, i.intra_mean) > 0
+                THEN ROUND((n.dist - i.intra_mean)
+                           / GREATEST(n.dist, i.intra_mean), 6)
+           END AS sep_score
+    FROM intra i JOIN nearest n ON n.label = i.label
+    ORDER BY i.label
+    """,
+)
+def embedding_label_silhouette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label cohesion vs separation: mean L2 to own centroid,
+    distance to the nearest other centroid, and the silhouette-style
+    score (b - a)/max(a, b) evaluated at label grain. Per-cell squared
+    differences fold as DECIMAL terms (order-independent), per-vector
+    distances round at 9 dp before the label fold — engine-identical
+    end-to-end. On random synthetic labels expect sep_score < 0
+    (centroids of random partitions nearly coincide while spread is
+    large) — the honest "labels carry no geometry" reading.
+
+    Plan: the centroid table is |labels| x dims cells; the
+    per-vector distance join partitions on label/pos; centroid
+    pairwise distances are a bounded self-join. Nothing wider than
+    the exploded corpus shuffles once."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "valf")
+    ).withColumn("val", F.col("valf").cast("double"))
+    e = e.drop("valf")
+    lc = e.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    lcj = lc.select(
+        F.col("label").alias("_l"), F.col("pos").alias("_p"), "m"
+    )
+    dv = (
+        e.join(
+            lcj,
+            (F.col("_l") == F.col("label")) & (F.col("_p") == F.col("pos")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("val") - F.col("m")) * (F.col("val") - F.col("m")))
+                        .cast("decimal(38,15)")
+                    ).cast("double")
+                ),
+                9,
+            ).alias("d")
+        )
+    )
+    intra = dv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(F.col("d").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("intra_mean"),
+    )
+    a = lc.select(F.col("label").alias("la"), "pos", F.col("m").alias("ma"))
+    b = lc.select(F.col("label").alias("lb"), "pos", F.col("m").alias("mb"))
+    cd = (
+        a.join(b, "pos")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+                        .cast("decimal(38,15)")
+                    ).cast("double")
+                ),
+                9,
+            ).alias("dist")
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("la").orderBy("dist", "lb")
+    nearest = (
+        cd.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("la").alias("_nl"),
+            F.col("lb").alias("nearest_label"),
+            "dist",
+        )
+    )
+    sep = F.when(
+        F.greatest(F.col("dist"), F.col("intra_mean")) > 0,
+        F.round(
+            (F.col("dist") - F.col("intra_mean"))
+            / F.greatest(F.col("dist"), F.col("intra_mean")),
+            6,
+        ),
+    )
+    return (
+        intra.join(nearest, F.col("_nl") == F.col("label"))
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("intra_mean"), 6).alias("intra_mean"),
+            "nearest_label",
+            F.round(F.col("dist"), 6).alias("nearest_inter"),
+            sep.alias("sep_score"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantization-error audit — the estimator-quality report for
+# quantize_int8 (the dedup_minhash_estimate_audit pattern applied to
+# the embedding codec): per label, how much reconstruction error and
+# cosine drift does symmetric int8 actually cost? The go/no-go read
+# before shuffling codes instead of floats.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantization_error",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[],
+                                     x -> abs(x))) AS absmax
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, label,
+             unnest(v) AS val,
+             CASE WHEN absmax = 0 THEN 0 ELSE 127.0 / absmax END AS sc
+      FROM s
+    ),
+    hat AS (
+      SELECT vec_id, label, val,
+             CASE WHEN sc = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(ROUND(val * sc) AS DOUBLE) / sc END AS xh
+      FROM cells
+    ),
+    pv AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST((val - xh) * (val - xh) AS DECIMAL(38,15)))
+                  AS DOUBLE) / COUNT(*) AS mse,
+             CAST(SUM(CAST(val * xh AS DECIMAL(38,15))) AS DOUBLE)
+               AS dxy,
+             CAST(SUM(CAST(val * val AS DECIMAL(38,15))) AS DOUBLE)
+               AS dxx,
+             CAST(SUM(CAST(xh * xh AS DECIMAL(38,15))) AS DOUBLE)
+               AS dyy
+      FROM hat GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT label, ROUND(mse, 12) AS mse,
+             CASE WHEN dxx > 0 AND dyy > 0
+                  THEN ROUND(dxy / (sqrt(dxx) * sqrt(dyy)), 9)
+             END AS cosr
+      FROM pv
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(mse AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS mse_mean,
+           ROUND(CAST(SUM(CAST(cosr AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS cos_mean,
+           ROUND(MIN(cosr), 6) AS cos_min
+    FROM scored GROUP BY label ORDER BY label
+    """,
+)
+def embedding_quantization_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reconstruction audit for the int8 codec: per label, mean MSE
+    between original and dequantized vectors and the mean/min cosine
+    between them — quantify exactly what the 4x wire saving costs
+    (expect cosine > 0.999: int8 symmetric is nearly free for
+    retrieval). Shares quantize_int8's scheme (same scale formula,
+    same ROUND — both engines already hash-match on the codes);
+    per-cell terms fold as DECIMALs, per-vector stats round before
+    the label fold.
+
+    Plan: one exploded pass computes absmax per vector (array fold,
+    no shuffle) then cell-level terms; two grouped aggregates
+    (vector, label). Bounded output |labels| rows."""
+    t = load_tables(spark, sf_dir)
+    vec = F.col("embedding")
+    absmax = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    s = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "valf"),
+        F.when(absmax == 0.0, F.lit(0.0))
+        .otherwise(F.lit(127.0) / absmax)
+        .alias("sc"),
+    )
+    cells = s.select(
+        "vec_id",
+        "label",
+        F.col("valf").cast("double").alias("val"),
+        "sc",
+    )
+    xh = F.when(F.col("sc") == 0.0, F.lit(0.0)).otherwise(
+        F.round(F.col("val") * F.col("sc")).cast("double") / F.col("sc")
+    )
+    hat = cells.select("vec_id", "label", "val", xh.alias("xh"))
+    pv = hat.groupBy("vec_id", "label").agg(
+        (
+            F.sum(
+                ((F.col("val") - F.col("xh")) * (F.col("val") - F.col("xh")))
+                .cast("decimal(38,15)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mse"),
+        F.sum((F.col("val") * F.col("xh")).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("dxy"),
+        F.sum((F.col("val") * F.col("val")).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("dxx"),
+        F.sum((F.col("xh") * F.col("xh")).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("dyy"),
+    )
+    cosr = F.when(
+        (F.col("dxx") > 0) & (F.col("dyy") > 0),
+        F.round(
+            F.col("dxy") / (F.sqrt(F.col("dxx")) * F.sqrt(F.col("dyy"))), 9
+        ),
+    )
+    scored = pv.select(
+        "label", F.round(F.col("mse"), 12).alias("mse"), cosr.alias("cosr")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("mse").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mse_mean"),
+            F.round(
+                F.sum(F.col("cosr").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cos_mean"),
+            F.round(F.min("cosr"), 6).alias("cos_min"),
+        )
+        .orderBy("label")
+    )
