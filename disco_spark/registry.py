@@ -85,10 +85,25 @@ def query(name: str, oracle: str | None = None):
 # market_basket_lift, events_recency_decay_score, pareto_abc_parts,
 # split_kfold_counts, timetravel_orders_versions,
 # events_markov_transitions, events_attribution_last_touch,
-# events_user_entropy, and everything newer — see git log) are
+# events_user_entropy, and everything newer — see git log; the
+# 2026-08-15 continuation alone added 28 more: ks_test_price_segments,
+# mannwhitney_u_price_segments, graph_ra_link_prediction,
+# graph_assortativity_degree, orders_ewma_daily, fd_violations_audit,
+# dedup_containment_ngram, vocab_pmi_collocations,
+# theil_supplier_nation_decomposition, orders_lorenz_deciles,
+# source_csv_roundtrip, customer_survival_km, part_abc_xyz_matrix,
+# dedup_minhash_estimate_audit, orders_mean_ci_jackknife,
+# welch_t_weekday_weekend, text_burrows_delta_sources,
+# graph_kcore_membership, orders_interarrival_expfit_ks,
+# source_pyds_netstring, events_bot_score_heuristic,
+# events_stickiness_dau_mau, events_session_path_topk,
+# orders_ewma_backtest, doc_template_prefix_clusters,
+# embedding_label_silhouette, embedding_quantization_error, ...) are
 # never-driver-verified until round 8 — front-load them there together
 # with the 28 deferred round-4-stale names above; drain the remainder
-# oldest-first from the r5-stale pool over rounds 8-9.
+# oldest-first from the r5-stale pool over rounds 8-9 (the
+# never-verified pool now spans ~2 windows by itself: prioritize the
+# post-window queries BY AGE, oldest first, then the r4-stale).
 PRIORITY: list[str] = [
     # --- round-7 new queries
     "events_sessionize_gap", "tfidf_top_terms", "vocab_coverage_oov",
