@@ -541,3 +541,53 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", "source", F.md5(F.col("text")).alias("text_md5")
     )
+
+
+COMPACT_TARGET_MB = 32
+
+
+@query(
+    "table_compact_small_files",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    """,
+)
+def table_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every
+    petabyte lake runs nightly (the OPTIMIZE/rewrite_data_files shape):
+    a deliberately fragmented write (48 splinter files) is compacted
+    to ceil(bytes / {COMPACT_TARGET_MB} MB) files via coalesce —
+    a NARROW dependency, no shuffle: each output task concatenates
+    input splits, which is the whole point of a compactor (rewriting
+    100 TB through a shuffle would double the job's cost). The file
+    count drop is asserted in-function (chunked-ingest convention);
+    the oracle proves compaction lost nothing.
+
+    At real scale the same plan runs per partition-directory with the
+    target derived from file listings — exactly what this computes —
+    and skips partitions already above the floor."""
+    import glob
+    import math
+
+    t = load_tables(spark, sf_dir)
+    src = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    frag = tempfile.mkdtemp(prefix="disco_spark_frag_")
+    src.repartition(48).write.mode("overwrite").parquet(frag)
+    files = glob.glob(os.path.join(frag, "part-*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_target = max(
+        1, math.ceil(total_bytes / (COMPACT_TARGET_MB << 20))
+    )
+    comp = tempfile.mkdtemp(prefix="disco_spark_compact_")
+    spark.read.parquet(frag).coalesce(n_target).write.mode(
+        "overwrite"
+    ).parquet(comp)
+    out_files = glob.glob(os.path.join(comp, "part-*.parquet"))
+    assert len(out_files) <= n_target < len(files), (
+        f"compaction produced {len(out_files)} files "
+        f"(target {n_target}) from {len(files)}"
+    )
+    return spark.read.parquet(comp)

@@ -587,3 +587,86 @@ def streaming_sliding_topk_types(
         .filter(F.col("rnk") <= 2)
         .drop("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# checkpoint recovery — THE production streaming property: a restarted
+# query resumes from persisted state instead of reprocessing (or
+# worse, losing) history. Proven the only way it can be: the first
+# wave of files is DELETED before the restart, so the final counts
+# are right only if the state store actually came back.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_checkpoint_recovery",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    """,
+)
+def streaming_checkpoint_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-phase checkpointed aggregation over a file-landing stream:
+    wave 1 (even event_ids) is processed under a checkpointLocation
+    and then REMOVED from the landing dir; wave 2 (odd ids) lands and
+    a brand-new query object restarts from the same checkpoint. The
+    complete-mode per-type counts equal the full batch GROUP BY only
+    because (a) the recovered state store still holds wave 1's counts
+    and (b) the file-source log knows wave 1 was processed. foreachBatch
+    overwrites a parquet result per micro-batch (memory sinks do not
+    survive restarts; a real pipeline upserts to a table the same way).
+
+    Scale: state is |event_type| rows; the checkpoint cost is the
+    state-store commit per partition per batch — the same contract at
+    any volume."""
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stage = tempfile.mkdtemp(prefix="disco_spark_ckpt_")
+    land = os.path.join(stage, "landing")
+    ckpt = os.path.join(stage, "checkpoint")
+    out = os.path.join(stage, "result")
+    wave1, wave2 = (
+        os.path.join(stage, "wave1"),
+        os.path.join(stage, "wave2"),
+    )
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(wave1)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(wave2)
+    schema = ev.schema
+
+    def run_wave() -> None:
+        stream = spark.readStream.schema(schema).parquet(land)
+        counts = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        q = (
+            counts.writeStream.foreachBatch(
+                lambda df, _epoch: df.write.mode("overwrite").parquet(out)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def land_files(src: str) -> None:
+        for f in os.listdir(src):
+            if f.startswith("part-"):
+                shutil.copy(os.path.join(src, f), os.path.join(land, f))
+
+    os.makedirs(land)
+    land_files(wave1)
+    run_wave()
+    partial = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0]
+    total = ev.count()
+    assert partial < total, (
+        f"wave 1 should be partial: saw {partial} of {total}"
+    )
+    # the recovery proof: wave 1 is GONE before the restart
+    for f in os.listdir(land):
+        os.remove(os.path.join(land, f))
+    land_files(wave2)
+    run_wave()
+    return spark.read.parquet(out)
