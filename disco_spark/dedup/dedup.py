@@ -1098,3 +1098,125 @@ def dedup_minhash_estimate_audit(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Threshold calibration sweep — the decision-support curve behind
+# every dedup rollout: how many pairs (and how many documents) does
+# each candidate Jaccard threshold implicate? One scored-candidates
+# pass serves every threshold; nobody re-runs the pipeline per
+# setting.
+# --------------------------------------------------------------------------
+SWEEP_THRESHOLDS = [0.3, 0.5, 0.7, 0.9]
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_SQL},
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM shingles GROUP BY 1
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b
+                       AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cm.doc_a, cm.doc_b,
+             ROUND(CAST(cm.cnt AS DOUBLE) / (sa.n + sb.n - cm.cnt), 6)
+               AS jac
+      FROM common cm
+      JOIN sizes sa ON sa.doc_id = cm.doc_a
+      JOIN sizes sb ON sb.doc_id = cm.doc_b
+    ),
+    th AS (SELECT unnest({SWEEP_THRESHOLDS!r}::DOUBLE[]) AS threshold),
+    hits AS (
+      SELECT th.threshold, s.doc_a, s.doc_b
+      FROM th JOIN scored s ON s.jac >= th.threshold
+    ),
+    pairs AS (
+      SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM hits GROUP BY 1
+    ),
+    docs AS (
+      SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (
+        SELECT threshold, doc_a AS d FROM hits
+        UNION ALL SELECT threshold, doc_b FROM hits
+      ) GROUP BY 1
+    )
+    SELECT th.threshold,
+           COALESCE(pairs.n_pairs, 0) AS n_pairs,
+           COALESCE(docs.n_docs, 0) AS n_docs
+    FROM th
+    LEFT JOIN pairs ON pairs.threshold = th.threshold
+    LEFT JOIN docs ON docs.threshold = th.threshold
+    ORDER BY th.threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-pair and implicated-document counts at each candidate
+    Jaccard threshold {SWEEP_THRESHOLDS}, from ONE LSH-candidates +
+    exact-verify pass (banded candidates, never all pairs; jaccards
+    rounded before comparison so both engines agree at the
+    boundaries). The curve a corpus owner reads before fixing the
+    production threshold — counts drop as the bar rises.
+
+    Plan: candidate scoring once (persisted), a tiny broadcast
+    thresholds join fan-out, two bounded grouped counts."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = lazy_persist(shingle_df(docs))
+    cands = band_candidates(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n").alias("nb"))
+    scored = (
+        common.join(za, F.col("_za") == F.col("doc_a"))
+        .join(zb, F.col("_zb") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("cnt").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("cnt")),
+                6,
+            ).alias("jac"),
+        )
+    )
+    scored = lazy_persist(scored)
+    th = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    hits = F.broadcast(th).join(scored, F.col("jac") >= F.col("threshold"))
+    hits = lazy_persist(hits)
+    pairs = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs_n = (
+        hits.select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("bigint").alias("n_docs"))
+    )
+    return (
+        th.join(pairs, "threshold", "left")
+        .join(docs_n, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )

@@ -1305,3 +1305,111 @@ def welch_t_weekday_weekend(
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit — does the POOLED trend reverse inside
+# groups? The statistical-literacy gate before anyone acts on an
+# aggregate correlation: pooled slope of quantity on discount vs the
+# per-brand slopes (the regr_qty_vs_discount_by_brand grouping),
+# counting sign reversals on ROUNDED slopes.
+# ---------------------------------------------------------------------------
+_SIMPSON_SUMS = ", ".join(
+    [
+        "COUNT(*) AS n",
+        _msum_sql("l_discount", "sx"),
+        _msum_sql("l_quantity", "sy"),
+        _msum_sql("l_discount * l_discount", "sxx"),
+        _msum_sql("l_discount * l_quantity", "sxy"),
+    ]
+)
+_SIMPSON_SLOPE = "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)"
+
+
+@query(
+    "simpson_slope_reversal_audit",
+    oracle=f"""
+    WITH joined AS (
+      SELECT p.p_brand, l.l_discount, l.l_quantity
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pooled AS (
+      SELECT {_SIMPSON_SUMS} FROM joined
+    ),
+    pooled_slope AS (
+      SELECT {_SIMPSON_SLOPE} AS ps FROM pooled
+    ),
+    grp AS (
+      SELECT p_brand, {_SIMPSON_SUMS} FROM joined GROUP BY p_brand
+    ),
+    gslopes AS (
+      SELECT p_brand, {_SIMPSON_SLOPE} AS gs FROM grp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN sign(gs) <> sign(ps) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reversed,
+           MAX(ps) AS pooled_slope,
+           MIN(gs) AS min_group_slope,
+           MAX(gs) AS max_group_slope
+    FROM gslopes, pooled_slope
+    """,
+)
+def simpson_slope_reversal_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Counts brands whose quantity-vs-discount slope has the opposite
+    sign from the pooled slope — Simpson's paradox detection, the
+    audit that says whether the aggregate elasticity is safe to act on
+    (n_reversed = 0) or an artifact of mixture (n_reversed high).
+    Slopes come from the SAME exact-decimal normal-equation sums as
+    the regr family and are compared after the shared 6-dp rounding,
+    so both engines agree at the sign boundary.
+
+    Plan: one broadcast part join, TWO constant-size moment
+    aggregates (pooled 1 row, per-brand |brands| rows), a broadcast
+    cross of the 1-row pooled slope, and a bounded fold."""
+    from disco_spark.session import lazy_persist
+
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    x = lazy_persist(x)
+
+    def sums(df, *group):
+        return df.groupBy(*group).agg(
+            F.count(F.lit(1)).alias("n"),
+            _msum(F.col("x"), "sx"),
+            _msum(F.col("y"), "sy"),
+            _msum(F.col("x") * F.col("x"), "sxx"),
+            _msum(F.col("x") * F.col("y"), "sxy"),
+        )
+
+    def slope_col():
+        n = F.col("n").cast("double")
+        return F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        )
+
+    pooled = sums(x).select(slope_col().alias("ps"))
+    gslopes = sums(x, "p_brand").select(
+        "p_brand", slope_col().alias("gs")
+    )
+    return gslopes.crossJoin(F.broadcast(pooled)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(
+            (F.signum(F.col("gs")) != F.signum(F.col("ps"))).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_reversed"),
+        F.max("ps").alias("pooled_slope"),
+        F.min("gs").alias("min_group_slope"),
+        F.max("gs").alias("max_group_slope"),
+    )
