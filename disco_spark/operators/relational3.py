@@ -1220,3 +1220,194 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index — the economics read on the catalog: price
+# change per ship-year holding the BASE year's quantity basket fixed
+# (what the same 1995 basket would cost each year). Distinct from
+# orders_mom_growth (volume trend): this isolates PRICE movement with
+# explicit basket weights.
+# ---------------------------------------------------------------------------
+PRICE_INDEX_BASE_YEAR = 1995
+
+
+@query(
+    "part_price_index_laspeyres",
+    oracle=f"""
+    WITH py AS (
+      SELECT l_partkey, year(l_shipdate) AS yr,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, qty AS q0,
+             CAST(rev_cents AS DOUBLE) / qty AS p0
+      FROM py WHERE yr = {PRICE_INDEX_BASE_YEAR} AND qty > 0
+    ),
+    cur AS (
+      SELECT l_partkey, yr, CAST(rev_cents AS DOUBLE) / qty AS pt
+      FROM py WHERE qty > 0
+    ),
+    terms AS (
+      SELECT cur.yr,
+             CAST(ROUND(cur.pt * base.q0, 6) AS DECIMAL(28,6)) AS num_t,
+             CAST(ROUND(base.p0 * base.q0, 6) AS DECIMAL(28,6)) AS den_t
+      FROM cur JOIN base ON base.l_partkey = cur.l_partkey
+    )
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(num_t) AS DOUBLE)
+                 / CAST(SUM(den_t) AS DOUBLE), 6) AS laspeyres
+    FROM terms GROUP BY yr ORDER BY yr
+    """,
+)
+def part_price_index_laspeyres(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Laspeyres price index per ship-year, base {PRICE_INDEX_BASE_YEAR}:
+    sum(p_t * q_0) / sum(p_0 * q_0) over parts traded in both the
+    base year and year t, with p = exact-cents revenue / integer
+    quantity (the unit-value price). Index 1.0 = no price movement on
+    the base basket. Each basket term rounds at 6 dp then accumulates
+    in DECIMAL — order-independent, engine-identical.
+
+    Plan: one grouped (part, year) scan, the base-year slice joined
+    back on part, one grouped fold per year. Output bounded by the
+    calendar (7 years)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    py = lazy_persist(py)
+    price = F.col("rev_cents").cast("double") / F.col("qty")
+    base = py.filter(
+        (F.col("yr") == PRICE_INDEX_BASE_YEAR) & (F.col("qty") > 0)
+    ).select(
+        F.col("l_partkey").alias("_bp"),
+        F.col("qty").alias("q0"),
+        price.alias("p0"),
+    )
+    cur = py.filter(F.col("qty") > 0).select(
+        "l_partkey", "yr", price.alias("pt")
+    )
+    terms = cur.join(base, F.col("_bp") == F.col("l_partkey")).select(
+        "yr",
+        F.round(F.col("pt") * F.col("q0"), 6)
+        .cast("decimal(28,6)")
+        .alias("num_t"),
+        F.round(F.col("p0") * F.col("q0"), 6)
+        .cast("decimal(28,6)")
+        .alias("den_t"),
+    )
+    return (
+        terms.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("num_t").cast("double")
+                / F.sum("den_t").cast("double"),
+                6,
+            ).alias("laspeyres"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monetary-quartile migration matrix — the transition view Spearman's
+# single rho (spearman_rank_stability) summarizes away: per customer,
+# spend quartile in the early period vs the late period, as a 4x4
+# flow matrix. The diagonal is loyalty; the corners are churn-to-top
+# and collapse-to-bottom.
+# ---------------------------------------------------------------------------
+MIGRATION_SPLIT_YEAR = 1999
+
+
+@query(
+    "customer_quartile_migration",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN year(o_orderdate) < {MIGRATION_SPLIT_YEAR}
+                  THEN 'p1' ELSE 'p2' END AS period,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT o_custkey, period,
+             (4 * ROW_NUMBER() OVER (
+                PARTITION BY period ORDER BY cents, o_custkey)
+              + COUNT(*) OVER (PARTITION BY period) - 1)
+             // COUNT(*) OVER (PARTITION BY period) AS quartile
+      FROM spend
+    )
+    SELECT CAST(a.quartile AS BIGINT) AS q_early,
+           CAST(b.quartile AS BIGINT) AS q_late,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM q a JOIN q b ON a.o_custkey = b.o_custkey
+    WHERE a.period = 'p1' AND b.period = 'p2'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def customer_quartile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4x4 spend-quartile migration matrix between the pre- and
+    post-{MIGRATION_SPLIT_YEAR} periods (quartile 1 = lowest spend,
+    the rfm ceil(4r/n) integer convention), counting customers active
+    in both. Exact integer cents and ranks; ranks run through the
+    shared two-pass row-number harness per period — no
+    single-partition window (the per-period ordered window in the
+    ORACLE is DuckDB-only replay).
+
+    Plan: one grouped scan, two harness passes (one per period
+    partition, expressed as filters), a self-join on customer, a
+    16-cell fold."""
+    o = load_tables(spark, sf_dir)["orders"]
+    spend = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.year("o_orderdate") < MIGRATION_SPLIT_YEAR, "p1"
+        )
+        .otherwise("p2")
+        .alias("period"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    spend = lazy_persist(spend)
+
+    def quartiles(period: str) -> DataFrame:
+        part = spend.filter(F.col("period") == period)
+        ranked, n = global_row_number(
+            part, ["cents", "o_custkey"], out="rn"
+        )
+        return ranked.select(
+            "o_custkey",
+            ((4 * F.col("rn") + n - 1) / n).cast("bigint").alias("q"),
+        )
+
+    a = quartiles("p1").select(
+        F.col("o_custkey").alias("_c1"), F.col("q").alias("q_early")
+    )
+    b = quartiles("p2").select(
+        F.col("o_custkey").alias("_c2"), F.col("q").alias("q_late")
+    )
+    return (
+        a.join(b, F.col("_c1") == F.col("_c2"))
+        .groupBy("q_early", "q_late")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("q_early", "q_late")
+    )
