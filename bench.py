@@ -232,6 +232,14 @@ HEADLINE = [
     "events_session_path_topk",
     "orders_ewma_backtest",
     "doc_template_prefix_clusters",
+    "embedding_label_silhouette",
+    "embedding_quantization_error",
+    "streaming_checkpoint_recovery",
+    "table_compact_small_files",
+    "dedup_threshold_sweep",
+    "simpson_slope_reversal_audit",
+    "part_price_index_laspeyres",
+    "customer_quartile_migration",
 ]
 
 
