@@ -1411,3 +1411,111 @@ def customer_quartile_migration(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("q_early", "q_late")
     )
+
+
+# ---------------------------------------------------------------------------
+# Balassa revealed comparative advantage — the trade-economics read on
+# the supplier network: does nation n ship disproportionately much of
+# part-type s relative to the world mix? RCA > 1 = revealed
+# specialization. The per-cell normalization nation_trade_matrix
+# doesn't do.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_rca_by_part_type",
+    oracle="""
+    WITH x AS (
+      SELECT n.n_name AS nation, p.p_type AS ptype,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    xn AS (SELECT nation, CAST(SUM(cents) AS BIGINT) AS tot_n
+           FROM x GROUP BY 1),
+    xs AS (SELECT ptype, CAST(SUM(cents) AS BIGINT) AS tot_s
+           FROM x GROUP BY 1),
+    xw AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot_w FROM x)
+    SELECT x.nation, x.ptype,
+           ROUND(CAST(x.cents AS DOUBLE) / 100, 2) AS revenue,
+           ROUND((CAST(x.cents AS DOUBLE) / xn.tot_n)
+                 / (CAST(xs.tot_s AS DOUBLE) / xw.tot_w), 6) AS rca,
+           CASE WHEN (CAST(x.cents AS DOUBLE) / xn.tot_n)
+                     / (CAST(xs.tot_s AS DOUBLE) / xw.tot_w) > 1
+                THEN 1 ELSE 0 END AS specialized
+    FROM x
+    JOIN xn ON xn.nation = x.nation
+    JOIN xs ON xs.ptype = x.ptype
+    CROSS JOIN xw
+    ORDER BY x.nation, x.ptype
+    """,
+)
+def nation_rca_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balassa RCA per (supplier nation, part type): the nation's
+    revenue share in that type divided by the world's share —
+    (x_ns / X_n) / (x_ws / X_w), exact integer cents everywhere, two
+    rounded double divisions per cell, specialization flagged on the
+    UNROUNDED ratio identically in both engines. Output bounded by
+    |nations| x |types| regardless of volume.
+
+    Plan: one fact scan with two broadcast dim joins + a supplier
+    hash join, then three grouped margins (cell, nation, type) and a
+    1-row world total cross-joined back."""
+    t = load_tables(spark, sf_dir)
+    x = (
+        t["lineitem"]
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("p_type").alias("ptype")
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    x = lazy_persist(x)
+    xn = x.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("tot_n")
+    )
+    xs = x.groupBy("ptype").agg(
+        F.sum("cents").cast("bigint").alias("tot_s")
+    )
+    xw = x.agg(F.sum("cents").cast("bigint").alias("tot_w"))
+    rca_raw = (F.col("cents").cast("double") / F.col("tot_n")) / (
+        F.col("tot_s").cast("double") / F.col("tot_w")
+    )
+    return (
+        x.join(xn, "nation")
+        .join(xs, "ptype")
+        .crossJoin(F.broadcast(xw))
+        .select(
+            "nation",
+            "ptype",
+            F.round(F.col("cents").cast("double") / 100, 2).alias(
+                "revenue"
+            ),
+            F.round(rca_raw, 6).alias("rca"),
+            (rca_raw > 1).cast("int").alias("specialized"),
+        )
+        .orderBy("nation", "ptype")
+    )

@@ -588,3 +588,123 @@ def vocab_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood keyness (G^2) between the held-out test split
+# and the train split — the corpus-linguistics "what words
+# characterize THIS corpus" statistic, and the per-word significance
+# sibling of the distribution-level KL drift screen. High G^2 on a
+# hash split should be noise; on a real drifted corpus it names the
+# drifting vocabulary.
+# ---------------------------------------------------------------------------
+KEYNESS_MIN_COUNT = 5
+KEYNESS_TOPK = 25
+
+
+@query(
+    "vocab_keyness_test_vs_train",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    labeled AS (
+      SELECT w, CASE WHEN {_bucket_sql("doc_id")} < {_TEST_HI}
+                     THEN 1 ELSE 0 END AS is_test
+      FROM toks
+    ),
+    c AS (
+      SELECT w, CAST(SUM(is_test) AS BIGINT) AS a,
+             CAST(SUM(1 - is_test) AS BIGINT) AS b
+      FROM labeled GROUP BY 1
+    ),
+    n AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+      FROM c
+    ),
+    g2 AS (
+      SELECT c.w, c.a, c.b,
+             ROUND(2 * (
+               CASE WHEN c.a > 0
+                    THEN c.a * ln(CAST(c.a AS DOUBLE)
+                         / (CAST(c.a + c.b AS DOUBLE) * n.n1
+                            / (n.n1 + n.n2)))
+                    ELSE 0 END
+               + CASE WHEN c.b > 0
+                      THEN c.b * ln(CAST(c.b AS DOUBLE)
+                           / (CAST(c.a + c.b AS DOUBLE) * n.n2
+                              / (n.n1 + n.n2)))
+                      ELSE 0 END), 6) AS g2,
+             CASE WHEN CAST(c.a AS DOUBLE) * n.n2
+                       > CAST(c.b AS DOUBLE) * n.n1
+                  THEN 'test' ELSE 'train' END AS overused_in
+      FROM c, n WHERE c.a + c.b >= {KEYNESS_MIN_COUNT}
+    )
+    SELECT w, a AS n_test, b AS n_train, g2, overused_in
+    FROM g2 ORDER BY g2 DESC, w LIMIT {KEYNESS_TOPK}
+    """,
+)
+def vocab_keyness_test_vs_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{KEYNESS_TOPK} key words by Dunning's G^2 between the
+    md5-bucket test and train splits (the repo's one split
+    convention): G^2 = 2*sum(observed * ln(observed/expected)) over
+    the 2-cell word row, zero-count cells contributing zero. The
+    over/under flag compares exact integer cross-products (a*n2 vs
+    b*n1 — no float at the decision). One ln per surviving word,
+    rounded before ranking. On a hash split this reads as chi-square
+    noise — the A/A null; the operator's purpose is real corpus
+    pairs.
+
+    Plan: one tokenized scan, a grouped 2-cell count per word,
+    totals as a cross-joined 1-row aggregate, bounded top-k."""
+    t = load_tables(spark, sf_dir)
+    toks = with_toks(t["documents"]).select(
+        "doc_id", F.explode("toks").alias("w")
+    )
+    labeled = toks.select(
+        "w",
+        (hash_bucket(F.col("doc_id")) < _TEST_HI).cast("int").alias(
+            "is_test"
+        ),
+    )
+    c = labeled.groupBy("w").agg(
+        F.sum("is_test").cast("bigint").alias("a"),
+        F.sum(F.lit(1) - F.col("is_test")).cast("bigint").alias("b"),
+    )
+    c = lazy_persist(c)
+    n = c.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+    )
+    ntot = F.col("n1") + F.col("n2")
+    ea = (F.col("a") + F.col("b")).cast("double") * F.col("n1") / ntot
+    eb = (F.col("a") + F.col("b")).cast("double") * F.col("n2") / ntot
+    term_a = F.when(
+        F.col("a") > 0,
+        F.col("a") * F.log(F.col("a").cast("double") / ea),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0,
+        F.col("b") * F.log(F.col("b").cast("double") / eb),
+    ).otherwise(F.lit(0.0))
+    g2 = F.round(2 * (term_a + term_b), 6)
+    overused = F.when(
+        F.col("a").cast("double") * F.col("n2")
+        > F.col("b").cast("double") * F.col("n1"),
+        "test",
+    ).otherwise("train")
+    return (
+        c.filter(F.col("a") + F.col("b") >= KEYNESS_MIN_COUNT)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w",
+            F.col("a").alias("n_test"),
+            F.col("b").alias("n_train"),
+            g2.alias("g2"),
+            overused.alias("overused_in"),
+        )
+        .orderBy(F.desc("g2"), "w")
+        .limit(KEYNESS_TOPK)
+    )
