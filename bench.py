@@ -240,6 +240,9 @@ HEADLINE = [
     "simpson_slope_reversal_audit",
     "part_price_index_laspeyres",
     "customer_quartile_migration",
+    "vocab_keyness_test_vs_train",
+    "nation_rca_by_part_type",
+    "text_js_divergence_sources",
 ]
 
 

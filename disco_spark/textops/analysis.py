@@ -687,3 +687,136 @@ def doc_template_prefix_clusters(
         .filter(F.col("n_docs") > 1)
         .orderBy(F.desc("n_docs"), "prefix_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between sources — the symmetric,
+# bounded [0,1] distance matrix over unigram distributions
+# (text_kl_unigram_by_source is each source vs the corpus; Burrows'
+# Delta is top-word z-scores; JS is the full-vocabulary
+# information-theoretic pairing). One-sided words never need a dense
+# grid: when q = 0 the JS contribution is exactly p/2 (log2(2) = 1),
+# so JS = sum over the INTERSECTION of the two-sided terms plus half
+# of each side's out-of-intersection probability mass.
+# ---------------------------------------------------------------------------
+@query(
+    "text_js_divergence_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    c AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1
+    ),
+    probs AS (
+      SELECT c.source, c.w, CAST(c.c AS DOUBLE) / t.tot AS p
+      FROM c JOIN t ON t.source = c.source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(SUM(CAST(
+               0.5 * (a.p * log2(2 * a.p / (a.p + b.p))
+                      + b.p * log2(2 * b.p / (a.p + b.p)))
+             AS DECIMAL(28,15))) AS DOUBLE) AS inter_terms,
+             CAST(SUM(CAST(a.p AS DECIMAL(28,15))) AS DOUBLE) AS pin,
+             CAST(SUM(CAST(b.p AS DECIMAL(28,15))) AS DOUBLE) AS qin
+      FROM probs a JOIN probs b
+        ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    universe AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM t a JOIN t b ON a.source < b.source
+    )
+    SELECT u.source_a, u.source_b,
+           COALESCE(p.n_shared, 0) AS n_shared,
+           ROUND(COALESCE(p.inter_terms, 0)
+                 + 0.5 * ((1 - COALESCE(p.pin, 0))
+                          + (1 - COALESCE(p.qin, 0))), 6) AS js
+    FROM universe u
+    LEFT JOIN pairs p ON p.source_a = u.source_a
+                     AND p.source_b = u.source_b
+    ORDER BY u.source_a, u.source_b
+    """,
+)
+def text_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon divergence (log2, so 0 = identical, 1 =
+    disjoint) between every source pair's unigram distribution.
+    Probabilities are exact-integer ratios; intersection terms fold
+    as DECIMAL-rounded summands and the one-sided mass enters through
+    the closed-form p/2 identity — no densified source x vocab grid,
+    no NULL handling. Output bounded by |sources|^2.
+
+    Plan: one tokenized scan -> per-source counts and totals; the
+    pair join runs on the word key (each word joins only the sources
+    containing it); the 190-cell fold is constant-size."""
+    t = load_tables(spark, sf_dir)
+    toks = with_toks(t["documents"]).select(
+        "source", F.explode("toks").alias("w")
+    )
+    c = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from disco_spark.session import lazy_persist
+
+    c = lazy_persist(c)
+    tot = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    probs = c.join(tot, "source").select(
+        "source", "w", (F.col("c").cast("double") / F.col("tot")).alias("p")
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"), "w", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"), "w", F.col("p").alias("pb")
+    )
+    term = 0.5 * (
+        F.col("pa") * F.log2(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + F.col("pb")
+        * F.log2(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(term.cast("decimal(28,15)")).cast("double").alias(
+                "inter_terms"
+            ),
+            F.sum(F.col("pa").cast("decimal(28,15)"))
+            .cast("double")
+            .alias("pin"),
+            F.sum(F.col("pb").cast("decimal(28,15)"))
+            .cast("double")
+            .alias("qin"),
+        )
+    )
+    ua = tot.select(F.col("source").alias("source_a"))
+    ub = tot.select(F.col("source").alias("source_b"))
+    universe = ua.crossJoin(ub).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    # fully-disjoint pairs never meet in the word join — they must
+    # still report a row (js = 1), so the universe drives a left join
+    return universe.join(pairs, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        F.round(
+            F.coalesce(F.col("inter_terms"), F.lit(0.0))
+            + 0.5
+            * (
+                (1 - F.coalesce(F.col("pin"), F.lit(0.0)))
+                + (1 - F.coalesce(F.col("qin"), F.lit(0.0)))
+            ),
+            6,
+        ).alias("js"),
+    ).orderBy("source_a", "source_b")
