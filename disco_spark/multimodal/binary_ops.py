@@ -311,3 +311,102 @@ def multimodal_magic_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Payload byte-entropy screen (hex-nibble resolution) — the cheap
+# corruption/degeneracy detector for opaque media columns: encoded
+# media reads near-uniform (entropy ~ 4 bits/nibble), stuck or padded
+# payloads collapse toward 0. Pure string/arithmetic expressions on
+# the hex dump — NO Python in the plan, and the whole screen is
+# SQL-replayable (the fake-decode UDF path stays for real pixel ops).
+# ---------------------------------------------------------------------------
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+def _nibble_entropy_sql(h: str, length: str) -> str:
+    terms = []
+    for d in _HEX_DIGITS:
+        c = f"({length} - length(replace({h}, '{d}', '')))"
+        p = f"(CAST({c} AS DOUBLE) / {length})"
+        terms.append(f"CASE WHEN {c} > 0 THEN -{p} * log2({p}) ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _nibble_entropy_col(h, length):
+    total = F.lit(0.0)
+    for d in _HEX_DIGITS:
+        c = length - F.length(F.regexp_replace(h, d, ""))
+        p = c.cast("double") / length
+        total = total + F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+    return total
+
+
+@query(
+    "multimodal_payload_entropy",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, 'image' AS media_type,
+             upper(md5(text)) AS h
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'audio',
+             upper(repeat('00FF', 8))
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    per AS (
+      SELECT media_type,
+             ROUND({_nibble_entropy_sql("h", "length(h)")}, 6) AS ent
+      FROM media
+    )
+    SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           ROUND(CAST(SUM(CAST(ent AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS entropy_mean,
+           MIN(ent) AS entropy_min, MAX(ent) AS entropy_max
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def multimodal_payload_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hex-nibble Shannon entropy per payload, rolled up by media
+    type: the synthesized corpus carries md5-digest 'image' payloads
+    (near-uniform, entropy pushing 4 bits) and a planted degenerate
+    'audio' stripe (repeating 00FF pattern -> exactly 1 bit) — the
+    screen separates them by an order of magnitude. Per-payload
+    entropy is a fixed 16-term expression over exact character
+    counts (rounded at 6 dp before the decimal rollup fold).
+
+    Plan: payloads never leave executors; the hex dump + 16
+    replaces + log terms are whole-stage-codegen expressions; output
+    is |media_type| rows."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    image = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.upper(F.md5(F.col("text"))).alias("h"),
+    )
+    audio = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.upper(F.lit("00FF" * 8)).alias("h"),
+    )
+    media = image.unionAll(audio)
+    ent = F.round(
+        _nibble_entropy_col(F.col("h"), F.length(F.col("h"))), 6
+    )
+    per = media.select("media_type", ent.alias("ent"))
+    return (
+        per.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+            F.round(
+                F.sum(F.col("ent").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("entropy_mean"),
+            F.min("ent").alias("entropy_min"),
+            F.max("ent").alias("entropy_max"),
+        )
+        .orderBy("media_type")
+    )

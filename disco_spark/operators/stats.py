@@ -1413,3 +1413,103 @@ def simpson_slope_reversal_audit(
         F.min("gs").alias("min_group_slope"),
         F.max("gs").alias("max_group_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F-test — does mean order value differ across the five
+# order priorities? Completes the testing ladder (two-group Welch ->
+# k-group ANOVA). Group moments are exact; SSB/SSW come from the
+# classic computational forms on identically-computed doubles.
+# ---------------------------------------------------------------------------
+ANOVA_F_CRIT = 2.372  # F(4, inf) at 5%
+
+
+@query(
+    "anova_price_by_priority",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0))) AS BIGINT) AS s1,
+             SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 AS DECIMAL(19,0))
+                 * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   AS DECIMAL(19,0))) AS s2
+      FROM orders GROUP BY 1
+    ),
+    folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) / n, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sum_sq_over_n,
+             CAST(SUM(CAST(s1 AS DECIMAL(38,0))) AS BIGINT) AS st,
+             CAST(SUM(s2) AS DOUBLE) AS stot2
+      FROM m
+    ),
+    f AS (
+      SELECT k, nn,
+             sum_sq_over_n
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nn AS ssb,
+             stot2 - sum_sq_over_n AS ssw
+      FROM folds
+    )
+    SELECT k AS n_groups, nn AS n_rows,
+           ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat,
+           CASE WHEN ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 6)
+                     > {ANOVA_F_CRIT} THEN 1 ELSE 0 END AS significant
+    FROM f
+    """,
+)
+def anova_price_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way ANOVA of order value across the five priorities:
+    F = (SSB/(k-1)) / (SSW/(N-k)) from per-group exact integer-cents
+    moments (sum and decimal sum-of-squares); the per-group s1^2/n
+    terms round at 6 dp before their decimal fold so the k-term sum
+    is order-independent. Flag compares the ROUNDED F to the
+    F(4, inf) 5% critical value. On uniform synthetic priorities this
+    is the A/A null (F ~ 1).
+
+    Plan: one scan to a 5-row moment table, then constant
+    arithmetic."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("s1"),
+        F.sum(
+            cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    folds = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(
+            F.round(
+                F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sum_sq_over_n"),
+        F.sum(F.col("s1").cast("decimal(38,0)")).cast("bigint").alias("st"),
+        F.sum("s2").cast("double").alias("stot2"),
+    )
+    ssb = (
+        F.col("sum_sq_over_n")
+        - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nn")
+    )
+    ssw = F.col("stot2") - F.col("sum_sq_over_n")
+    fstat = F.round(
+        (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+    )
+    return folds.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        fstat.alias("f_stat"),
+        (fstat > ANOVA_F_CRIT).cast("int").alias("significant"),
+    )
