@@ -665,3 +665,53 @@ def events_bot_score_heuristic(
     return scored.orderBy(
         F.desc("bot_score"), F.desc("n_events"), "user_id"
     ).limit(BOT_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour activity grid — the traffic heatmap behind
+# capacity planning and anomaly baselining (the time-grid sibling of
+# heatmap_qty_price_bins' value grid): 7x24 cells, each with volume,
+# share, and the deviation ratio against a uniform week.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    WITH g AS (
+      SELECT isodow(ts) AS dow, hour(ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT g.dow, g.hr, g.n,
+           ROUND(CAST(g.n AS DOUBLE) / t.total, 6) AS share,
+           ROUND(CAST(g.n * 168 AS DOUBLE) / t.total, 6) AS dev_ratio
+    FROM g, t ORDER BY g.dow, g.hr
+    """,
+)
+def events_dow_hour_heatmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event volume per (ISO weekday, hour-of-day) cell with share
+    and the 168-cell uniform-week deviation ratio (1.0 = flat
+    traffic) — the weekly load heatmap. Spark weekday()+1 replays
+    isodow; one grouped count folds map-side to at most 168 cells at
+    any volume, the total rides as a broadcast 1-row aggregate."""
+    ev = load_tables(spark, sf_dir)["events"]
+    g = ev.select(
+        (F.expr("weekday(ts)") + 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = F.broadcast(g.agg(F.sum("n").cast("bigint").alias("total")))
+    return g.crossJoin(t).select(
+        "dow",
+        "hr",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.round(
+            (F.col("n") * 168).cast("double") / F.col("total"), 6
+        ).alias("dev_ratio"),
+    ).orderBy("dow", "hr")

@@ -565,3 +565,69 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Local bridges: edges that close NO triangle (zero common neighbors)
+# — the connectivity-risk read on the co-order graph: such an edge is
+# the only local path between its endpoints, so its disappearance
+# (a delisted part, a dropped supplier link) lengthens every route
+# through it. The exact complement of the triangle kernel, from the
+# same shared edge harness.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_local_bridges",
+    oracle=f"""
+    WITH {EDGES_CTES},{_UND_DEG_CTES},
+    closed AS (
+      SELECT DISTINCT w1.dst AS a, w2.dst AS b
+      FROM und w1 JOIN und w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    ),
+    bridges AS (
+      SELECT e.u, e.v FROM edges e
+      LEFT JOIN closed c ON c.a = e.u AND c.b = e.v
+      WHERE c.a IS NULL
+    )
+    SELECT b.u, b.v, du.d AS deg_u, dv.d AS deg_v
+    FROM bridges b
+    JOIN deg du ON du.node = b.u
+    JOIN deg dv ON dv.node = b.v
+    ORDER BY b.u, b.v
+    """,
+)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges with zero common neighbors (local bridges, span > 2),
+    with both endpoint degrees: the exact set of co-order links whose
+    loss locally disconnects their endpoints. Pure set algebra on the
+    shared harness — wedge-closed pairs (the triangle kernel's
+    middle-vertex join) anti-joined against the edge list.
+
+    Plan: one wedge join bounded by the hub-capped degree profile,
+    one anti join, two degree lookups. Same scalability posture as
+    graph_triangle_count."""
+    from disco_spark.session import lazy_persist
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = lazy_persist(coorder_edges(li))
+    und, deg = _und_deg(e)
+    w1 = und.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    w2 = und.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    closed = (
+        w1.join(w2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    bridges = e.join(
+        closed,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("_nu"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("_nv"), F.col("d").alias("deg_v"))
+    return (
+        bridges.join(du, F.col("_nu") == F.col("u"))
+        .join(dv, F.col("_nv") == F.col("v"))
+        .select("u", "v", "deg_u", "deg_v")
+        .orderBy("u", "v")
+    )
