@@ -243,6 +243,10 @@ HEADLINE = [
     "vocab_keyness_test_vs_train",
     "nation_rca_by_part_type",
     "text_js_divergence_sources",
+    "anova_price_by_priority",
+    "multimodal_payload_entropy",
+    "graph_local_bridges",
+    "events_dow_hour_heatmap",
 ]
 
 
