@@ -247,6 +247,8 @@ HEADLINE = [
     "multimodal_payload_entropy",
     "graph_local_bridges",
     "events_dow_hour_heatmap",
+    "graph_label_propagation",
+    "orders_trend_mann_kendall",
 ]
 
 

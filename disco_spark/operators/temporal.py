@@ -1221,3 +1221,122 @@ def orders_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 - F.col("ae_ewma") / F.col("ae_naive"), 6),
         ).alias("skill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on daily revenue — the non-parametric "is
+# there a monotonic trend?" screen that completes the trend-diagnostic
+# family (orders_runs_test for randomness, orders_autocorr_daily for
+# memory, events_cusum_changepoint for level shifts). S = #(later day
+# with higher revenue) - #(later day with lower revenue) over all day
+# pairs; tau_b normalizes by the tie-corrected pair count. Reference
+# analog: none (beyond-reference analytics surface).
+#
+# Scale story: the pair join runs over the DAILY aggregate — a
+# calendar-bounded table (~2.4k rows over the 7-year TPC-H range), so
+# the O(days^2) pair space is a constant w.r.t. row volume; the data-
+# sized work is the one grouped cents sum. The non-equi join
+# broadcasts the tiny daily table (BroadcastNestedLoopJoin, never a
+# partitioned cartesian). All pair comparisons are on exact integer
+# cents, so both engines count the same S bit-for-bit; the only float
+# op is the final sqrt of identical bigint-derived doubles.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_trend_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_concordant,
+             CAST(SUM(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_discordant,
+             CAST(SUM(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ties
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    tie_y AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) / 2), 0) AS BIGINT) AS n2
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents)
+      WHERE t > 1
+    )
+    SELECT n_days, n_concordant, n_discordant, n_ties,
+           n_concordant - n_discordant AS s_stat,
+           ROUND(
+             CAST(n_concordant - n_discordant AS DOUBLE)
+             / SQRT(CAST(n_days * (n_days - 1) / 2 AS DOUBLE)
+                    * CAST(n_days * (n_days - 1) / 2 - n2 AS DOUBLE)),
+             6) AS tau_b
+    FROM pairs, nd, tie_y
+    """,
+)
+def orders_trend_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over daily revenue: one row
+    (n_days, n_concordant, n_discordant, n_ties, s_stat, tau_b). Days
+    are the implicit x (distinct, so no x-tie correction); tau_b
+    divides S by sqrt(n0 * (n0 - ties_y)) with n0 = n(n-1)/2.
+
+    Plan: one scan -> daily exact-cents aggregate (calendar-bounded),
+    then an all-pairs comparison via a broadcast non-equi self-join of
+    that tiny table, then scalar arithmetic. Nothing here grows with
+    the fact table; at 100 TB the cost is the daily groupBy scan."""
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = lazy_persist(daily)
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1).otherwise(0)
+            ).cast("bigint").alias("n_concordant"),
+            F.sum(
+                F.when(F.col("cb") < F.col("ca"), 1).otherwise(0)
+            ).cast("bigint").alias("n_discordant"),
+            F.sum(
+                F.when(F.col("cb") == F.col("ca"), 1).otherwise(0)
+            ).cast("bigint").alias("n_ties"),
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    tie_y = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("n2")
+        )
+    )
+    n0 = (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("bigint")
+    s = (F.col("n_concordant") - F.col("n_discordant")).cast("bigint")
+    return pairs.crossJoin(nd).crossJoin(tie_y).select(
+        "n_days",
+        "n_concordant",
+        "n_discordant",
+        "n_ties",
+        s.alias("s_stat"),
+        F.round(
+            s.cast("double")
+            / F.sqrt(
+                n0.cast("double") * (n0 - F.col("n2")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
