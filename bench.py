@@ -249,6 +249,8 @@ HEADLINE = [
     "events_dow_hour_heatmap",
     "graph_label_propagation",
     "orders_trend_mann_kendall",
+    "search_trigram_wildcard",
+    "dedup_tfidf_cosine_bigram",
 ]
 
 

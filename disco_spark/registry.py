@@ -234,6 +234,7 @@ def load_all() -> None:
     from disco_spark.operators import semistruct  # noqa: F401
     from disco_spark.operators import temporal  # noqa: F401
     from disco_spark.similarity import communities  # noqa: F401
+    from disco_spark.index import trgm  # noqa: F401
     from disco_spark.textops import tfidf  # noqa: F401
     from disco_spark.textops import lm_score  # noqa: F401
     from disco_spark.dedup import substring  # noqa: F401

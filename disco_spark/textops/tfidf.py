@@ -157,3 +157,164 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sparse-cosine near-dup detection — the classic IR dedup
+# geometry (tf-idf vectors, cosine), completing the dedup family's
+# coverage of similarity measures: set (Jaccard), sketch (MinHash),
+# bit (SimHash), containment (asymmetric), dense (embedding cosine) —
+# and now WEIGHTED sparse. Terms are token BIGRAMS (the unigram vocab
+# of this corpus is ~40 words — unigram vectors would be dense and
+# meaningless); DF-pruning keeps only bigrams in <= TFIDF_DF_CAP docs,
+# which is simultaneously the quality move (stop-bigrams carry no
+# near-dup signal at idf ~ 0) and the scale move (every posting list
+# entering the pair join is bounded by DF_CAP, so per-term pair
+# generation is O(DF_CAP^2), never O(corpus^2) — the rare-term
+# blocking standard in large-scale dedup).
+#
+# Determinism: the only transcendental is ln((N+1)/(df+1)), quantized
+# ONCE per df value to an integer micro-idf (ROUND(idf*1e6)); weights
+# tf * idf6, dots, and norms are then exact integer/decimal sums in
+# both engines, and the final cosine is one double division + sqrt of
+# identical values, rounded to 6 before the threshold compare.
+# Measured on this corpus: 25 planted near-dup pairs at cosine >=
+# 0.868, next chance pair at 0.255 — the 0.5 threshold sits in a
+# .25-wide dead zone.
+# ---------------------------------------------------------------------------
+TFIDF_DF_CAP = 40
+TFIDF_MIN_COS = 0.5
+
+_BIGRAM_TF_SQL = f"""
+    btoks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS bigram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM btoks WHERE len(toks) >= 2)
+    ),
+    btf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM bg GROUP BY 1, 2)"""
+
+
+@query(
+    "dedup_tfidf_cosine_bigram",
+    oracle=f"""
+    WITH {_BIGRAM_TF_SQL},
+    dfreq AS (
+      SELECT bigram, COUNT(*) AS df FROM btf
+      GROUP BY 1 HAVING COUNT(*) <= {TFIDF_DF_CAP}
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT btf.doc_id, btf.bigram,
+             btf.tf * CAST(ROUND(
+               LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) * 1000000
+             ) AS BIGINT) AS w
+      FROM btf JOIN dfreq USING (bigram) CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, SUM(CAST(w AS DECIMAL(38,0)) * w) AS n2
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(a.w AS DECIMAL(38,0)) * b.w) AS dot
+      FROM w a JOIN w b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE ROUND(CAST(dot AS DOUBLE)
+                / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                6) >= {TFIDF_MIN_COS}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_tfidf_cosine_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by tf-idf bigram cosine >= {TFIDF_MIN_COS}
+    over DF-pruned (df <= {TFIDF_DF_CAP}) bigram vectors:
+    (doc_a, doc_b, cosine), doc_a < doc_b.
+
+    Plan: tokenize once -> bigram tf -> df filter (the posting-list
+    bound) -> integer micro-idf weights -> pair join ON the bigram key
+    (each posting list <= DF_CAP rows) -> exact decimal dot/norms ->
+    one double cosine per surviving pair. No all-pairs stage exists
+    anywhere in the plan; candidate volume is sum_t df_t^2 over pruned
+    terms, the rare-term-blocking bound."""
+    t = load_tables(spark, sf_dir)
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    tf = (
+        with_toks(t["documents"])
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        tf.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= TFIDF_DF_CAP)
+    )
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    idf6 = F.round(
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        * 1000000
+    ).cast("bigint")
+    w = (
+        tf.join(dfreq, "bigram")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "bigram", (F.col("tf") * idf6).alias("w"))
+    )
+    from disco_spark.session import lazy_persist
+
+    w = lazy_persist(w)
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("n2")
+    )
+    a = w.select(
+        F.col("bigram").alias("bg"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("w").alias("wa"),
+    )
+    b = w.select(
+        F.col("bigram").alias("bg"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(b, "bg")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias(
+                "dot"
+            )
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("_na"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("_nb"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        6,
+    )
+    return (
+        dots.join(na, F.col("_na") == F.col("doc_a"))
+        .join(nb, F.col("_nb") == F.col("doc_b"))
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= TFIDF_MIN_COS)
+        .orderBy("doc_a", "doc_b")
+    )
