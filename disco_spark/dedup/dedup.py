@@ -134,30 +134,67 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def _bands_sql() -> str:
-    """DuckDB CTEs `sig` + `bands` + `cands` matching band_candidates()
-    over the `shingles` CTE (same md5-salted hash family both sides)."""
+# Hot-bucket cap: at most BAND_CAP signature-group REPRESENTATIVES
+# survive per (band_idx, band_key) bucket (smallest doc_ids win —
+# deterministic in any engine), so one boilerplate band of B members
+# yields at most BAND_CAP² rep pairs, never B². Exact-signature groups
+# are collapsed to their min-doc_id representative BEFORE banding and
+# re-attached as linear (rep, member) star edges — on replica-heavy
+# corpora this removes most of the quadratic mass losslessly (identical
+# signatures ⇒ identical band keys ⇒ identical collisions), and the cap
+# bounds what's left. Recall loss from the cap is audited by
+# dedup_lsh_band_stats.
+BAND_CAP = 20
+
+
+def _bands_sql(prefix: str = "", where: str = "") -> str:
+    """DuckDB CTEs `{p}sig` → `{p}grp` (signature groups) → `{p}star`
+    (rep→member edges) → `{p}repsig` → `{p}bands` (per-bucket capped
+    rep band keys) → `{p}cands` matching band_candidates() over the
+    `shingles` CTE (same md5-salted hash family, same grouping, same
+    BAND_CAP row_number cap on both sides). `where` filters the docs
+    entering the chain (dedup_incremental_lsh builds one chain per
+    side); `prefix` namespaces the CTEs so two chains can coexist."""
+    p = prefix
     mins = ", ".join(
         f"min(md5(concat('s{i} ', shingle))) AS mh{i}" for i in range(N_HASHES)
     )
+    mh_cols = ", ".join(f"mh{i}" for i in range(N_HASHES))
+    wh = f"WHERE {where} " if where else ""
     parts = []
     for b in range(N_HASHES // BAND_SIZE):
         cols = ", ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
-        head = "0 AS band_idx, md5(concat({c})) AS band_key" if b == 0 else "{b}, md5(concat({c}))"
         parts.append(
-            f"SELECT doc_id, {head.format(b=b, c=cols)} FROM sig"
+            f"SELECT doc_id, {b} AS band_idx, md5(concat({cols})) AS band_key"
+            f" FROM {p}repsig"
         )
     union = "\n      UNION ALL\n      ".join(parts)
     return f"""
-    sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
-    bands AS (
+    {p}sig AS (SELECT doc_id, {mins} FROM shingles {wh}GROUP BY doc_id),
+    {p}grp AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY {mh_cols}) AS rep, {mh_cols}
+      FROM {p}sig
+    ),
+    {p}star AS (SELECT rep AS doc_a, doc_id AS doc_b FROM {p}grp WHERE doc_id <> rep),
+    {p}repsig AS (SELECT doc_id, {mh_cols} FROM {p}grp WHERE doc_id = rep),
+    {p}rawbands AS (
       {union}
     ),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+    {p}bands AS (
+      SELECT doc_id, band_idx, band_key FROM (
+        SELECT doc_id, band_idx, band_key,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, band_key
+                                  ORDER BY doc_id) AS rn
+        FROM {p}rawbands)
+      WHERE rn <= {BAND_CAP}
+    ),
+    {p}cands AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {p}bands a JOIN {p}bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
+      UNION
+      SELECT doc_a, doc_b FROM {p}star
     )"""
 
 
@@ -199,23 +236,118 @@ def band_keys_df(sig: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
 
 
+def signature_groups(sig: DataFrame) -> DataFrame:
+    """sig + `rep` column: rep = min doc_id among docs whose FULL
+    signature (mh0..mhN) is identical. One window shuffle on the
+    signature columns — no join, no per-group list materialization, so
+    a 10M-member replica group streams through the sort instead of
+    collecting anywhere."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(f"mh{i}") for i in range(N_HASHES)])
+    return sig.withColumn("rep", F.min("doc_id").over(w))
+
+
+def rep_band_keys(grouped: DataFrame) -> DataFrame:
+    """Per-bucket-capped (doc_id, band_idx, band_key) rows over the
+    signature-group REPRESENTATIVES of a signature_groups() frame: at
+    most BAND_CAP reps (smallest doc_ids) survive per bucket, so the
+    downstream self-join is bounded per bucket no matter how hot a
+    boilerplate band gets. The row_number window partitions on exactly
+    the self-join key, so AQE reuses one Exchange for both."""
+    from pyspark.sql.window import Window
+
+    reps = grouped.filter(F.col("doc_id") == F.col("rep")).drop("rep")
+    bands = band_keys_df(reps)
+    wc = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
+    return (
+        bands.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= BAND_CAP)
+        .drop("rn")
+    )
+
+
 def band_candidates(sig: DataFrame) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded minhash signatures:
     docs collide when one whole band of their signatures matches. The
-    self-join is bucketed on (band_idx, band_key) — only near-dup
-    buckets produce pairs, never the n² cross space.
+    self-join is bucketed on (band_idx, band_key) AND bounded per
+    bucket: exact-signature groups collapse to one representative
+    before banding (members re-attach as linear star edges), and each
+    bucket keeps at most BAND_CAP reps — so a hot band costs
+    O(BAND_CAP²), never B². See BAND_CAP for the full scale rationale.
 
     The band keys come from ONE posexplode over an array expression
     (not a UNION of per-band selects, which would re-evaluate the
     signature aggregation once per band — 3 shuffles instead of 1)."""
-    bands = band_keys_df(sig)
+    grouped = lazy_persist(signature_groups(sig))
+    star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    bands = rep_band_keys(grouped)
     a = bands.toDF("doc_a", "band_idx", "band_key")
     b = bands.toDF("doc_b", "band_idx", "band_key")
-    return (
+    rep_pairs = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
+    )
+    # star doc_b is never a rep, so the arms are disjoint; distinct()
+    # only dedups rep pairs proposed by multiple bands (set semantics,
+    # matching the oracle's UNION)
+    return rep_pairs.union(star).distinct()
+
+
+@query(
+    "dedup_lsh_band_stats",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_bands_sql()},
+    bucket AS (
+      SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM rawbands GROUP BY 1, 2
+    )
+    SELECT band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN sz > {BAND_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_buckets,
+           CAST(SUM(CASE WHEN sz > {BAND_CAP} THEN sz - {BAND_CAP} ELSE 0 END)
+                AS BIGINT) AS n_dropped_reps
+    FROM bucket GROUP BY band_idx ORDER BY band_idx
+    """,
+)
+def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIT half of the BAND_CAP contract: per band, how many
+    buckets exist (over signature-group representatives), the hottest
+    bucket's size, how many buckets exceeded the cap, and how many reps
+    the cap dropped. A corpus owner reads this before trusting a capped
+    dedup run — n_dropped_reps is the recall budget the cap spent, and
+    a pathological max_bucket is the boilerplate band this operator
+    exists to survive (the quadratic pair blowup the cap prevented)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    grouped = signature_groups(
+        minhash_signatures(shingle_df(with_toks(docs)))
+    )
+    reps = grouped.filter(F.col("doc_id") == F.col("rep")).drop("rep")
+    bucket = (
+        band_keys_df(reps)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    over = F.col("sz") > BAND_CAP
+    return (
+        bucket.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(over.cast("int")).cast("bigint").alias("n_capped_buckets"),
+            F.sum(
+                F.when(over, F.col("sz") - BAND_CAP).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_dropped_reps"),
+        )
+        .orderBy("band_idx")
     )
 
 
@@ -769,6 +901,14 @@ def embedding_cosine_block_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # edit distance is at most 40% of the longer text — integer arithmetic
 # on both engines, no float threshold to disagree about
 ED_NUM, ED_DEN = 2, 5
+# ...AND at most ED_MAX absolute: the per-pair VERIFY BUDGET. With the
+# threshold, Spark's levenshtein runs the banded early-exit algorithm —
+# O(ED_MAX · len) per pair instead of O(len²) — so the verify stage is
+# O(candidates · len) total, a budget that cannot blow up on long docs.
+# A pair needing > ED_MAX edits isn't a near-dup worth confirming at
+# this operator's granularity (observed true dup distances are single
+# digits; boilerplate-band false positives are in the hundreds).
+ED_MAX = 64
 
 
 @query(
@@ -780,38 +920,47 @@ ED_NUM, ED_DEN = 2, 5
     FROM lsh_pairs p
       JOIN documents a ON a.doc_id = p.doc_a
       JOIN documents b ON b.doc_id = p.doc_b
-    WHERE {ED_DEN} * levenshtein(a.text, b.text)
+    WHERE levenshtein(a.text, b.text) <= {ED_MAX}
+      AND {ED_DEN} * levenshtein(a.text, b.text)
           <= {ED_NUM} * greatest(length(a.text), length(b.text))
     """,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup verify: LSH bands PROPOSE candidate
     pairs (never the n^2 cross space), exact Levenshtein CONFIRMS —
-    keeping pairs whose edit distance is <= 40% of the longer text.
-    The threshold is integer arithmetic (5*ed <= 2*maxlen) so both
+    keeping pairs whose edit distance is <= 40% of the longer text AND
+    <= ED_MAX absolute. Both thresholds are integer arithmetic so both
     engines decide identically; the distance itself is an exact int.
-    At 100 TB the quadratic-cost levenshtein runs only on the
-    LSH-bounded candidate set, the same verify budget dedup_lsh_jaccard
-    spends on shingle intersection."""
+    At 100 TB the verify budget is O(candidates · len): the ED_MAX
+    threshold makes Spark's levenshtein run banded with early exit
+    (O(ED_MAX·len) per pair, returns -1 past the band), so one batch of
+    long boilerplate-band false positives can no longer buy O(len²)
+    each — the same bounded-verify principle dedup_lsh_jaccard applies
+    to shingle intersection. DuckDB computes the full distance and
+    filters to the same bar (oracle scale is small)."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     pairs = band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
     # length prefilter: |len_a - len_b| lower-bounds the edit distance,
-    # so pairs whose length gap already breaks the threshold skip the
-    # O(len^2) levenshtein entirely — the standard cheap gate before a
-    # quadratic verify (the result set is provably unchanged)
+    # so pairs whose length gap already breaks either threshold skip
+    # even the banded levenshtein (the result set is provably unchanged)
     la, lb = F.length("ta"), F.length("tb")
-    len_gap_ok = ED_DEN * F.abs(la - lb) <= ED_NUM * F.greatest(la, lb)
+    len_gap_ok = (ED_DEN * F.abs(la - lb) <= ED_NUM * F.greatest(la, lb)) & (
+        F.abs(la - lb) <= ED_MAX
+    )
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
         .filter(len_gap_ok)
-        .withColumn("edit_dist", F.levenshtein("ta", "tb"))
+        .withColumn("edit_dist", F.levenshtein("ta", "tb", ED_MAX))
         .filter(
-            ED_DEN * F.col("edit_dist")
-            <= ED_NUM * F.greatest(F.length("ta"), F.length("tb"))
+            (F.col("edit_dist") >= 0)
+            & (
+                ED_DEN * F.col("edit_dist")
+                <= ED_NUM * F.greatest(F.length("ta"), F.length("tb"))
+            )
         )
         .select("doc_a", "doc_b", "edit_dist")
     )

@@ -26,16 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.dedup.dedup import (
+    BAND_CAP,
     BAND_SIZE,
-    MINHASH_PAIRS_SQL,
     N_HASHES,
     SHINGLE_K,
-    band_keys_df,
+    _SHINGLES_SQL,
+    _bands_sql,
     minhash_signatures,
+    rep_band_keys,
     shingle_df,
+    signature_groups,
 )
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import lazy_persist, load_tables
 from disco_spark.textops.analysis import with_toks
 
 SIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -59,18 +62,33 @@ def _store_manifest(docs: DataFrame, subset: str) -> dict:
             "n_hashes": N_HASHES,
             "band_size": BAND_SIZE,
             "shingle_k": SHINGLE_K,
+            "band_cap": BAND_CAP,
             "hash_family": "md5-salted",  # minhash_signatures
         },
-        "version": 3,  # v3: mtime_ns + explicit params
+        "version": 4,  # v4: signature-grouped reps + BAND_CAP bucket cap
     }
 
 
 def signature_store_save(docs: DataFrame, path: str, subset: str = "all") -> None:
-    """Persist the corpus's LSH band keys: (doc_id, band_idx, band_key).
-    One shingle+minhash pass over the corpus, then only these ~100-byte
-    rows live on; text is not stored."""
-    bands = band_keys_df(minhash_signatures(shingle_df(with_toks(docs))))
-    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    """Persist the corpus's LSH state in the capped-rep shape
+    band_candidates() uses: `bands` = per-bucket-capped band keys of
+    the signature-group REPRESENTATIVES, and `groups` = the
+    (doc_id, rep) map that re-expands a rep collision to every member
+    of its exact-signature group. One shingle+minhash pass over the
+    corpus, then only these ~100-byte rows live on; text is not
+    stored. The cap is computed over the corpus alone — the store is
+    built before any batch exists, so the chain cannot depend on what
+    arrives later (the oracle replays exactly this per-side cap)."""
+    grouped = signature_groups(
+        minhash_signatures(shingle_df(with_toks(docs)))
+    ).persist()
+    grouped.select("doc_id", "rep").write.mode("overwrite").parquet(
+        os.path.join(path, "groups")
+    )
+    rep_band_keys(grouped).write.mode("overwrite").parquet(
+        os.path.join(path, "bands")
+    )
+    grouped.unpersist()
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         json.dump(_store_manifest(docs, subset), fh)
 
@@ -96,16 +114,35 @@ def dedup_against_store(
     incoming: DataFrame, spark: SparkSession, path: str
 ) -> DataFrame:
     """(incoming_doc, corpus_doc) candidate near-dup pairs: the incoming
-    batch's band keys equi-joined against the persisted store. Only the
-    batch is shingled; the corpus side is a scan of the band table."""
-    store = spark.read.parquet(os.path.join(path, "bands")).select(
-        F.col("doc_id").alias("corpus_doc"), "band_idx", "band_key"
+    batch's capped rep band keys equi-joined against the persisted
+    store, then rep hits expanded to group members through both sides'
+    (doc_id, rep) maps. Only the batch is shingled; the corpus side is
+    a scan of the band table. The rep join is bounded per bucket
+    (≤BAND_CAP a side); the expansions are linear equi-joins — exact,
+    because identical signatures collide on identical band keys."""
+    store_bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        F.col("doc_id").alias("c_rep"), "band_idx", "band_key"
     )
-    new_bands = band_keys_df(
-        minhash_signatures(shingle_df(with_toks(incoming)))
-    ).select(F.col("doc_id").alias("incoming_doc"), "band_idx", "band_key")
+    store_groups = spark.read.parquet(os.path.join(path, "groups")).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("rep").alias("c_rep")
+    )
+    in_grouped = lazy_persist(
+        signature_groups(minhash_signatures(shingle_df(with_toks(incoming))))
+    )
+    in_bands = rep_band_keys(in_grouped).select(
+        F.col("doc_id").alias("i_rep"), "band_idx", "band_key"
+    )
+    in_groups = in_grouped.select(
+        F.col("doc_id").alias("incoming_doc"), F.col("rep").alias("i_rep")
+    )
+    hits = (
+        in_bands.join(store_bands, ["band_idx", "band_key"])
+        .select("i_rep", "c_rep")
+        .distinct()
+    )
     return (
-        new_bands.join(store, ["band_idx", "band_key"])
+        hits.join(in_groups, "i_rep")
+        .join(store_groups, "c_rep")
         .select("incoming_doc", "corpus_doc")
         .distinct()
     )
@@ -113,23 +150,33 @@ def dedup_against_store(
 
 @query(
     "dedup_incremental_lsh",
-    # the store is an implementation detail — results must equal a full
-    # LSH run restricted to cross-(corpus, incoming) pairs, so the
-    # oracle replays the shared band chain and filters by parity
+    # the store is an implementation detail — results must equal a
+    # two-sided replay of the SAME grouped+capped band chain, one chain
+    # per side (the corpus chain is built before the batch exists, so
+    # grouping and the BAND_CAP cut are per-side by construction), with
+    # rep collisions expanded to group members through each side's
+    # (doc_id, rep) map
     oracle=f"""
-    WITH {MINHASH_PAIRS_SQL}
-    SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS incoming_doc,
-           CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS corpus_doc
-    FROM lsh_pairs
-    WHERE (doc_a % 2) <> (doc_b % 2)
+    WITH {_SHINGLES_SQL},
+    {_bands_sql(prefix="c_", where="doc_id % 2 = 0")},
+    {_bands_sql(prefix="i_", where="doc_id % 2 = 1")},
+    hits AS (
+      SELECT DISTINCT i.doc_id AS i_rep, c.doc_id AS c_rep
+      FROM i_bands i JOIN c_bands c
+        ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+    )
+    SELECT DISTINCT gi.doc_id AS incoming_doc, gc.doc_id AS corpus_doc
+    FROM hits
+    JOIN i_grp gi ON gi.rep = hits.i_rep
+    JOIN c_grp gc ON gc.rep = hits.c_rep
     """,
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Even doc_ids play the existing corpus (signature store persisted
     on first call), odd doc_ids play the incoming batch; emit incoming
     docs that LSH-collide with a corpus doc. The oracle proves store
-    round-tripping is lossless: a full two-sided LSH replay filtered to
-    cross-side pairs must match exactly."""
+    round-tripping is lossless: a two-sided replay of the grouped+capped
+    band chain, expanded through both rep maps, must match exactly."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0)

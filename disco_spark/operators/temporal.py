@@ -644,6 +644,7 @@ def orders_anomaly_seasonal_adjusted(
     )
     SELECT counts.n1, counts.n2,
            CAST(runs.n_runs AS BIGINT) AS n_runs,
+           CASE WHEN counts.n1 > 0 AND counts.n2 > 0 THEN
            ROUND((runs.n_runs
                   - (2.0 * counts.n1 * counts.n2
                      / (counts.n1 + counts.n2) + 1))
@@ -652,7 +653,8 @@ def orders_anomaly_seasonal_adjusted(
                            - counts.n1 - counts.n2)
                         / ((counts.n1 + counts.n2)
                            * (counts.n1 + counts.n2)
-                           * (counts.n1 + counts.n2 - 1))), 6) AS z
+                           * (counts.n1 + counts.n2 - 1))), 6)
+           END AS z
     FROM runs CROSS JOIN counts
     """,
 )
@@ -700,11 +702,17 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
     )
+    # a one-sided series (n1=0 or n2=0, e.g. a tiny SF where every day
+    # clears the median the same way) has zero variance — the statistic
+    # is undefined; NULL on both engines instead of a /0
     return counts.crossJoin(runs).select(
         "n1",
         "n2",
         F.col("n_runs").cast("bigint").alias("n_runs"),
-        F.round((nr - mean) / F.sqrt(var), 6).alias("z"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round((nr - mean) / F.sqrt(var), 6),
+        ).alias("z"),
     )
 
 
