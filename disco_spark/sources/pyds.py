@@ -91,12 +91,14 @@ def source_pyds_netstring(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with spark.read.format("disco_netstring") — same bytes, same
     oracle as source_netstring, different (modern, user-facing)
     integration surface. One Spark input partition per chunk file."""
-    import tempfile
-
     from disco_spark.sources.readers import write_disco_netstring
+    from disco_spark.session import scratch_dir
 
     t = load_tables(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="disco_spark_pyds_")
+    # write-then-read-back pattern -> the self-cleaning scratch root
+    # (re-runs overwrite in place; a mkdtemp here would leak one temp
+    # dir per invocation and put the lazy DataFrame's source outside it)
+    path = scratch_dir("pyds_netstring", sf_dir)
     write_disco_netstring(
         t["documents"].select(
             F.col("doc_id").cast("string").alias("key"),

@@ -670,3 +670,99 @@ def streaming_checkpoint_recovery(
     land_files(wave2)
     run_wave()
     return spark.read.parquet(out)
+
+
+@query(
+    "streaming_stateful_recovery",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM-STATE checkpoint recovery: the applyInPandasWithState
+    per-user running totals (streaming_stateful_user_totals) survive a
+    query restart. Wave 1 (even event_ids) runs under a
+    checkpointLocation and is REMOVED from the landing dir; wave 2
+    (odd ids) lands and a brand-new query object restarts from the same
+    checkpoint. Users in both waves emit wave-2 rows whose totals
+    include wave-1 events that no longer exist anywhere but the
+    recovered STATE STORE — so the latest emission per user equals the
+    full batch GROUP BY, which is exactly what the oracle checks (the
+    windowed-count sibling streaming_checkpoint_recovery proves the
+    built-in agg state; this proves the arbitrary-state handle used by
+    custom operators, the reference's tempfail re-run contract for
+    stateful stages — tests/test_tempfail.py).
+
+    Update-mode emissions append with their checkpoint batch id (ids
+    continue across restarts); the result takes each user's latest
+    emission — the same pick-latest upsert a real foreachBatch sink
+    performs against a keyed table. Scale: state is one (n, micro) pair
+    per user; the restart cost is the state-store load per partition."""
+    import shutil
+
+    from disco_spark.session import scratch_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "value"
+    )
+    # restart semantics need a FRESH checkpoint per invocation: wipe the
+    # per-(operator, dataset) scratch root (self-cleaning convention)
+    stage = scratch_dir("stateful_recovery", sf_dir)
+    shutil.rmtree(stage)
+    land = os.path.join(stage, "landing")
+    ckpt = os.path.join(stage, "checkpoint")
+    out = os.path.join(stage, "result")
+    wave1 = os.path.join(stage, "wave1")
+    wave2 = os.path.join(stage, "wave2")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(wave1)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(wave2)
+    schema = ev.schema
+
+    def run_wave() -> None:
+        stream = spark.readStream.schema(schema).parquet(land)
+        totals = stateful_user_totals(stream)
+        q = (
+            totals.writeStream.foreachBatch(
+                lambda df, epoch: df.withColumn("epoch", F.lit(epoch))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def land_files(src: str) -> None:
+        for f in os.listdir(src):
+            if f.startswith("part-"):
+                shutil.copy(os.path.join(src, f), os.path.join(land, f))
+
+    os.makedirs(land)
+    land_files(wave1)
+    run_wave()
+    wave1_users = spark.read.parquet(out).select("user_id").distinct().count()
+    # the recovery proof: wave 1's files are GONE before the restart —
+    # only the checkpointed state store remembers them
+    for f in os.listdir(land):
+        os.remove(os.path.join(land, f))
+    land_files(wave2)
+    run_wave()
+    emitted = spark.read.parquet(out)
+    assert emitted.select("epoch").distinct().count() > 1, (
+        "restart should emit under a later checkpoint batch id"
+    )
+    assert wave1_users > 0, "wave 1 should have emitted state"
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "value_micro_sum")
+    )

@@ -63,3 +63,27 @@ def test_compaction_preserves_rows_and_merges_files(spark):
             os.path.dirname(f.removeprefix("file:")) for f in out.inputFiles()
         }
         assert len(glob.glob(os.path.join(result_dir, "part-*.parquet"))) == 1
+
+
+def test_stateful_recovery_oracle(spark):
+    compare_query(spark, "streaming_stateful_recovery", SF_CORRECT)
+
+
+def test_stateful_recovery_synthetic_totals(spark):
+    """applyInPandasWithState state survives the restart: wave 1 (even
+    event_ids) is deleted before wave 2 runs, so a user's final totals
+    can only include their wave-1 events if the state store recovered
+    them. Every user here has events in BOTH waves."""
+    from disco_spark.streaming.windows import streaming_stateful_recovery
+
+    rows = [(i, i % 4, 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    with tempfile.TemporaryDirectory() as dd:
+        df.write.parquet(os.path.join(dd, "events.parquet"))
+        got = {
+            r["user_id"]: (r["n_events"], r["value_micro_sum"])
+            for r in streaming_stateful_recovery(spark, dd).collect()
+        }
+    # 40 events over 4 users, half per wave: totals complete only with
+    # recovered wave-1 state (losing it would halve every count)
+    assert got == {u: (10, 10_000_000) for u in range(4)}

@@ -1,0 +1,72 @@
+"""Generate the registry PRIORITY list for the next driver window by
+verification debt: every query's LAST GREEN round is computed from the
+committed CORRECTNESS_r*.json artifacts, and the window is ordered
+
+  1. names passed on argv (this round's semantics changes / brand-new
+     queries whose results MUST be re-verified first),
+  2. queries with NO green driver row ever, in registration order,
+  3. everything else, oldest-green-round first (ties: registration
+     order).
+
+Prints a Python literal to paste over registry.PRIORITY (the whole
+surface, fully ordered — nothing left to hand-maintain). A green row =
+err is null and rows/schema/hash all matched.
+
+Usage: python tools/make_priority.py [changed_query ...]
+"""
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+from disco_spark import registry  # noqa: E402
+
+# registration order, not the previous PRIORITY-reordered view
+registry.PRIORITY.clear()
+registry.load_all()
+reg_order = {n: i for i, n in enumerate(registry.QUERIES)}
+
+last_green: dict[str, int] = {}
+for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+    for name, row in json.load(open(path)).items():
+        if (
+            row.get("err") is None
+            and row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        ):
+            last_green[name] = max(last_green.get(name, 0), rnd)
+
+changed = sys.argv[1:]
+unknown = [n for n in changed if n not in registry.QUERIES]
+assert not unknown, f"changed names not registered: {unknown}"
+
+never = [
+    n for n in registry.QUERIES if n not in last_green and n not in changed
+]
+stale = sorted(
+    (n for n in registry.QUERIES if n in last_green and n not in changed),
+    key=lambda n: (last_green[n], reg_order[n]),
+)
+ordered = changed + never + stale
+
+n_window = 50
+print(f"# window ({n_window}): {len(changed)} changed, "
+      f"{min(len(never), n_window - len(changed))} of {len(never)} never-verified"
+      f"{'' if len(changed) + len(never) >= n_window else ', rest stale'}")
+print("PRIORITY: list[str] = [")
+for i, n in enumerate(ordered):
+    mark = ""
+    if i == n_window:
+        mark = "    # ---- driver window boundary: 50 entries above ----\n"
+    tag = (
+        "changed" if n in changed
+        else "never-verified" if n in never
+        else f"r{last_green[n]}-green"
+    )
+    print(f"{mark}    {n!r},  # {tag}")
+print("]")
