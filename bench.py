@@ -255,6 +255,12 @@ HEADLINE = [
     "orders_trend_mann_kendall",
     "search_trigram_wildcard",
     "dedup_tfidf_cosine_bigram",
+    # round 8: band-cap audit, Gopher-gate ablation, SemDeDup prune,
+    # custom-state checkpoint recovery
+    "dedup_lsh_band_stats",
+    "quality_filter_ablation",
+    "dedup_semantic_prune",
+    "streaming_stateful_recovery",
 ]
 
 

@@ -563,3 +563,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a complete >=COS_MIN enumeration — see embedding_dedup_pairs
     for the tunable-k entry point and the cap semantics."""
     return embedding_dedup_pairs(spark, sf_dir)
+
+
+@query(
+    "dedup_semantic_prune",
+    # composes the SAME adaptive-knn replay chain as
+    # dedup_embedding_cosine; the keep policy is pure SQL on top
+    oracle=f"""
+    WITH knn AS ({_adaptive_knn_sql(nprobe=4, k=TOP_K)}),
+    pairs AS (
+      SELECT src_id AS vec_a, dst_id AS vec_b, cos_sim FROM knn
+      WHERE cos_sim >= {COS_MIN} AND src_id < dst_id
+    )
+    SELECT vec_b AS vec_id,
+           MIN(vec_a) AS kept_by,
+           CAST(COUNT(*) AS BIGINT) AS n_better_dups,
+           ROUND(MAX(cos_sim), 6) AS max_cos
+    FROM pairs GROUP BY vec_b
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic prune list (Abbas et al. 2023 keep
+    policy over the adaptive-cell near-dup graph): a vector is PRUNED
+    when a lower-id vector sits within the COS_MIN cosine ball — one
+    deterministic survivor per near-dup chain, every pruned vector
+    reported with its keeper (min such neighbor), how many better
+    duplicates it had, and its closest similarity. Feed the vec_id
+    column to an anti-join and the corpus keeps exactly the canonical
+    representatives — the embedding-space analog of dedup_exact's
+    min-id representative rule.
+
+    Plan: the pair generator is the k-NN graph dedup_embedding_cosine
+    already ships (adaptive sqrt(n) cells, per-vector edge cap — pair
+    space ~n*sqrt(n)/probe, never per-cell quadratic); the keep policy
+    adds ONE groupBy over the near-dup edges, which are a small
+    fraction of any real corpus. Inherits the k-cap semantics: a
+    vector with more than k=TOP_K better duplicates still prunes
+    (any one edge suffices), only its n_better_dups undercounts."""
+    pairs = embedding_dedup_pairs(spark, sf_dir)
+    return pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("kept_by"),
+        F.count(F.lit(1)).cast("bigint").alias("n_better_dups"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )

@@ -820,3 +820,102 @@ def text_js_divergence_sources(
             6,
         ).alias("js"),
     ).orderBy("source_a", "source_b")
+
+
+# --------------------------------------------------------------------------
+# Filter-ablation audit over the Gopher gate — per-rule marginal impact
+# --------------------------------------------------------------------------
+# (rule name, SQL fail predicate over text_quality_gopher's columns);
+# the Spark side derives its predicates from the same table so the two
+# cannot drift.
+_ABLATION_RULES = [
+    ("words", f"n_words NOT BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}"),
+    ("mwl", f"mean_word_len NOT BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}"),
+    ("symbol", f"symbol_word_ratio > {_G_MAX_SYMBOL_RATIO}"),
+    ("alpha", f"alpha_word_ratio < {_G_MIN_ALPHA_RATIO}"),
+    ("stops", f"n_stop_hits < {_G_MIN_STOP_HITS}"),
+]
+
+
+def _ablation_oracle() -> str:
+    flags = ",\n             ".join(
+        f"CAST({pred} AS INT) AS f_{name}" for name, pred in _ABLATION_RULES
+    )
+    total = " + ".join(f"f_{name}" for name, _ in _ABLATION_RULES)
+    per_rule = ",\n           ".join(
+        f"CAST(SUM(f_{name}) AS BIGINT) AS {name}_fail,\n           "
+        f"CAST(SUM(CASE WHEN f_{name} = 1 AND n_f = 1 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {name}_unique"
+        for name, _ in _ABLATION_RULES
+    )
+    from disco_spark.registry import ORACLES
+
+    return f"""
+    WITH g AS ({ORACLES["text_quality_gopher"]}),
+    f AS (
+      SELECT {flags}
+      FROM g
+    ),
+    t AS (SELECT *, {total} AS n_f FROM f)
+    SELECT {per_rule},
+           CAST(SUM(CASE WHEN n_f >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS any_fail,
+           CAST(SUM(CASE WHEN n_f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS exactly_one_fail,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM t
+    """
+
+
+@query("quality_filter_ablation", oracle=_ablation_oracle())
+def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ABLATION of the Gopher gate: for each quality rule, how
+    many documents fail it at all, and how many fail ONLY it (the
+    documents that rule alone removes — its marginal contribution).
+    This is the table a corpus owner reads before tuning or dropping a
+    filter: a rule with a large fail count but zero unique failures is
+    fully shadowed by the others; a rule with a large unique count is
+    carrying real, irreplaceable signal. any_fail is the gate's total
+    removal; exactly_one_fail is how much of it hangs on a single rule.
+
+    Plan: composes the driver-checked text_quality_gopher signals (one
+    tokenized scan, map-only), adds five boolean flags and ONE global
+    aggregate — a single wide row, no shuffle beyond the final partial
+    +final agg. At 100 TB this is the same one-pass scan the gate
+    itself costs."""
+    g = text_quality_gopher(spark, sf_dir)
+    flags = {
+        "words": ~F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS),
+        "mwl": ~F.col("mean_word_len").between(_G_MIN_MWL, _G_MAX_MWL),
+        "symbol": F.col("symbol_word_ratio") > _G_MAX_SYMBOL_RATIO,
+        "alpha": F.col("alpha_word_ratio") < _G_MIN_ALPHA_RATIO,
+        "stops": F.col("n_stop_hits") < _G_MIN_STOP_HITS,
+    }
+    assert list(flags) == [n for n, _ in _ABLATION_RULES]
+    f = g.select(
+        *[c.cast("int").alias(f"f_{name}") for name, c in flags.items()]
+    )
+    n_f = sum(F.col(f"f_{name}") for name in flags)
+    t = f.withColumn("n_f", n_f)
+    aggs = []
+    for name in flags:
+        aggs.append(
+            F.sum(f"f_{name}").cast("bigint").alias(f"{name}_fail")
+        )
+        aggs.append(
+            F.sum(
+                ((F.col(f"f_{name}") == 1) & (F.col("n_f") == 1)).cast("int")
+            )
+            .cast("bigint")
+            .alias(f"{name}_unique")
+        )
+    aggs.append(
+        F.sum((F.col("n_f") >= 1).cast("int")).cast("bigint").alias("any_fail")
+    )
+    aggs.append(
+        F.sum((F.col("n_f") == 1).cast("int"))
+        .cast("bigint")
+        .alias("exactly_one_fail")
+    )
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return t.agg(*aggs)

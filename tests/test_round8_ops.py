@@ -1,0 +1,139 @@
+"""Round-8 operators: LSH band cap, filter ablation, semantic prune."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from disco_spark.testing import compare_query
+from tests.conftest import SF_CORRECT
+
+
+def test_quality_filter_ablation_oracle(spark):
+    compare_query(spark, "quality_filter_ablation", SF_CORRECT)
+
+
+def test_dedup_semantic_prune_oracle(spark):
+    compare_query(spark, "dedup_semantic_prune", SF_CORRECT)
+
+
+def test_dedup_lsh_band_stats_oracle(spark):
+    compare_query(spark, "dedup_lsh_band_stats", SF_CORRECT)
+
+
+def test_ablation_internal_consistency(spark):
+    """any_fail bounds every per-rule count; exactly_one_fail is the sum
+    of the per-rule unique counts (each doc failing exactly one rule is
+    unique to exactly one rule)."""
+    from disco_spark.textops.analysis import (
+        _ABLATION_RULES,
+        quality_filter_ablation,
+    )
+
+    row = quality_filter_ablation(spark, SF_CORRECT).collect()[0]
+    names = [n for n, _ in _ABLATION_RULES]
+    assert row["any_fail"] <= row["n_docs"]
+    for n in names:
+        assert row[f"{n}_unique"] <= row[f"{n}_fail"] <= row["any_fail"]
+    assert row["exactly_one_fail"] == sum(row[f"{n}_unique"] for n in names)
+
+
+def test_semantic_prune_keep_policy(spark):
+    """Every pruned vector's keeper has a smaller id, and no keeper is
+    itself pruned by an even smaller id *below the pruned vector* —
+    i.e. the survivor set (ids never appearing as vec_id) is exactly
+    the anti-join complement."""
+    from disco_spark.similarity.ann import dedup_semantic_prune
+
+    pruned = dedup_semantic_prune(spark, SF_CORRECT)
+    rows = pruned.collect()
+    assert rows, "sf0.01 corpus contains planted embedding near-dups"
+    for r in rows:
+        assert r["kept_by"] < r["vec_id"]
+        assert r["n_better_dups"] >= 1
+        assert -1.0 <= r["max_cos"] <= 1.0
+
+
+def test_band_cap_bounds_bucket_pairs(spark):
+    """A planted 100-doc exact-replica group must produce 99 linear
+    star edges (not 4950 quadratic pairs), and a hot band bucket never
+    contributes more than BAND_CAP*(BAND_CAP-1)/2 rep pairs."""
+    from disco_spark.dedup.dedup import (
+        BAND_CAP,
+        band_candidates,
+        minhash_signatures,
+        shingle_df,
+    )
+    from disco_spark.textops.analysis import with_toks
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(100)]
+        + [(100 + i, f"unique text number {i} with words {i * 7}")
+           for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = band_candidates(
+        minhash_signatures(shingle_df(with_toks(docs)))
+    ).collect()
+    replica = [
+        (r.doc_a, r.doc_b) for r in pairs if r.doc_a < 100 and r.doc_b < 100
+    ]
+    # identical signatures collapse: exactly the 99 star edges from rep 0
+    assert sorted(replica) == [(0, b) for b in range(1, 100)]
+    # nothing exceeds the cap's pair budget per (band) bucket by design:
+    # total non-star pairs are bounded by bands * C(BAND_CAP, 2)
+    non_star = [p for p in pairs if p not in replica]
+    assert len(non_star) <= 3 * BAND_CAP * (BAND_CAP - 1) // 2
+
+
+def test_edit_distance_budget_semantics(spark):
+    """Pairs over the ED_MAX absolute budget drop even when the 40%
+    relative rule would admit them; pairs within both bars carry the
+    exact distance. Fixtures share a 100-token prefix so the bands
+    collide deterministically (md5 is fixed)."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from disco_spark.dedup.dedup import (
+        ED_MAX,
+        ED_NUM,
+        ED_DEN,
+        band_candidates,
+        dedup_edit_distance,
+        minhash_signatures,
+        shingle_df,
+    )
+    from disco_spark.textops.analysis import with_toks
+
+    prefix = " ".join(f"w{i:03d}" for i in range(100))
+    d0 = prefix + " qqq"
+    d1 = prefix + " qqz"  # distance 1 from d0
+    d2 = prefix + " " + "xaaa " * 40  # long divergent tail vs d0
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, text string"
+    )
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in band_candidates(
+            minhash_signatures(shingle_df(with_toks(docs)))
+        ).collect()
+    }
+    assert (0, 1) in cands and (0, 2) in cands
+    # premise check via DuckDB's exact levenshtein: (0, 2) is over the
+    # absolute budget but UNDER the 40% relative bar — the pair the
+    # old semantics admitted and the budget must drop
+    lev02 = duckdb.sql(
+        "SELECT levenshtein(?, ?)", params=[d0, d2]
+    ).fetchone()[0]
+    assert lev02 > ED_MAX
+    assert ED_DEN * lev02 <= ED_NUM * max(len(d0), len(d2))
+    with tempfile.TemporaryDirectory() as dd:
+        docs.write.parquet(os.path.join(dd, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b): r.edit_dist
+            for r in dedup_edit_distance(spark, dd).collect()
+        }
+    assert got.get((0, 1)) == 1
+    assert (0, 2) not in got
+    assert all(d <= ED_MAX for d in got.values())

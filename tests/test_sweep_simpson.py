@@ -42,7 +42,11 @@ def test_sweep_monotone_and_calibrated(spark):
     # BOTH copies below it
     assert rows[0.9]["n_pairs"] == 1
     assert rows[0.9]["n_docs"] == 2
-    assert rows[0.7]["n_pairs"] == 3
+    # band-cap semantics (round 8): docs 1 and 2 have IDENTICAL
+    # signatures, so 2 collapses into rep 1 — candidates are the star
+    # edge (1,2) plus the rep pair (1,3); (2,3) is represented through
+    # the rep, so 0.7 implicates all 3 docs via 2 pairs, not 3
+    assert rows[0.7]["n_pairs"] == 2
     assert rows[0.7]["n_docs"] == 3
 
 
