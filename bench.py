@@ -261,6 +261,8 @@ HEADLINE = [
     "quality_filter_ablation",
     "dedup_semantic_prune",
     "streaming_stateful_recovery",
+    "ann_index_compact_topk",
+    "contamination_overlap_fraction",
 ]
 
 

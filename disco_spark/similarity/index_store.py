@@ -400,3 +400,78 @@ def ann_index_add_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(
         e, codes, queries, books, spark, k=TOP_K, nprobe=3, cents=cents
     )
+
+
+def ann_index_compact(spark: SparkSession, path: str) -> None:
+    """Compact the index's LSM-style layers: fold every codes_delta
+    batch into the base code table and apply (then drop) every
+    tombstone — WITHOUT touching centroids or codebooks, so post-
+    compaction ADC scores are bit-identical to the layered serve path
+    (this is Lucene segment merging / FAISS index rewrite, NOT a
+    rebuild: ann_index_save retrains and re-centers, compaction only
+    re-layouts). Run it when delta-batch count makes the probe-side
+    union fan out over too many small files, or when the tombstone
+    anti-join stops being broadcast-sized.
+
+    Cost at 100 TB: one read of the serveable codes + one label-
+    partitioned write — code rows only (a few bytes/vector), embeddings
+    are never touched. The manifest is left as built (compaction is
+    invisible to ensure_index, exactly like add/delete); a marker file
+    records that layers were folded."""
+    codes = ann_index_serveable_codes(spark, path)
+    tmp = os.path.join(path, "codes_compacting")
+    codes.write.partitionBy("label").mode("overwrite").parquet(tmp)
+    shutil.rmtree(os.path.join(path, "codes"))
+    os.rename(tmp, os.path.join(path, "codes"))
+    shutil.rmtree(os.path.join(path, "codes_delta"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    with open(os.path.join(path, "compacted.json"), "w") as fh:
+        json.dump({"compacted": True}, fh)
+
+
+@query(
+    "ann_index_compact_topk",
+    # centroids trained on the even base (add path), vec_id % 7 = 2
+    # tombstoned (delete path), everything folded into the base by the
+    # compaction — the oracle replays the logical state the folded
+    # index must serve
+    oracle=ivfpq_oracle_sql(
+        base_where="vec_id % 2 = 0", neighbor_where="e.vec_id % 7 <> 2"
+    ),
+)
+def ann_index_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index lifecycle, then serve from the COMPACTED store:
+    build on the even half, incrementally add the odd half, tombstone
+    vec_id % 7 = 2, compact (deltas + tombstones fold into the base,
+    codebooks frozen), and answer top-k from the folded base alone.
+    The oracle replays the logical state, so a compaction bug —
+    dropped delta batch, resurrected tombstone, accidental retrain —
+    surfaces as a value mismatch. On a warm store (compacted marker
+    present) the layers are already folded and the query serves
+    directly; the pytest proves pre/post-compaction serve equality and
+    that the layer directories are gone."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    path = os.path.join(
+        INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_compact"
+    )
+    built = ensure_index(base, path, subset="even-compact")
+    marker = os.path.join(path, "compacted.json")
+    if built or not os.path.exists(marker):
+        cents, _, books = ann_index_load(spark, path)
+        ann_index_add(e.filter(F.col("vec_id") % 2 == 1), path, books=books)
+        ann_index_delete(
+            e.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path
+        )
+        ann_index_compact(spark, path)
+    cents, codes, books = ann_index_load(spark, path)
+    queries = [
+        (r.vec_id, np.array(r.embedding))
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_search(
+        e, codes, queries, books, spark, k=TOP_K, nprobe=3, cents=cents
+    )

@@ -120,6 +120,101 @@ def contamination_test_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Graded contamination: per-TRAIN-doc overlap fraction + removal verdict
+# --------------------------------------------------------------------------
+# verdict bands on the ROUNDED fraction (6 dp), so both engines decide
+# boundaries identically
+_CONTAM_CLEAN_MAX = 0.05
+_CONTAM_PARTIAL_MAX = 0.5
+
+
+@query(
+    "contamination_overlap_fraction",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    labeled AS (
+      SELECT doc_id, shingle, {_bucket_sql("doc_id")} AS b FROM shingles
+    ),
+    train_sh AS (SELECT doc_id, shingle FROM labeled WHERE b >= {_TRAIN_LO}),
+    test_set AS (SELECT DISTINCT shingle FROM labeled WHERE b < {_TEST_HI}),
+    per AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN s.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlap
+      FROM train_sh t LEFT JOIN test_set s ON t.shingle = s.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+           ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac,
+           CASE
+             WHEN ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 6)
+                  <= {_CONTAM_CLEAN_MAX} THEN 'clean'
+             WHEN ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 6)
+                  <= {_CONTAM_PARTIAL_MAX} THEN 'partial'
+             ELSE 'contaminated'
+           END AS verdict
+    FROM per
+    """,
+)
+def contamination_overlap_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRADED decontamination (the metric, not just the screen): for
+    every doc in the TRAIN split — the side decontamination actually
+    acts on — the fraction of its shingle occurrences that appear
+    anywhere in the benchmark ('test') split, banded into the removal
+    verdict a pipeline applies: 'clean' (<= 5%, keep), 'partial'
+    (<= 50%, span-level surgery — see dedup_exact_substring), else
+    'contaminated' (drop). The boolean screens
+    (contamination_test_vs_train, the bloom variant) answer "is there
+    ANY overlap"; this one answers "how much", which is what separates
+    a quoted benchmark sentence from a wholesale test-set copy.
+
+    Plan: the benchmark shingle set is DISTINCT and benchmark-sized —
+    broadcast; the train side is one scan + broadcast left join +
+    per-doc count. At 100 TB this costs exactly one pass over training
+    shingles, the same budget the boolean screen spends."""
+    t = load_tables(spark, sf_dir)
+    sh = shingle_df(with_toks(t["documents"])).withColumn(
+        "b", hash_bucket(F.col("doc_id"))
+    )
+    train_sh = sh.filter(F.col("b") >= _TRAIN_LO).select("doc_id", "shingle")
+    test_set = (
+        sh.filter(F.col("b") < _TEST_HI)
+        .select(F.col("shingle").alias("t_shingle"))
+        .distinct()
+    )
+    per = (
+        train_sh.join(
+            F.broadcast(test_set),
+            train_sh["shingle"] == test_set["t_shingle"],
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.col("t_shingle").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+    )
+    frac = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        F.when(frac <= _CONTAM_CLEAN_MAX, "clean")
+        .when(frac <= _CONTAM_PARTIAL_MAX, "partial")
+        .otherwise("contaminated")
+        .alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Bloom-prefiltered contamination: the 100 TB plan shape
 # --------------------------------------------------------------------------
 _BLOOM_K = 5           # hash functions

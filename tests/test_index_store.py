@@ -233,3 +233,60 @@ def test_priority_rejects_duplicates_and_unknown():
     finally:
         registry.PRIORITY[:] = snap
         registry.finalize_order()
+
+
+def test_compact_preserves_serve_and_drops_layers(spark, tmp_path):
+    """Compaction must be invisible to search: top-k from the layered
+    store (base + delta - tombstones) equals top-k from the folded base,
+    and the layer directories are gone afterwards."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from disco_spark.similarity.index_store import (
+        ann_index_add,
+        ann_index_compact,
+        ann_index_delete,
+        ann_index_load,
+        ann_index_serveable_codes,
+        ensure_index,
+    )
+    from disco_spark.similarity.pq import TOP_K, ivfpq_search
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    path = str(tmp_path / "idx")
+    ensure_index(e.filter(F.col("vec_id") % 2 == 0), path, subset="even")
+    cents, _, books = ann_index_load(spark, path)
+    ann_index_add(e.filter(F.col("vec_id") % 2 == 1), path, books=books)
+    ann_index_delete(e.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path)
+    queries = [
+        (r.vec_id, np.array(r.embedding))
+        for r in e.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    def serve(codes):
+        return {
+            tuple(r)
+            for r in ivfpq_search(
+                e, codes, queries, books, spark, k=TOP_K, nprobe=3,
+                cents=cents,
+            ).collect()
+        }
+
+    layered = serve(ann_index_serveable_codes(spark, path))
+    ann_index_compact(spark, path)
+    _, folded_codes, _ = ann_index_load(spark, path)
+    assert serve(folded_codes) == layered
+    assert not os.path.isdir(os.path.join(path, "codes_delta"))
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    # deleted ids are physically gone from the folded base
+    assert (
+        folded_codes.filter(F.col("vec_id") % 7 == 2).count() == 0
+    )
+
+
+def test_compact_topk_oracle(spark):
+    compare_query(spark, "ann_index_compact_topk", SF_SMOKE)

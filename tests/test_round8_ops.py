@@ -137,3 +137,42 @@ def test_edit_distance_budget_semantics(spark):
     assert got.get((0, 1)) == 1
     assert (0, 2) not in got
     assert all(d <= ED_MAX for d in got.values())
+
+
+def test_contamination_fraction_oracle(spark):
+    compare_query(spark, "contamination_overlap_fraction", SF_CORRECT)
+
+
+def test_contamination_fraction_verdicts(spark):
+    """Fractions live in [0,1], verdicts follow the banded thresholds,
+    and every train doc with shingles gets a row (zero-overlap docs
+    report 0.0/clean, not absence)."""
+    from disco_spark.textops.analysis import with_toks
+    from disco_spark.textops.vocab import (
+        _CONTAM_CLEAN_MAX,
+        _CONTAM_PARTIAL_MAX,
+        _TRAIN_LO,
+        contamination_overlap_fraction,
+    )
+    from disco_spark.dedup.dedup import shingle_df
+    from disco_spark.sampling import hash_bucket
+    from disco_spark.session import load_tables
+
+    rows = contamination_overlap_fraction(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["overlap_frac"] <= 1.0
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]
+        if r["overlap_frac"] <= _CONTAM_CLEAN_MAX:
+            assert r["verdict"] == "clean"
+        elif r["overlap_frac"] <= _CONTAM_PARTIAL_MAX:
+            assert r["verdict"] == "partial"
+        else:
+            assert r["verdict"] == "contaminated"
+    sh = shingle_df(
+        with_toks(load_tables(spark, SF_CORRECT)["documents"])
+    ).withColumn("b", hash_bucket(F.col("doc_id")))
+    n_train_docs = (
+        sh.filter(F.col("b") >= _TRAIN_LO).select("doc_id").distinct().count()
+    )
+    assert len(rows) == n_train_docs
