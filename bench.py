@@ -263,6 +263,8 @@ HEADLINE = [
     "streaming_stateful_recovery",
     "ann_index_compact_topk",
     "contamination_overlap_fraction",
+    "sketch_countmin_heavy_hitters",
+    "sample_token_budget_per_source",
 ]
 
 

@@ -482,3 +482,85 @@ def split_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling per source — the mixture primitive a training
+# run actually consumes: "give me AT MOST B tokens from each source",
+# deterministically, with the doc order decided by key hash (stable
+# under re-partitioning, retries, and corpus growth: a doc keeps or
+# loses its slot based only on its own hash rank, never on file order).
+# ---------------------------------------------------------------------------
+TOKEN_BUDGET_PER_SOURCE = 500
+
+_TOKS_LEN_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+
+
+@query(
+    "sample_token_budget_per_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS_LEN_SQL} AS n_toks FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_toks,
+             SUM(n_toks) OVER (
+               PARTITION BY source
+               ORDER BY {_bucket_sql("doc_id")}, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    ),
+    kept AS (
+      SELECT * FROM ranked
+      WHERE cum <= {TOKEN_BUDGET_PER_SOURCE} OR cum - n_toks = 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept,
+           MIN(doc_id) AS first_doc_id
+    FROM kept GROUP BY source
+    """,
+)
+def sample_token_budget_per_source(
+    spark: "SparkSession", sf_dir: str
+) -> "DataFrame":
+    """Per-source corpus cut to a fixed TOKEN budget: within each
+    source, docs are ranked by their doc_id hash (a deterministic
+    shuffle) and kept while the running token total stays within the
+    budget; the first doc of a source always survives, so no source
+    vanishes under a tight budget. Emits the per-source audit row
+    (docs kept, tokens kept) — the numbers a mixture designer checks
+    against the target before launching a run.
+
+    Scale shape: ONE window per source partition (sources parallelize;
+    within a source the running sum is a single sort — the same cost
+    the eventual shard writer pays anyway), no global exchange, no
+    per-stratum driver loop. Output is |sources| rows regardless of
+    corpus size. The budget binds harder as the corpus grows — which
+    is exactly the production contract (fixed token diet, growing
+    crawl)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hash_bucket(F.col("doc_id")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.withColumn("cum", F.sum("n_toks").over(w))
+    kept = ranked.filter(
+        (F.col("cum") <= TOKEN_BUDGET_PER_SOURCE)
+        | (F.col("cum") - F.col("n_toks") == 0)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens_kept"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

@@ -176,3 +176,60 @@ def test_contamination_fraction_verdicts(spark):
         sh.filter(F.col("b") >= _TRAIN_LO).select("doc_id").distinct().count()
     )
     assert len(rows) == n_train_docs
+
+
+def test_countmin_oracle(spark):
+    compare_query(spark, "sketch_countmin_heavy_hitters", SF_CORRECT)
+
+
+def test_countmin_never_underestimates(spark):
+    """CM property: estimate >= exact for EVERY key (not just the
+    audited top-k) — checked over the full token vocabulary."""
+    from disco_spark.operators.sketch import cm_estimate, cm_sketch
+    from disco_spark.session import load_tables
+    from disco_spark.textops.analysis import with_toks
+
+    tokens = (
+        with_toks(load_tables(spark, SF_CORRECT)["documents"])
+        .select(F.explode("toks").alias("tok"))
+        .persist()
+    )
+    sketch = cm_sketch(tokens).persist()
+    exact = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    est = cm_estimate(exact.select("tok"), sketch)
+    bad = exact.join(est, "tok").filter(F.col("cm_estimate") < F.col("n"))
+    assert bad.count() == 0
+    # the sketch is bounded regardless of vocabulary size
+    from disco_spark.operators.sketch import CM_DEPTH, CM_WIDTH
+
+    assert sketch.count() <= CM_DEPTH * CM_WIDTH
+    sketch.unpersist()
+    tokens.unpersist()
+
+
+def test_token_budget_oracle(spark):
+    compare_query(spark, "sample_token_budget_per_source", SF_CORRECT)
+
+
+def test_token_budget_binds_and_floors(spark):
+    """Every source appears (the first-doc floor), and no source
+    exceeds the budget except via its single floor doc."""
+    from disco_spark.sampling import (
+        TOKEN_BUDGET_PER_SOURCE,
+        sample_token_budget_per_source,
+    )
+    from disco_spark.session import load_tables
+
+    rows = sample_token_budget_per_source(spark, SF_CORRECT).collect()
+    n_sources = (
+        load_tables(spark, SF_CORRECT)["documents"]
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["n_docs_kept"] >= 1
+        # over-budget is only possible when a single floor doc is alone
+        if r["n_tokens_kept"] > TOKEN_BUDGET_PER_SOURCE:
+            assert r["n_docs_kept"] == 1
