@@ -265,6 +265,8 @@ HEADLINE = [
     "contamination_overlap_fraction",
     "sketch_countmin_heavy_hitters",
     "sample_token_budget_per_source",
+    "dedup_cluster_size_histogram",
+    "text_tokenizer_fertility_by_lang",
 ]
 
 

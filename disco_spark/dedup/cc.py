@@ -310,3 +310,52 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH cm AS ({LSH_CLUSTER_ORACLE}),
+    sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cm GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup CLUSTER SIZE distribution — the one-page summary a
+    corpus owner reads after a dedup pass: how many clusters of each
+    size exist, how many documents they hold, and how many docs a
+    keep-one-per-cluster policy would remove (n_removable = docs minus
+    clusters at that size; size-1 rows are the untouched singleton
+    mass). A fat tail here is boilerplate; a huge singleton row with a
+    thin tail means the corpus is already clean.
+
+    Plan: two bounded groupBys over the cluster map the CURATION
+    pipeline actually runs — LSH-prefiltered verified Jaccard pairs
+    (band-capped, never the posting-list-quadratic exact join) into
+    connected components — so this histogram both audits the shipped
+    dedup and carries its scale guarantees. Histogram rows are at most
+    the distinct cluster sizes, O(log n) in practice."""
+    from disco_spark.dedup.dedup import lsh_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    sizes = (
+        cluster_map(t["documents"], pair_fn=lsh_jaccard_pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )

@@ -919,3 +919,66 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     return t.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language — tokens-per-word under the BPE-style
+# pre-tokenizer, the number that decides per-language training cost
+# --------------------------------------------------------------------------
+@query(
+    "text_tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len(list_filter(regexp_extract_all(text, '{_BPE_SQL}'),
+                             t -> NOT regexp_matches(t, '^\\s+$')))
+               AS n_pre,
+             len({_TOKS_SQL}) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_pre) AS BIGINT) AS n_pretokens,
+           ROUND(CAST(SUM(n_pre) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_pre), 6)
+             AS chars_per_pretoken
+    FROM p GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY per language: BPE-style pretokens per
+    whitespace word, plus chars per pretoken — the two numbers that
+    decide what a language actually costs to train on (a fertility-2
+    language burns twice the sequence length per word of a fertility-1
+    one) and the standard evidence for a tokenizer-choice review.
+    Composes the same GPT-2 pre-tokenizer split text_bpe_pretokens
+    ships, aggregated by the corpus's lang label.
+
+    Plan: one document scan, two regex evaluations per row, a
+    |languages|-row aggregate — map-side partials carry four integers
+    per lang. Integer sums are exact, so both engines' ratios divide
+    identical numbers."""
+    t = load_tables(spark, sf_dir)
+    pre = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0),
+        lambda x: ~x.rlike(r"^\s+$"),
+    )
+    d = with_toks(t["documents"]).select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(pre).alias("n_pre"),
+        F.size("toks").alias("n_words"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_pre").cast("bigint").alias("n_pretokens"),
+        F.round(
+            F.sum("n_pre").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_pre"), 6
+        ).alias("chars_per_pretoken"),
+    )

@@ -233,3 +233,37 @@ def test_token_budget_binds_and_floors(spark):
         # over-budget is only possible when a single floor doc is alone
         if r["n_tokens_kept"] > TOKEN_BUDGET_PER_SOURCE:
             assert r["n_docs_kept"] == 1
+
+
+def test_cluster_histogram_oracle(spark):
+    compare_query(spark, "dedup_cluster_size_histogram", SF_CORRECT)
+
+
+def test_cluster_histogram_mass_conservation(spark):
+    """Histogram doc mass equals the corpus; removable = docs - clusters
+    per row; a planted 3-replica family lands in the size-3 row."""
+    from disco_spark.dedup.cc import dedup_cluster_size_histogram
+    from disco_spark.session import load_tables
+
+    rows = dedup_cluster_size_histogram(spark, SF_CORRECT).collect()
+    n_docs = load_tables(spark, SF_CORRECT)["documents"].count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_fertility_oracle(spark):
+    compare_query(spark, "text_tokenizer_fertility_by_lang", SF_CORRECT)
+
+
+def test_fertility_sane_bounds(spark):
+    """Pretokens at least one per word (the GPT-2 split never merges
+    across whitespace), chars/pretoken positive and below max word len."""
+    from disco_spark.textops.analysis import text_tokenizer_fertility_by_lang
+
+    rows = text_tokenizer_fertility_by_lang(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert 0 < r["chars_per_pretoken"] < 40
