@@ -16,6 +16,12 @@ sorted reduces (disco's wordcount-style folds); the sketch is the
 beyond-reference scale path for cardinalities where exact groupBy
 state is the bottleneck, with the estimator-quality audit pattern the
 repo already uses for MinHash (dedup_minhash_estimate_audit).
+
+Relation to operators/rollup.py's count-min ROLLUP: that one
+demonstrates the time-grain contract (hourly CM grains merging into 6h
+answers); this module exposes the sketch itself as a composable API
+(cm_sketch / cm_estimate over any token column) plus the accuracy
+audit a deployment runs before trusting either.
 """
 
 from __future__ import annotations
