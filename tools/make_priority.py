@@ -12,7 +12,9 @@ Prints a Python literal to paste over registry.PRIORITY (the whole
 surface, fully ordered — nothing left to hand-maintain). A green row =
 err is null and rows/schema/hash all matched.
 
-Usage: python tools/make_priority.py [changed_query ...]
+Usage: python tools/make_priority.py [--write] [changed_query ...]
+  --write  splice the generated list over registry.PRIORITY in place
+           (otherwise print to stdout)
 """
 
 import glob
@@ -41,7 +43,9 @@ for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         ):
             last_green[name] = max(last_green.get(name, 0), rnd)
 
-changed = sys.argv[1:]
+args = sys.argv[1:]
+write_in_place = "--write" in args
+changed = [a for a in args if a != "--write"]
 unknown = [n for n in changed if n not in registry.QUERIES]
 assert not unknown, f"changed names not registered: {unknown}"
 
@@ -55,18 +59,32 @@ stale = sorted(
 ordered = changed + never + stale
 
 n_window = 50
-print(f"# window ({n_window}): {len(changed)} changed, "
-      f"{min(len(never), n_window - len(changed))} of {len(never)} never-verified"
-      f"{'' if len(changed) + len(never) >= n_window else ', rest stale'}")
-print("PRIORITY: list[str] = [")
+summary = (
+    f"# window ({n_window}): {len(changed)} changed, "
+    f"{min(len(never), n_window - len(changed))} of {len(never)} never-verified"
+    f"{'' if len(changed) + len(never) >= n_window else ', rest stale'}"
+)
+lines = ["PRIORITY: list[str] = ["]
 for i, n in enumerate(ordered):
-    mark = ""
     if i == n_window:
-        mark = "    # ---- driver window boundary: 50 entries above ----\n"
+        lines.append("    # ---- driver window boundary: 50 entries above ----")
     tag = (
         "changed" if n in changed
         else "never-verified" if n in never
         else f"r{last_green[n]}-green"
     )
-    print(f"{mark}    {n!r},  # {tag}")
-print("]")
+    lines.append(f"    {n!r},  # {tag}")
+lines.append("]")
+body = "\n".join(lines) + "\n"
+
+if write_in_place:
+    reg_path = os.path.join(REPO, "disco_spark", "registry.py")
+    reg = open(reg_path).read()
+    start = reg.index("PRIORITY: list[str] = [")
+    end = reg.index("]\n", start) + 2
+    open(reg_path, "w").write(reg[:start] + body + reg[end:])
+    print(summary)
+    print(f"wrote {len(ordered)} names into {reg_path}")
+else:
+    print(summary)
+    print(body, end="")
