@@ -267,3 +267,63 @@ def test_fertility_sane_bounds(spark):
     for r in rows:
         assert r["fertility"] >= 1.0
         assert 0 < r["chars_per_pretoken"] < 40
+
+
+def test_band_cap_soundness_property(spark):
+    """Property over randomized corpora: (a) SOUNDNESS — every capped
+    candidate pair band-collides under the raw (uncapped, ungrouped)
+    semantics; (b) CLUSTER EQUIVALENCE on identical-signature groups —
+    star edges connect exactly the docs the raw all-pairs would,
+    i.e. same connected components within each group."""
+    import itertools
+    import random
+
+    from disco_spark.dedup.dedup import (
+        band_candidates,
+        band_keys_df,
+        minhash_signatures,
+        shingle_df,
+    )
+    from disco_spark.textops.analysis import with_toks
+
+    rng = random.Random(8)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    doc_id = 0
+    for _ in range(12):  # replica families of random sizes
+        base = " ".join(rng.choices(vocab, k=rng.randint(5, 12)))
+        for _ in range(rng.randint(1, 6)):
+            rows.append((doc_id, base))
+            doc_id += 1
+    for _ in range(15):  # singletons
+        rows.append((doc_id, " ".join(rng.choices(vocab, k=rng.randint(5, 12)))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(shingle_df(with_toks(docs))).persist()
+
+    capped = {
+        (r.doc_a, r.doc_b) for r in band_candidates(sig).collect()
+    }
+    raw_bands = band_keys_df(sig).collect()
+    by_key: dict = {}
+    for r in raw_bands:
+        by_key.setdefault((r.band_idx, r.band_key), []).append(r.doc_id)
+    raw_pairs = set()
+    for members in by_key.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            raw_pairs.add((a, b))
+    # (a) soundness: the cap only REMOVES pairs, never invents them
+    assert capped <= raw_pairs
+    # (b) identical-signature groups stay fully connected through stars
+    sig_groups: dict = {}
+    for r in sig.collect():
+        key = tuple(r[f"mh{i}"] for i in range(6))
+        sig_groups.setdefault(key, []).append(r.doc_id)
+    for members in sig_groups.values():
+        if len(members) < 2:
+            continue
+        rep = min(members)
+        for m in members:
+            if m != rep:
+                assert (rep, m) in capped, (rep, m)
+    sig.unpersist()
