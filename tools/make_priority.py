@@ -32,9 +32,11 @@ registry.load_all()
 reg_order = {n: i for i, n in enumerate(registry.QUERIES)}
 
 last_green: dict[str, int] = {}
+last_checked: dict[str, int] = {}
 for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
     rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
     for name, row in json.load(open(path)).items():
+        last_checked[name] = max(last_checked.get(name, 0), rnd)
         if (
             row.get("err") is None
             and row.get("rows_match")
@@ -43,26 +45,43 @@ for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         ):
             last_green[name] = max(last_green.get(name, 0), rnd)
 
+# A red row in a query's MOST RECENT check is a live regression: it must
+# not sort as "rN-green" stale just because some older round was green.
+# Escalate it to the front of the drain queue, ahead of never-verified.
+regressed = {
+    n for n, rnd in last_checked.items()
+    if rnd > last_green.get(n, -1)
+}
+
 args = sys.argv[1:]
 write_in_place = "--write" in args
 changed = [a for a in args if a != "--write"]
 unknown = [n for n in changed if n not in registry.QUERIES]
 assert not unknown, f"changed names not registered: {unknown}"
 
+red = [
+    n for n in registry.QUERIES
+    if n in regressed and n in last_green and n not in changed
+]
 never = [
-    n for n in registry.QUERIES if n not in last_green and n not in changed
+    n for n in registry.QUERIES
+    if n not in last_green and n not in changed
 ]
 stale = sorted(
-    (n for n in registry.QUERIES if n in last_green and n not in changed),
+    (
+        n for n in registry.QUERIES
+        if n in last_green and n not in regressed and n not in changed
+    ),
     key=lambda n: (last_green[n], reg_order[n]),
 )
-ordered = changed + never + stale
+ordered = changed + red + never + stale
 
 n_window = 50
 summary = (
-    f"# window ({n_window}): {len(changed)} changed, "
-    f"{min(len(never), n_window - len(changed))} of {len(never)} never-verified"
-    f"{'' if len(changed) + len(never) >= n_window else ', rest stale'}"
+    f"# window ({n_window}): {len(changed)} changed, {len(red)} regressed, "
+    f"{min(len(never), n_window - len(changed) - len(red))} of "
+    f"{len(never)} never-verified"
+    f"{'' if len(changed) + len(red) + len(never) >= n_window else ', rest stale'}"
 )
 lines = ["PRIORITY: list[str] = ["]
 for i, n in enumerate(ordered):
@@ -70,6 +89,7 @@ for i, n in enumerate(ordered):
         lines.append("    # ---- driver window boundary: 50 entries above ----")
     tag = (
         "changed" if n in changed
+        else "REGRESSED" if n in red
         else "never-verified" if n in never
         else f"r{last_green[n]}-green"
     )
