@@ -60,20 +60,6 @@ def _cluster_oracle(pair_ctes: str) -> str:
     """
 
 
-_EXACT_PAIRS_CTES = f"""
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM common JOIN sizes sa ON sa.doc_id = doc_a
-                  JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
-    )"""
-
 _LSH_PAIRS_CTES = f"""
     {_bands_sql()},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
@@ -91,9 +77,13 @@ _LSH_PAIRS_CTES = f"""
       WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {JACCARD_MIN}
     )"""
 
-# cluster map over LSH-prefiltered verified pairs — the variant the
-# curation pipeline embeds (not separately registered; the pair
-# generator itself is driver-checked as dedup_lsh_jaccard)
+# cluster map over LSH-prefiltered verified pairs — THE cluster
+# definition every consumer shares: dedup_cluster_canonical,
+# dedup_rate_by_source, dedup_cluster_size_histogram, and the curation
+# pipeline all compose this oracle, so the definition cannot drift. The
+# pair generator itself is driver-checked as dedup_lsh_jaccard; the
+# exact posting join is never a cluster default (O(df²) per shingle —
+# see pair_overlaps' scale contract).
 LSH_CLUSTER_ORACLE = _cluster_oracle(_LSH_PAIRS_CTES)
 
 
@@ -243,11 +233,15 @@ def _cc_label_propagation(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     return labels
 
 
-@query("dedup_cluster_canonical", oracle=_cluster_oracle(_EXACT_PAIRS_CTES))
+@query("dedup_cluster_canonical", oracle=LSH_CLUSTER_ORACLE)
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document's canonical cluster id: connected components over
-    n-gram-Jaccard near-dup pairs (transitive closure), singletons map to
-    themselves. Downstream dedup keeps rows WHERE doc_id = cluster_id."""
+    LSH-prefiltered verified-Jaccard near-dup pairs (transitive
+    closure), singletons map to themselves. Downstream dedup keeps rows
+    WHERE doc_id = cluster_id. Uses the band-capped LSH pair generator
+    (the dedup pass a 100 TB corpus actually runs), so the canonical
+    map, the per-source rate, the size histogram, and the curation
+    pipeline all share one driver-checked cluster definition."""
     t = load_tables(spark, sf_dir)
     return cluster_map(t["documents"])
 
@@ -256,11 +250,13 @@ def cluster_map(docs: DataFrame, pair_fn=None) -> DataFrame:
     """(doc_id, cluster_id) for every document of any documents DataFrame
     (tokenized or not) — the composable core of dedup_cluster_canonical,
     shared by the curation pipeline. `pair_fn` picks the near-dup pair
-    generator (default: exact inverted-shingle Jaccard; the curation
-    pipeline passes the LSH-prefiltered one)."""
-    from disco_spark.dedup.dedup import ngram_jaccard_pairs
+    generator; the default is the LSH-prefiltered verified Jaccard
+    (band-capped — never the posting-list-quadratic exact join, whose
+    pair space is O(df²) per shingle; pass ngram_jaccard_pairs
+    explicitly for small-SF oracle work)."""
+    from disco_spark.dedup.dedup import lsh_jaccard_pairs
 
-    pairs = (pair_fn or ngram_jaccard_pairs)(docs).select(
+    pairs = (pair_fn or lsh_jaccard_pairs)(docs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs).select(
@@ -275,7 +271,7 @@ def cluster_map(docs: DataFrame, pair_fn=None) -> DataFrame:
 @query(
     "dedup_rate_by_source",
     # per-source duplication pressure: share of docs that are NON-
-    # canonical in the exact-Jaccard cluster map — composes the
+    # canonical in the LSH-verified cluster map — composes the
     # registered dedup_cluster_canonical oracle verbatim (curation
     # pattern), so the cluster definition cannot drift
     oracle=f"""
@@ -290,15 +286,16 @@ def cluster_map(docs: DataFrame, pair_fn=None) -> DataFrame:
            CAST(SUM(is_dup) AS BIGINT) AS n_dups,
            ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
     FROM j GROUP BY source
-    """.replace("{CLUSTER_ORACLE}", _cluster_oracle(_EXACT_PAIRS_CTES)),
+    """.replace("{CLUSTER_ORACLE}", LSH_CLUSTER_ORACLE),
 )
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication rate per source — the curation dashboard number
     that decides which feeds get aggressive dedup: share of each
     source's documents that are NON-canonical (cluster_id != doc_id)
-    under the exact shingle-Jaccard cluster map. Composes the same
-    cluster_map the canonical-dedup query registers, joined back to
-    the source column and folded to |sources| rows."""
+    under the LSH-verified Jaccard cluster map (band-capped — the
+    same cluster definition the canonical-dedup query registers and
+    the curation pipeline ships). Composes that cluster_map, joined
+    back to the source column and folded to |sources| rows."""
     t = load_tables(spark, sf_dir)
     cm = cluster_map(t["documents"])
     j = t["documents"].select("doc_id", "source").join(cm, "doc_id")
@@ -341,11 +338,9 @@ def dedup_cluster_size_histogram(
     connected components — so this histogram both audits the shipped
     dedup and carries its scale guarantees. Histogram rows are at most
     the distinct cluster sizes, O(log n) in practice."""
-    from disco_spark.dedup.dedup import lsh_jaccard_pairs
-
     t = load_tables(spark, sf_dir)
     sizes = (
-        cluster_map(t["documents"], pair_fn=lsh_jaccard_pairs)
+        cluster_map(t["documents"])
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )

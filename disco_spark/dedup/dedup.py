@@ -376,9 +376,15 @@ JACCARD_MIN = 0.05
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over 3-gram shingle sets, inverted-index join (pairs
-    exist only for docs sharing a shingle — never the n^2 cross space)."""
+    exist only for docs sharing a shingle — never the n^2 cross space).
+    Rides the SALTED hot/cold split join (identical results, pytest-
+    proved in test_skew.py): head-shingle posting lists are spread
+    across n_salts tasks instead of one straggler, so the exact
+    baseline keeps its semantics without the skew cliff. The lossy
+    production disciplines are the registered siblings (df_pruned /
+    lsh_jaccard)."""
     t = load_tables(spark, sf_dir)
-    return ngram_jaccard_pairs(with_toks(t["documents"]))
+    return salted_ngram_jaccard_pairs(with_toks(t["documents"]))
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
@@ -396,7 +402,14 @@ def pair_overlaps(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     inverted-index pair join counting shared shingles per u < v pair,
     plus per-doc set sizes — the ONE overlap-count core under both the
     symmetric Jaccard and the asymmetric containment scorers (caller
-    persists `sh`)."""
+    persists `sh`).
+
+    SCALE CONTRACT: this join emits O(df²) pairs per shingle, so it is
+    the small-SF oracle core, never a production default. Every
+    registered query feeds it a BOUNDED universe — DF-pruned shingles
+    (df_pruned_shingles: posting lists capped at DF_PRUNE_MAX) or LSH
+    band candidates (lsh_jaccard_pairs) — or routes the hot posting
+    lists through the salted split join (salted_ngram_jaccard_pairs)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # rename by NAME, not position (joins reorder columns: an anti-join
     # on shingle puts shingle first)
@@ -567,14 +580,26 @@ def dedup_ngram_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast anti-join: no extra shuffle of the shingle table."""
     t = load_tables(spark, sf_dir)
     sh = lazy_persist(shingle_df(with_toks(t["documents"])))
+    return _jaccard_from_shingles(df_pruned_shingles(sh))
+
+
+def df_pruned_shingles(
+    sh: DataFrame, df_max: int = DF_PRUNE_MAX
+) -> DataFrame:
+    """The DF-prune discipline as a composable step: drop head shingles
+    (document frequency > df_max) from a (doc_id, shingle) DataFrame via
+    a broadcast anti-join. Bounds every posting list at df_max, so any
+    downstream pair_overlaps join is O(n_shingles · df_max²) regardless
+    of corpus skew. Shared by the pruned-Jaccard and containment
+    scorers; the hot set is at most |shingles|/df_max keys — broadcast,
+    no extra shuffle of the shingle table."""
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") > DF_PRUNE_MAX)
+        .filter(F.col("d") > df_max)
         .select("shingle")
     )
-    kept = lazy_persist(sh.join(F.broadcast(hot), "shingle", "left_anti"))
-    return _jaccard_from_shingles(kept)
+    return lazy_persist(sh.join(F.broadcast(hot), "shingle", "left_anti"))
 
 
 # --------------------------------------------------------------------------
@@ -1040,15 +1065,17 @@ CONTAINMENT_MIN = 0.5
     "dedup_containment_ngram",
     oracle=f"""
     WITH {_SHINGLES_SQL},
+    hot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) > {DF_PRUNE_MAX}),
+    kept AS (SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-      FROM shingles GROUP BY 1
+      FROM kept GROUP BY 1
     ),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM shingles a
-      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a
+      JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     scored AS (
@@ -1077,14 +1104,21 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal sizes keep the u < v orientation. All counts exact integers;
     the two ratios are one rounded double division each.
 
-    Plan: shares the pair_overlaps inverted-index core with
-    dedup_ngram_jaccard (one persisted tokenize+shingle scan, posting
-    join, grouped counts, two size joins). Same 100 TB posture as the
-    Jaccard family: cap hot shingles / DF-prune first (the
-    df_pruned and posting-skew-profile siblings document exactly
-    which postings explode and why)."""
+    Plan: the pair_overlaps inverted-index core over the DF-PRUNED
+    shingle universe (df_pruned_shingles, same DF_PRUNE_MAX discipline
+    as the pruned-Jaccard sibling): head shingles carry no containment
+    signal but dominate the posting join's O(df²) pair space, so both
+    sizes and the intersection count are computed on the pruned set —
+    consistent scores, and the pair space is bounded at
+    O(n_shingles · DF_PRUNE_MAX²) regardless of corpus skew. The
+    oracle replays the identical prune (hot/kept CTEs). LSH
+    prefiltering is the WRONG cap here — minhash recall tracks
+    Jaccard, and this measure exists precisely for the
+    high-containment/low-Jaccard pairs LSH misses."""
     docs = load_tables(spark, sf_dir)["documents"]
-    common, sizes = pair_overlaps(lazy_persist(shingle_df(docs)))
+    common, sizes = pair_overlaps(
+        df_pruned_shingles(lazy_persist(shingle_df(docs)))
+    )
     scored = (
         common.join(
             sizes.select(
