@@ -532,14 +532,21 @@ def sample_token_budget_per_source(
     (docs kept, tokens kept) — the numbers a mixture designer checks
     against the target before launching a run.
 
-    Scale shape: ONE window per source partition (sources parallelize;
-    within a source the running sum is a single sort — the same cost
-    the eventual shard writer pays anyway), no global exchange, no
-    per-stratum driver loop. Output is |sources| rows regardless of
-    corpus size. The budget binds harder as the corpus grows — which
-    is exactly the production contract (fixed token diet, growing
-    crawl)."""
-    from pyspark.sql.window import Window
+    Scale shape: the running token total rides the shared two-pass
+    range-partition prefix harness (operators.relational2
+    global_prefix_sum) over the TOTAL order (source, doc-hash, doc_id)
+    — each source's docs are contiguous in that order, so its running
+    sum is the global exclusive prefix minus the source's base offset
+    (a |sources|-row groupBy-min, broadcast back). A per-source
+    `SUM OVER (PARTITION BY source ORDER BY ...)` window would funnel
+    every doc of a source through ONE task's sort — with
+    low-cardinality sources that is the single-partition-window shape
+    the harness exists to avoid. Here every task holds ~1/N of the
+    rows regardless of how skewed the source mix is. Output is
+    |sources| rows regardless of corpus size. The budget binds harder
+    as the corpus grows — which is exactly the production contract
+    (fixed token diet, growing crawl)."""
+    from disco_spark.operators.relational2 import global_prefix_sum
 
     t = load_tables(spark, sf_dir)
     d = t["documents"].select(
@@ -548,13 +555,17 @@ def sample_token_budget_per_source(
         F.size(
             F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
         ).alias("n_toks"),
+        hash_bucket(F.col("doc_id")).alias("_bkt"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(hash_bucket(F.col("doc_id")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref, _total = global_prefix_sum(
+        d, ["source", "_bkt", "doc_id"], "n_toks", out="_gstart"
     )
-    ranked = d.withColumn("cum", F.sum("n_toks").over(w))
+    base = F.broadcast(
+        pref.groupBy("source").agg(F.min("_gstart").alias("_base"))
+    )
+    ranked = pref.join(base, "source").withColumn(
+        "cum", F.col("_gstart") - F.col("_base") + F.col("n_toks")
+    )
     kept = ranked.filter(
         (F.col("cum") <= TOKEN_BUDGET_PER_SOURCE)
         | (F.col("cum") - F.col("n_toks") == 0)

@@ -66,6 +66,19 @@ def test_constant_size_aggregate_family(spark):
         _assert_no_unbounded_sp_window(plan, name)
 
 
+def test_token_budget_rides_prefix_harness(spark):
+    """The per-source running-token cut must come from the shared
+    range-partition prefix harness: every ordered window partitions by
+    the harness's _pid (each task holds ~1/N rows), never by the
+    low-cardinality source column (which would funnel a whole source
+    through one task's sort)."""
+    plan = _plan(spark, "sample_token_budget_per_source")
+    assert "Exchange rangepartitioning" in plan
+    keys = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert keys, "expected the harness window in the plan"
+    assert all(k == "_pid" for k in keys), keys
+
+
 def test_lorenz_windows_only_over_deciles(spark):
     """The Lorenz cumulative window may order only the 10-row decile
     frame; ranks over raw customer revenue must come from the harness
