@@ -70,18 +70,26 @@ def cm_sketch(tokens: DataFrame, col: str = "tok") -> DataFrame:
 
 
 def cm_estimate(keys: DataFrame, sketch: DataFrame, col: str = "tok") -> DataFrame:
-    """Per-key count-min estimate: MIN over the key's d counters. The
-    key set is expected to be small (candidates/heavy hitters) and is
-    broadcast against the bounded sketch."""
+    """Per-key count-min estimate: MIN over the key's d counters. Works
+    for ANY key set, not just keys drawn from the sketched corpus: a
+    coordinate with no counter row means nothing ever hashed there, so
+    it reads as 0 via the left join + coalesce (an inner join would
+    silently drop the coordinate and overestimate — or vanish the key
+    entirely when all d rows are absent). The sketch is bounded at
+    CM_DEPTH x CM_WIDTH rows regardless of corpus size, so it is the
+    broadcast side."""
     coords = F.array(*[_bucket(F.col(col), i) for i in range(CM_DEPTH)])
     probes = keys.select(
         col, F.posexplode(coords).alias("row_i", "bucket")
     )
     return (
-        F.broadcast(probes)
-        .join(sketch, ["row_i", "bucket"])
+        probes.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("counter").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0)))
+            .cast("bigint")
+            .alias("cm_estimate")
+        )
     )
 
 

@@ -644,7 +644,9 @@ def orders_anomaly_seasonal_adjusted(
     )
     SELECT counts.n1, counts.n2,
            CAST(runs.n_runs AS BIGINT) AS n_runs,
-           CASE WHEN counts.n1 > 0 AND counts.n2 > 0 THEN
+           CASE WHEN counts.n1 > 0 AND counts.n2 > 0
+                 AND 2 * counts.n1 * counts.n2 - counts.n1 - counts.n2 > 0
+           THEN
            ROUND((runs.n_runs
                   - (2.0 * counts.n1 * counts.n2
                      / (counts.n1 + counts.n2) + 1))
@@ -702,15 +704,18 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
     )
-    # a one-sided series (n1=0 or n2=0, e.g. a tiny SF where every day
-    # clears the median the same way) has zero variance — the statistic
-    # is undefined; NULL on both engines instead of a /0
+    # a one-sided series (n1=0 or n2=0) has zero variance, and so does
+    # the n1=n2=1 two-day degenerate (2*n1*n2-n1-n2 = 0 exactly there
+    # for positive n1,n2) — in both the statistic is undefined and the
+    # division would produce /0 or NaN, whose serialization differs
+    # between engines; NULL on both engines instead
+    var_pos = 2 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2") > 0
     return counts.crossJoin(runs).select(
         "n1",
         "n2",
         F.col("n_runs").cast("bigint").alias("n_runs"),
         F.when(
-            (F.col("n1") > 0) & (F.col("n2") > 0),
+            (F.col("n1") > 0) & (F.col("n2") > 0) & var_pos,
             F.round((nr - mean) / F.sqrt(var), 6),
         ).alias("z"),
     )

@@ -152,7 +152,13 @@ def ensure_index(e: DataFrame, path: str, subset: str = "all") -> bool:
     want = _manifest(e, M_SUBSPACES, K_SUB, subset)
     try:
         with open(mf) as fh:
-            if json.load(fh) == want:
+            # a matching manifest alone is not proof of a serveable
+            # store: a crash mid-compaction (or manual surgery) can
+            # leave the manifest intact with the codes dir missing —
+            # require both before skipping the rebuild
+            if json.load(fh) == want and os.path.isdir(
+                os.path.join(path, "codes")
+            ):
                 return False
     except (OSError, ValueError):
         pass
@@ -421,8 +427,16 @@ def ann_index_compact(spark: SparkSession, path: str) -> None:
     codes = ann_index_serveable_codes(spark, path)
     tmp = os.path.join(path, "codes_compacting")
     codes.write.partitionBy("label").mode("overwrite").parquet(tmp)
-    shutil.rmtree(os.path.join(path, "codes"))
-    os.rename(tmp, os.path.join(path, "codes"))
+    # swap via rename-aside so a crash at any point leaves a codes dir
+    # either old or new on disk (rmtree-then-rename has a window with
+    # NO codes dir but an intact manifest — ensure_index would serve a
+    # broken store forever); leftover codes_old from a prior crash is
+    # cleared first so the rename-aside cannot fail
+    live, old = os.path.join(path, "codes"), os.path.join(path, "codes_old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
     shutil.rmtree(os.path.join(path, "codes_delta"), ignore_errors=True)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     with open(os.path.join(path, "compacted.json"), "w") as fh:

@@ -290,3 +290,22 @@ def test_compact_preserves_serve_and_drops_layers(spark, tmp_path):
 
 def test_compact_topk_oracle(spark):
     compare_query(spark, "ann_index_compact_topk", SF_SMOKE)
+
+
+def test_missing_codes_dir_triggers_rebuild(spark, tmp_path):
+    """A manifest-matching store whose codes dir is GONE (the state a
+    crash mid-compaction can leave: manifest intact, codes swapped out
+    but not yet in) must not be served — ensure_index rebuilds it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF_SMOKE)["embeddings"]
+    path = str(tmp_path / "idx")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    assert ensure_index(base, path, subset="even") is True
+    assert ensure_index(base, path, subset="even") is False
+    shutil.rmtree(os.path.join(path, "codes"))
+    assert ensure_index(base, path, subset="even") is True
+    assert os.path.isdir(os.path.join(path, "codes"))

@@ -207,6 +207,26 @@ def test_countmin_never_underestimates(spark):
     tokens.unpersist()
 
 
+def test_countmin_absent_key_estimates_zero(spark):
+    """cm_estimate must answer ANY key set: a key never seen by the
+    sketch reads 0 (its coordinates have no counter rows — the left
+    join + coalesce path), never silently vanishing or estimating
+    over a subset of its d rows."""
+    from disco_spark.operators.sketch import cm_estimate, cm_sketch
+
+    tokens = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",)], "tok string"
+    )
+    sketch = cm_sketch(tokens)
+    keys = spark.createDataFrame(
+        [("alpha",), ("never-in-corpus-xyzzy",)], "tok string"
+    )
+    est = {r["tok"]: r["cm_estimate"] for r in cm_estimate(keys, sketch).collect()}
+    assert set(est) == {"alpha", "never-in-corpus-xyzzy"}
+    assert est["alpha"] >= 2
+    assert est["never-in-corpus-xyzzy"] == 0
+
+
 def test_token_budget_oracle(spark):
     compare_query(spark, "sample_token_budget_per_source", SF_CORRECT)
 

@@ -47,6 +47,13 @@ def test_runs_detects_clustered_series(spark):
     assert alternating["n_runs"] == 60
     assert alternating["z"] > 5
 
+    # degenerate two-day series: n1=n2=1 makes the variance exactly 0
+    # (2*n1*n2-n1-n2 = 0) — z must be NULL on both engines, never a
+    # NaN from 0/0 (NaN serialization differs between Spark and DuckDB)
+    degenerate = run([1, 5])
+    assert (degenerate["n1"], degenerate["n2"]) == (1, 1)
+    assert degenerate["z"] is None
+
 
 def test_entropy_rate_bounds(spark):
     """0 <= H <= log2(|types|); deterministic chains score 0."""
