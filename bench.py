@@ -267,6 +267,7 @@ HEADLINE = [
     "sample_token_budget_per_source",
     "dedup_cluster_size_histogram",
     "text_tokenizer_fertility_by_lang",
+    "dedup_band_cap_calibration",
 ]
 
 

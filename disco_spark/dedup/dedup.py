@@ -147,14 +147,14 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
 BAND_CAP = 20
 
 
-def _bands_sql(prefix: str = "", where: str = "") -> str:
-    """DuckDB CTEs `{p}sig` → `{p}grp` (signature groups) → `{p}star`
-    (rep→member edges) → `{p}repsig` → `{p}bands` (per-bucket capped
-    rep band keys) → `{p}cands` matching band_candidates() over the
-    `shingles` CTE (same md5-salted hash family, same grouping, same
-    BAND_CAP row_number cap on both sides). `where` filters the docs
-    entering the chain (dedup_incremental_lsh builds one chain per
-    side); `prefix` namespaces the CTEs so two chains can coexist."""
+def _sig_ctes(prefix: str = "", where: str = "") -> str:
+    """DuckDB CTEs `{p}sig` (minhash signatures) → `{p}grp` (signature
+    groups: rep = min doc_id per identical signature) → `{p}star`
+    (rep→member edges) → `{p}repsig` (representatives only) →
+    `{p}rawbands` (per-rep band keys, UNCAPPED, with the per-bucket
+    doc_id row number as `rn`) — the shared head of the band chain.
+    Composed by _bands_sql (which applies the BAND_CAP cut) and the
+    calibration oracle (which sweeps the cut)."""
     p = prefix
     mins = ", ".join(
         f"min(md5(concat('s{i} ', shingle))) AS mh{i}" for i in range(N_HASHES)
@@ -178,14 +178,27 @@ def _bands_sql(prefix: str = "", where: str = "") -> str:
     {p}star AS (SELECT rep AS doc_a, doc_id AS doc_b FROM {p}grp WHERE doc_id <> rep),
     {p}repsig AS (SELECT doc_id, {mh_cols} FROM {p}grp WHERE doc_id = rep),
     {p}rawbands AS (
+      SELECT doc_id, band_idx, band_key,
+             ROW_NUMBER() OVER (PARTITION BY band_idx, band_key
+                                ORDER BY doc_id) AS rn
+      FROM (
       {union}
-    ),
+      )
+    )"""
+
+
+def _bands_sql(prefix: str = "", where: str = "") -> str:
+    """DuckDB CTEs `{p}sig` → `{p}grp` (signature groups) → `{p}star`
+    (rep→member edges) → `{p}repsig` → `{p}bands` (per-bucket capped
+    rep band keys) → `{p}cands` matching band_candidates() over the
+    `shingles` CTE (same md5-salted hash family, same grouping, same
+    BAND_CAP row_number cap on both sides). `where` filters the docs
+    entering the chain (dedup_incremental_lsh builds one chain per
+    side); `prefix` namespaces the CTEs so two chains can coexist."""
+    p = prefix
+    return f"""{_sig_ctes(prefix, where)},
     {p}bands AS (
-      SELECT doc_id, band_idx, band_key FROM (
-        SELECT doc_id, band_idx, band_key,
-               ROW_NUMBER() OVER (PARTITION BY band_idx, band_key
-                                  ORDER BY doc_id) AS rn
-        FROM {p}rawbands)
+      SELECT doc_id, band_idx, band_key FROM {p}rawbands
       WHERE rn <= {BAND_CAP}
     ),
     {p}cands AS (
@@ -502,6 +515,177 @@ def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return _jaccard_select(common, sizes)
+
+
+# --------------------------------------------------------------------------
+# BAND_CAP calibration: recall-vs-cap sweep, so a corpus owner picks the
+# cap from data instead of trusting the default 20 — the decision-side
+# companion to dedup_lsh_band_stats (which audits what the chosen cap
+# spent after the fact)
+# --------------------------------------------------------------------------
+CAP_SWEEP = [5, 10, 20, 40]
+
+
+@query(
+    "dedup_band_cap_calibration",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_sig_ctes()},
+    rb AS (SELECT * FROM rawbands WHERE rn <= {max(CAP_SWEEP)}),
+    rep_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             MIN(GREATEST(a.rn, b.rn)) AS min_cap
+      FROM rb a JOIN rb b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    allpairs AS (
+      SELECT doc_a, doc_b, min_cap FROM rep_pairs
+      UNION ALL
+      SELECT doc_a, doc_b, 1 AS min_cap FROM star
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+      FROM allpairs p
+        JOIN shingles a ON a.doc_id = p.doc_a
+        JOIN shingles b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.min_cap,
+             CASE WHEN ROUND(CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c), 6)
+                       >= {JACCARD_MIN}
+                  THEN 1 ELSE 0 END AS ok
+      FROM allpairs p
+        LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+        LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
+    ),
+    caps AS (SELECT unnest({CAP_SWEEP}) AS cap),
+    per_cap AS (
+      SELECT caps.cap, COUNT(s.min_cap) AS n_candidates,
+             COALESCE(SUM(s.ok), 0) AS n_verified
+      FROM caps LEFT JOIN scored s ON s.min_cap <= caps.cap
+      GROUP BY caps.cap
+    ),
+    total AS (SELECT COALESCE(SUM(ok), 0) AS tot FROM scored)
+    SELECT CAST(cap AS BIGINT) AS cap,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CASE WHEN tot > 0
+                THEN ROUND(CAST(n_verified AS DOUBLE) / tot, 6)
+           END AS recall_vs_max
+    FROM per_cap CROSS JOIN total
+    """,
+)
+def dedup_band_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cap sweep over BAND_CAP candidates ∈ {CAP_SWEEP}: for
+    each cap, how many candidate pairs the capped LSH generator would
+    propose and how many of them VERIFY (exact Jaccard >= JACCARD_MIN),
+    with recall normalized to the sweep's largest cap. The flat part of
+    the recall curve is where the cap is safe; a corpus owner reads
+    this once per corpus and sets BAND_CAP from data.
+
+    ONE band chain and ONE verify join serve the whole sweep: each
+    candidate pair is annotated with the MINIMUM cap at which it
+    appears (min over colliding bands of max(rn_a, rn_b); star edges
+    from identical-signature groups are cap-independent, min_cap = 1),
+    then a 4-row caps frame joins on min_cap <= cap — never one
+    pipeline per cap value. The pair space is bounded by the sweep max
+    (rn <= {max(CAP_SWEEP)} before the self-join), so the sweep itself
+    carries the cap discipline it calibrates; the caps join is a
+    broadcast nested loop against a kernel-sized side. Output is
+    exactly |CAP_SWEEP| rows."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    sh = lazy_persist(shingle_df(with_toks(t["documents"])))
+    grouped = lazy_persist(signature_groups(minhash_signatures(sh)))
+    star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.lit(1).alias("min_cap"),
+    )
+    reps = grouped.filter(F.col("doc_id") == F.col("rep")).drop("rep")
+    wc = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
+    rb = (
+        band_keys_df(reps)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= max(CAP_SWEEP))
+    )
+    a = rb.select(
+        F.col("doc_id").alias("doc_a"),
+        "band_idx",
+        "band_key",
+        F.col("rn").alias("rn_a"),
+    )
+    b = rb.select(
+        F.col("doc_id").alias("doc_b"),
+        "band_idx",
+        "band_key",
+        F.col("rn").alias("rn_b"),
+    )
+    rep_pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min(F.greatest("rn_a", "rn_b")).alias("min_cap"))
+    )
+    cands = lazy_persist(rep_pairs.unionByName(star))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cands.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6
+    )
+    scored = (
+        cands.join(common, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "min_cap",
+            F.when(jac >= JACCARD_MIN, F.lit(1)).otherwise(F.lit(0)).alias("ok"),
+        )
+    )
+    scored = lazy_persist(scored)
+    caps = spark.createDataFrame([(c,) for c in CAP_SWEEP], "cap int")
+    per_cap = (
+        F.broadcast(caps)
+        .join(scored, F.col("min_cap") <= F.col("cap"), "left")
+        .groupBy("cap")
+        .agg(
+            F.count("min_cap").cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("ok"), F.lit(0)).cast("bigint").alias("n_verified"),
+        )
+    )
+    total = F.broadcast(
+        scored.agg(F.coalesce(F.sum("ok"), F.lit(0)).alias("_tot"))
+    )
+    return per_cap.crossJoin(total).select(
+        F.col("cap").cast("bigint").alias("cap"),
+        "n_candidates",
+        "n_verified",
+        F.when(
+            F.col("_tot") > 0,
+            F.round(F.col("n_verified").cast("double") / F.col("_tot"), 6),
+        ).alias("recall_vs_max"),
+    )
 
 
 def salted_ngram_jaccard_pairs(
