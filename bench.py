@@ -218,6 +218,13 @@ HEADLINE = [
     "orders_ewma_daily",
     "fd_violations_audit",
     "dedup_containment_ngram",
+    # dedup_ngram_jaccard stays OFF the headline list: it is the EXACT
+    # small-SF oracle baseline (salting removes its straggler, not its
+    # O(sum df²) total pair volume, which the salted sf1 artifact's
+    # planted near-dup density turns into a JVM OOM — measured r9).
+    # Production discipline = df_pruned / lsh_jaccard siblings.
+    "dedup_cluster_canonical",
+    "dedup_rate_by_source",
     "vocab_pmi_collocations",
     "theil_supplier_nation_decomposition",
     "orders_lorenz_deciles",
