@@ -275,6 +275,7 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "text_tokenizer_fertility_by_lang",
     "dedup_band_cap_calibration",
+    "dedup_keep_best_quality",
 ]
 
 

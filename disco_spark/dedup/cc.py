@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from disco_spark.dedup.dedup import _SHINGLES_SQL, JACCARD_MIN, _bands_sql
-from disco_spark.registry import query
+from disco_spark.registry import ORACLES, query
 from disco_spark.session import load_tables
 
 
@@ -306,6 +306,71 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
+    )
+
+
+@query(
+    "dedup_keep_best_quality",
+    # keep-policy upgrade over "canonical = min doc_id": within each
+    # near-dup cluster, KEEP the highest-quality member (ties broken by
+    # doc_id) — composes the registered LSH cluster oracle and the
+    # registered quality oracle, so neither definition can drift
+    oracle=f"""
+    WITH cm AS ({LSH_CLUSTER_ORACLE}),
+    q AS ({{QUALITY_ORACLE}}),
+    j AS (
+      SELECT cm.doc_id, cm.cluster_id, q.quality
+      FROM cm JOIN q ON q.doc_id = cm.doc_id
+    ),
+    r AS (
+      SELECT doc_id, cluster_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM j
+    )
+    SELECT doc_id, cluster_id, quality,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM r
+    """.replace("{QUALITY_ORACLE}", ORACLES["text_quality_score"]),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep map: within each near-dup cluster keep
+    the HIGHEST-quality member instead of the min-doc_id canonical —
+    the policy real curation uses (the canonical convention answers
+    "which cluster", this answers "which copy survives"; a crawl often
+    holds one clean copy and N boilerplate-wrapped ones, and min-id
+    keeps whichever was crawled first). Ties break by doc_id, so the
+    choice is deterministic in any engine; quality is the registered
+    composite score (stopword/alpha/length), whose rounded values are
+    hash-identical cross-engine (driver-checked as
+    text_quality_score).
+
+    Plan: the band-capped LSH cluster map joined to the single-scan
+    quality projection, then one row_number window PER CLUSTER —
+    near-dup clusters are small by construction (and singletons are
+    1-row partitions), so no partition is ever more than a cluster
+    wide. Output is |docs| rows: (doc_id, cluster_id, quality,
+    keep)."""
+    from pyspark.sql.window import Window
+
+    from disco_spark.textops.analysis import quality_score_df
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    cm = cluster_map(docs)
+    q = quality_score_df(docs).select("doc_id", "quality")
+    j = cm.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return j.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        F.when(F.col("rn") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
     )
 
 
