@@ -4,8 +4,10 @@ committed CORRECTNESS_r*.json artifacts, and the window is ordered
 
   1. names passed on argv (this round's semantics changes / brand-new
      queries whose results MUST be re-verified first),
-  2. queries with NO green driver row ever, in registration order,
-  3. everything else, oldest-green-round first (ties: registration
+  2. REGRESSED queries — red in their MOST RECENT driver check despite
+     an older green row (a live regression must not sort as stale-green),
+  3. queries with NO green driver row ever, in registration order,
+  4. everything else, oldest-green-round first (ties: registration
      order).
 
 Prints a Python literal to paste over registry.PRIORITY (the whole
@@ -23,88 +25,124 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-from disco_spark import registry  # noqa: E402
 
-# registration order, not the previous PRIORITY-reordered view
-registry.PRIORITY.clear()
-registry.load_all()
-reg_order = {n: i for i, n in enumerate(registry.QUERIES)}
+N_WINDOW = 50
 
-last_green: dict[str, int] = {}
-last_checked: dict[str, int] = {}
-for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-    rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
-    for name, row in json.load(open(path)).items():
-        last_checked[name] = max(last_checked.get(name, 0), rnd)
-        if (
-            row.get("err") is None
-            and row.get("rows_match")
-            and row.get("schema_match")
-            and row.get("hash_match")
-        ):
-            last_green[name] = max(last_green.get(name, 0), rnd)
 
-# A red row in a query's MOST RECENT check is a live regression: it must
-# not sort as "rN-green" stale just because some older round was green.
-# Escalate it to the front of the drain queue, ahead of never-verified.
-regressed = {
-    n for n, rnd in last_checked.items()
-    if rnd > last_green.get(n, -1)
-}
+def scan_correctness(repo: str) -> tuple[dict[str, int], dict[str, int]]:
+    """(last_green, last_checked) per query name over every committed
+    CORRECTNESS_r*.json. A green row = no err + rows/schema/hash all
+    matched; last_checked tracks ANY row, green or red."""
+    last_green: dict[str, int] = {}
+    last_checked: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for name, row in json.load(open(path)).items():
+            last_checked[name] = max(last_checked.get(name, 0), rnd)
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, last_checked
 
-args = sys.argv[1:]
-write_in_place = "--write" in args
-changed = [a for a in args if a != "--write"]
-unknown = [n for n in changed if n not in registry.QUERIES]
-assert not unknown, f"changed names not registered: {unknown}"
 
-red = [
-    n for n in registry.QUERIES
-    if n in regressed and n in last_green and n not in changed
-]
-never = [
-    n for n in registry.QUERIES
-    if n not in last_green and n not in changed
-]
-stale = sorted(
-    (
-        n for n in registry.QUERIES
-        if n in last_green and n not in regressed and n not in changed
-    ),
-    key=lambda n: (last_green[n], reg_order[n]),
-)
-ordered = changed + red + never + stale
-
-n_window = 50
-summary = (
-    f"# window ({n_window}): {len(changed)} changed, {len(red)} regressed, "
-    f"{min(len(never), n_window - len(changed) - len(red))} of "
-    f"{len(never)} never-verified"
-    f"{'' if len(changed) + len(red) + len(never) >= n_window else ', rest stale'}"
-)
-lines = ["PRIORITY: list[str] = ["]
-for i, n in enumerate(ordered):
-    if i == n_window:
-        lines.append("    # ---- driver window boundary: 50 entries above ----")
-    tag = (
-        "changed" if n in changed
-        else "REGRESSED" if n in red
-        else "never-verified" if n in never
-        else f"r{last_green[n]}-green"
+def order_window(
+    reg_names: list[str],
+    last_green: dict[str, int],
+    last_checked: dict[str, int],
+    changed: list[str],
+) -> tuple[list[str], dict[str, str]]:
+    """The pure ordering policy: (ordered names, name -> tag). Buckets:
+    changed (argv order) > REGRESSED (latest check red despite an older
+    green) > never-verified (registration order) > stale greens
+    (oldest green round first, ties by registration order)."""
+    reg_order = {n: i for i, n in enumerate(reg_names)}
+    # A red row in a query's MOST RECENT check is a live regression: it
+    # must not sort as "rN-green" stale just because some older round
+    # was green. Escalate it ahead of never-verified.
+    regressed = {
+        n for n, rnd in last_checked.items()
+        if rnd > last_green.get(n, -1)
+    }
+    red = [
+        n for n in reg_names
+        if n in regressed and n in last_green and n not in changed
+    ]
+    never = [
+        n for n in reg_names
+        if n not in last_green and n not in changed
+    ]
+    stale = sorted(
+        (
+            n for n in reg_names
+            if n in last_green and n not in regressed and n not in changed
+        ),
+        key=lambda n: (last_green[n], reg_order[n]),
     )
-    lines.append(f"    {n!r},  # {tag}")
-lines.append("]")
-body = "\n".join(lines) + "\n"
+    ordered = changed + red + never + stale
+    tags = {}
+    for n in ordered:
+        tags[n] = (
+            "changed" if n in changed
+            else "REGRESSED" if n in red
+            else "never-verified" if n in never
+            else f"r{last_green[n]}-green"
+        )
+    return ordered, tags
 
-if write_in_place:
-    reg_path = os.path.join(REPO, "disco_spark", "registry.py")
-    reg = open(reg_path).read()
-    start = reg.index("PRIORITY: list[str] = [")
-    end = reg.index("]\n", start) + 2
-    open(reg_path, "w").write(reg[:start] + body + reg[end:])
-    print(summary)
-    print(f"wrote {len(ordered)} names into {reg_path}")
-else:
-    print(summary)
-    print(body, end="")
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    from disco_spark import registry
+
+    # registration order, not the previous PRIORITY-reordered view
+    registry.PRIORITY.clear()
+    registry.load_all()
+
+    args = sys.argv[1:]
+    write_in_place = "--write" in args
+    changed = [a for a in args if a != "--write"]
+    unknown = [n for n in changed if n not in registry.QUERIES]
+    assert not unknown, f"changed names not registered: {unknown}"
+
+    last_green, last_checked = scan_correctness(REPO)
+    ordered, tags = order_window(
+        list(registry.QUERIES), last_green, last_checked, changed
+    )
+
+    n_red = sum(1 for t in tags.values() if t == "REGRESSED")
+    n_never = sum(1 for t in tags.values() if t == "never-verified")
+    summary = (
+        f"# window ({N_WINDOW}): {len(changed)} changed, {n_red} regressed, "
+        f"{min(n_never, N_WINDOW - len(changed) - n_red)} of "
+        f"{n_never} never-verified"
+        f"{'' if len(changed) + n_red + n_never >= N_WINDOW else ', rest stale'}"
+    )
+    lines = ["PRIORITY: list[str] = ["]
+    for i, n in enumerate(ordered):
+        if i == N_WINDOW:
+            lines.append(
+                "    # ---- driver window boundary: 50 entries above ----"
+            )
+        lines.append(f"    {n!r},  # {tags[n]}")
+    lines.append("]")
+    body = "\n".join(lines) + "\n"
+
+    if write_in_place:
+        reg_path = os.path.join(REPO, "disco_spark", "registry.py")
+        reg = open(reg_path).read()
+        start = reg.index("PRIORITY: list[str] = [")
+        end = reg.index("]\n", start) + 2
+        open(reg_path, "w").write(reg[:start] + body + reg[end:])
+        print(summary)
+        print(f"wrote {len(ordered)} names into {reg_path}")
+    else:
+        print(summary)
+        print(body, end="")
+
+
+if __name__ == "__main__":
+    main()
