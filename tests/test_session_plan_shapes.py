@@ -79,6 +79,23 @@ def test_token_budget_rides_prefix_harness(spark):
     assert all(k == "_pid" for k in keys), keys
 
 
+def test_round9_dedup_ops_plan_hygiene(spark):
+    """Calibration sweep and keep-best map: no cartesian products
+    (the caps/total joins must be kernel-sized BROADCAST nested loops),
+    and every ordered window partitions by a bounded key — per-bucket
+    (band_idx, band_key), per-signature-group (mh*), or per-cluster —
+    never an unpartitioned global sort."""
+    for name, allowed in (
+        ("dedup_band_cap_calibration", ("band_idx", "mh")),
+        ("dedup_keep_best_quality", ("cluster_id", "mh")),
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        _assert_no_unbounded_sp_window(plan, name)
+        for key in set(re.findall(r"windowspecdefinition\((\w+)#", plan)):
+            assert key.startswith(allowed), (name, key)
+
+
 def test_lorenz_windows_only_over_deciles(spark):
     """The Lorenz cumulative window may order only the 10-row decile
     frame; ranks over raw customer revenue must come from the harness
