@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
@@ -455,13 +457,53 @@ def adaptive_cells(e: DataFrame, iters: int = 1) -> DataFrame:
     )
 
 
+# persisted k-NN graph store: the adaptive graph is the shared
+# substrate of THREE registered consumers (the graph itself, the
+# cosine dedup pairs, the SemDeDup prune) — a production pipeline
+# materializes it once and every consumer reads the materialization,
+# exactly like the ANN index and the LSH signature store (same
+# benchdata/ convention, same file_fingerprints manifest staleness,
+# same build-once-serve-warm contract). Doubles roundtrip parquet
+# bit-exactly, so a warm serve is indistinguishable from a fresh
+# compute (pytest-pinned).
+GRAPH_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "benchdata",
+    "knn_graph",
+)
+
+
 def _adaptive_knn(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 4
 ) -> DataFrame:
-    from disco_spark.session import lazy_persist
+    import json
+    import shutil
+
+    from disco_spark.session import file_fingerprints, lazy_persist
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
+    store = os.path.join(
+        GRAPH_ROOT,
+        f"{os.path.basename(os.path.normpath(sf_dir))}_k{k}_p{nprobe}",
+    )
+    mf = os.path.join(store, "manifest.json")
+    gdir = os.path.join(store, "graph")
+    want = {
+        "input_files": file_fingerprints(e.inputFiles()),
+        "k": k,
+        "nprobe": nprobe,
+        "algo": "adaptive-sqrt-cells-lloyd1-v1",
+    }
+    try:
+        with open(mf) as fh:
+            # manifest match alone is not a serveable store (the
+            # ensure_index lesson): the graph dir must exist too
+            if json.load(fh) == want and os.path.isdir(gdir):
+                return spark.read.parquet(gdir)
+    except (OSError, ValueError):
+        pass
+
     cells = adaptive_cells(e)
     # persist the assignment: knn_graph references its input in three
     # places (centroid agg, probe side, in-cell join side), and without
@@ -473,7 +515,21 @@ def _adaptive_knn(
     e2 = lazy_persist(
         e.drop("label").join(cells, "vec_id").select("vec_id", "embedding", "label")
     )
-    return knn_graph(e2, k=k, nprobe=nprobe)
+    g = knn_graph(e2, k=k, nprobe=nprobe)
+    # write-then-swap-then-manifest: a crash leaves either the old
+    # store (manifest + graph both old) or no manifest (rebuilt next
+    # call) — never a manifest pointing at missing/partial data
+    tmp = gdir + "_building"
+    g.write.mode("overwrite").parquet(tmp)
+    old = gdir + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(gdir):
+        os.rename(gdir, old)
+    os.rename(tmp, gdir)
+    shutil.rmtree(old, ignore_errors=True)
+    with open(mf, "w") as fh:
+        json.dump(want, fh)
+    return spark.read.parquet(gdir)
 
 
 def embedding_dedup_pairs(
