@@ -17,10 +17,16 @@ rendering (Java prints 1e20 as '1.0E20', DuckDB as '1e+20'; the
 canonical forms sidestep the whole class). Row hash = first 15 md5 hex
 chars as a 60-bit bigint; the table digest folds rows with BOTH
 XOR (order/partition-independent, but blind to duplicate-pair swaps)
-and an exact decimal SUM (catches what XOR cancels). Commutative +
-associative folds mean map-side partial aggregation and NO shuffle of
-row data — at 100 TB the fingerprint costs one scan per table and
-ships 3 numbers.
+and a modular SUM (catches what XOR cancels). The sum accumulates in
+exact DECIMAL(38,0) and is folded mod 2^63 into a BIGINT at the end:
+modular addition is still commutative + associative (so the digest
+stays order/partition-independent), and a BIGINT survives the
+arrow/pandas hop bit-for-bit — a raw 22-digit DECIMAL(38,0) does not
+(the round-9 driver-red lesson: exceed int64/float64 exactness and
+the two engines' value representations diverge even when the values
+are identical). Commutative + associative folds mean map-side partial
+aggregation and NO shuffle of row data — at 100 TB the fingerprint
+costs one scan per table and ships 3 numbers.
 """
 
 from __future__ import annotations
@@ -54,12 +60,18 @@ def table_fingerprint(
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.expr("bit_xor(h)").alias("xor_fp"),
-            F.sum(F.col("h").cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
-            .alias("sum_fp"),
+            # exact decimal accumulation, THEN fold mod 2^63 -> bigint:
+            # order-independent and representation-stable on both engines
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("sum_dec"),
         )
         .select(
-            F.lit(name).alias("table_name"), "n_rows", "xor_fp", "sum_fp"
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "xor_fp",
+            F.expr(
+                "CAST(sum_dec % CAST(9223372036854775808 AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("sum_fp"),
         )
     )
 
@@ -114,14 +126,16 @@ def _customer_canon() -> Column:
            COUNT(*) AS n_rows,
            bit_xor({_row_hash_sql(_ORDERS_CANON_SQL)}) AS xor_fp,
            CAST(SUM(CAST({_row_hash_sql(_ORDERS_CANON_SQL)}
-                    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_fp
+                    AS HUGEINT)) % CAST(9223372036854775808 AS HUGEINT)
+                AS BIGINT) AS sum_fp
     FROM orders
     UNION ALL
     SELECT 'customer',
            COUNT(*),
            bit_xor({_row_hash_sql(_CUSTOMER_CANON_SQL)}),
            CAST(SUM(CAST({_row_hash_sql(_CUSTOMER_CANON_SQL)}
-                    AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                    AS HUGEINT)) % CAST(9223372036854775808 AS HUGEINT)
+                AS BIGINT)
     FROM customer
     """,
 )

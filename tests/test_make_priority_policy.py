@@ -64,9 +64,12 @@ def test_changed_wins_over_every_other_bucket():
 
 def test_priority_file_matches_policy_output():
     """The committed registry.PRIORITY must be exactly what the policy
-    produces for the current repo state with the three round-9 changed
-    names — i.e. nobody hand-edited the window (the two post-window
-    additions are appended after the generated list by design)."""
+    produced at generation time — i.e. nobody hand-edited the window.
+    The generation parameters (changed names, artifact horizon, post-
+    window appends) live in registry.PRIORITY_META, written by
+    `make_priority --write`, so this test replays THAT generation: a
+    driver artifact written after the commit cannot retroactively fail
+    the suite (the round-9 cross-round failure mode)."""
     import make_priority as mp
 
     repo = os.path.join(os.path.dirname(__file__), "..")
@@ -74,10 +77,11 @@ def test_priority_file_matches_policy_output():
     from disco_spark import registry
 
     committed = list(registry.PRIORITY)
+    meta = registry.PRIORITY_META
     try:
         registry.PRIORITY.clear()
         registry.load_all()
-        _check(mp, repo, registry, committed)
+        _check(mp, repo, registry, committed, meta)
     finally:
         # registry module state is shared across the test session —
         # restore the committed window for later tests
@@ -86,23 +90,18 @@ def test_priority_file_matches_policy_output():
         registry.load_all()
 
 
-def _check(mp, repo, registry, committed):
-    last_green, last_checked = mp.scan_correctness(repo)
-    ordered, _ = mp.order_window(
-        list(registry.QUERIES),
-        last_green,
-        last_checked,
-        [
-            "dedup_containment_ngram",
-            "dedup_cluster_canonical",
-            "dedup_rate_by_source",
-        ],
+def _check(mp, repo, registry, committed, meta):
+    last_green, last_checked = mp.scan_correctness(
+        repo, max_round=meta["max_round"]
     )
-    # the two post-rotation registrations were APPENDED to the committed
-    # list (so they displace no drain slot); the policy, re-run today,
+    ordered, _ = mp.order_window(
+        list(registry.QUERIES), last_green, last_checked, meta["changed"]
+    )
+    # post-generation registrations are APPENDED to the committed list
+    # (so they displace no drain slot); the policy, re-run today,
     # interleaves them by registration order instead — compare modulo
     # exactly those names, and require they sit AFTER the window
-    post = {"dedup_band_cap_calibration", "dedup_keep_best_quality"}
+    post = set(meta["post_window"])
     assert [n for n in committed if n not in post] == [
         n for n in ordered if n not in post
     ]

@@ -29,14 +29,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_WINDOW = 50
 
 
-def scan_correctness(repo: str) -> tuple[dict[str, int], dict[str, int]]:
+def max_artifact_round(repo: str) -> int:
+    """Newest CORRECTNESS_r*.json round in the working tree."""
+    rounds = [
+        int(p.rsplit("_r", 1)[1].split(".")[0])
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds, default=0)
+
+
+def scan_correctness(
+    repo: str, max_round: int | None = None
+) -> tuple[dict[str, int], dict[str, int]]:
     """(last_green, last_checked) per query name over every committed
     CORRECTNESS_r*.json. A green row = no err + rows/schema/hash all
-    matched; last_checked tracks ANY row, green or red."""
+    matched; last_checked tracks ANY row, green or red. Pass max_round
+    to replay the scan as of an earlier generation (the policy test
+    pins registry.PRIORITY_META['max_round'] so a driver artifact
+    written AFTER the commit can't retroactively fail the suite)."""
     last_green: dict[str, int] = {}
     last_checked: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if max_round is not None and rnd > max_round:
+            continue
         for name, row in json.load(open(path)).items():
             last_checked[name] = max(last_checked.get(name, 0), rnd)
             if (
@@ -117,7 +133,7 @@ def main() -> None:
     n_never = sum(1 for t in tags.values() if t == "never-verified")
     summary = (
         f"# window ({N_WINDOW}): {len(changed)} changed, {n_red} regressed, "
-        f"{min(n_never, N_WINDOW - len(changed) - n_red)} of "
+        f"{min(n_never, max(0, N_WINDOW - len(changed) - n_red))} of "
         f"{n_never} never-verified"
         f"{'' if len(changed) + n_red + n_never >= N_WINDOW else ', rest stale'}"
     )
@@ -131,17 +147,35 @@ def main() -> None:
     lines.append("]")
     body = "\n".join(lines) + "\n"
 
+    # generation parameters, recorded next to the list so the policy
+    # test replays THIS generation (not whatever artifacts exist later)
+    meta_body = (
+        "PRIORITY_META: dict = {\n"
+        f"    'changed': {changed!r},\n"
+        f"    'max_round': {max_artifact_round(REPO)},\n"
+        "    'post_window': [],  # names appended after generation\n"
+        "}\n"
+    )
+
     if write_in_place:
         reg_path = os.path.join(REPO, "disco_spark", "registry.py")
         reg = open(reg_path).read()
         start = reg.index("PRIORITY: list[str] = [")
         end = reg.index("]\n", start) + 2
-        open(reg_path, "w").write(reg[:start] + body + reg[end:])
+        reg = reg[:start] + body + reg[end:]
+        if "PRIORITY_META: dict = {" in reg:
+            m_start = reg.index("PRIORITY_META: dict = {")
+            m_end = reg.index("}\n", m_start) + 2
+            reg = reg[:m_start] + meta_body + reg[m_end:]
+        else:
+            insert_at = reg.index("]\n", reg.index("PRIORITY: list[str]")) + 2
+            reg = reg[:insert_at] + meta_body + reg[insert_at:]
+        open(reg_path, "w").write(reg)
         print(summary)
         print(f"wrote {len(ordered)} names into {reg_path}")
     else:
         print(summary)
-        print(body, end="")
+        print(body + meta_body, end="")
 
 
 if __name__ == "__main__":
