@@ -279,6 +279,27 @@ HEADLINE = [
 ]
 
 
+def store_states(sf_dir: str) -> dict[str, str]:
+    """cold/warm state of each persisted store for THIS dataset, recorded
+    in the bench artifact so round-over-round totals stay comparable: a
+    warm k-NN graph removes ~10s (sf0.1) / ~125s (sf1) of build cost from
+    whichever consumer runs first, which would otherwise read as a
+    round-over-round speedup/regression (the 412x bogus-factor lesson in
+    PERFORMANCE.md). 'warm' = at least one serveable store keyed to this
+    scale factor exists under the root."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.basename(os.path.normpath(sf_dir))
+    states: dict[str, str] = {}
+    for store in ("knn_graph", "ann_index", "sig_store"):
+        root = os.path.join(repo, "benchdata", store)
+        warm = os.path.isdir(root) and any(
+            d == base or d.startswith(base + "_")
+            for d in os.listdir(root)
+        )
+        states[store] = "warm" if warm else "cold"
+    return states
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -300,6 +321,8 @@ def main() -> None:
             # a typo'd skip silently running the pathological query is
             # the exact failure this knob exists to prevent — be loud
             print(f"# WARNING: skip names not in HEADLINE: {unknown}", file=sys.stderr)
+    stores = store_states(sf_dir)
+    print(f"# persisted stores: {stores}", file=sys.stderr)
     names = [n for n in HEADLINE if n in registry.QUERIES and n not in skip]
     if not names:
         print('{"error": "no queries to run (all skipped or unregistered)"}')
@@ -339,6 +362,8 @@ def main() -> None:
         "queries": times,
         "warmup_sec": warm_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # recorded BEFORE the run (the run itself warms cold stores)
+        "stores": stores,
     }
     if skip:
         payload["skipped"] = sorted(skip)

@@ -407,22 +407,50 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # the plan reads shingles 3x (both join sides + sizes); persisting the
     # tokenize+shingle scan computes it once (measured 5.9s -> 3.6s at
     # sf0.1). Blocks are LRU-evictable, so a long session self-cleans.
-    return _jaccard_from_shingles(lazy_persist(shingle_df(docs)))
+    return _jaccard_from_shingles(
+        lazy_persist(shingle_df(docs)), universe=_EXACT_BASELINE_OPTOUT
+    )
 
 
-def pair_overlaps(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+# The universes pair_overlaps accepts: each names the discipline that
+# bounds the posting lists BEFORE the O(df²) self-join. The opt-out
+# string is deliberately loud — it appears in exactly one production
+# call site (ngram_jaccard_pairs, the small-SF exact oracle baseline),
+# and a source-scan test pins that count so no future caller quietly
+# re-promotes the unbounded join into a default (the round-8 cluster_map
+# regression, and the measured sf1 OOM that followed).
+_BOUNDED_UNIVERSES = frozenset({"df_pruned", "lsh_candidates"})
+_EXACT_BASELINE_OPTOUT = "UNBOUNDED_EXACT_BASELINE"
+
+
+def pair_overlaps(
+    sh: DataFrame, *, universe: str
+) -> tuple[DataFrame, DataFrame]:
     """(common, sizes) over a (doc_id, shingle) DataFrame: the
     inverted-index pair join counting shared shingles per u < v pair,
     plus per-doc set sizes — the ONE overlap-count core under both the
     symmetric Jaccard and the asymmetric containment scorers (caller
     persists `sh`).
 
-    SCALE CONTRACT: this join emits O(df²) pairs per shingle, so it is
-    the small-SF oracle core, never a production default. Every
-    registered query feeds it a BOUNDED universe — DF-pruned shingles
-    (df_pruned_shingles: posting lists capped at DF_PRUNE_MAX) or LSH
-    band candidates (lsh_jaccard_pairs) — or routes the hot posting
-    lists through the salted split join (salted_ngram_jaccard_pairs)."""
+    SCALE CONTRACT / GUARD: this join emits O(df²) pairs per shingle,
+    so it is the small-SF oracle core, never a production default.
+    Callers MUST declare the bounded universe they feed in via the
+    required keyword `universe` — one of _BOUNDED_UNIVERSES
+    ('df_pruned' = posting lists capped at DF_PRUNE_MAX via
+    df_pruned_shingles; 'lsh_candidates' = pair space limited to
+    minhash band collisions) — or explicitly opt out with
+    'UNBOUNDED_EXACT_BASELINE' for small-SF oracle duty (measured
+    lesson: the unbounded join OOMs the salted sf1 artifact even WITH
+    hot/cold salting — straggler mitigation is not pair-volume
+    mitigation). Any other value raises."""
+    if universe not in _BOUNDED_UNIVERSES and universe != _EXACT_BASELINE_OPTOUT:
+        raise ValueError(
+            f"pair_overlaps universe {universe!r} is not a bounded "
+            f"discipline {sorted(_BOUNDED_UNIVERSES)}; pass "
+            f"{_EXACT_BASELINE_OPTOUT!r} ONLY for small-SF exact-oracle "
+            "work (the O(df²) posting join is never a production "
+            "default — see the scale contract in this docstring)"
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # rename by NAME, not position (joins reorder columns: an anti-join
     # on shingle puts shingle first)
@@ -437,10 +465,11 @@ def pair_overlaps(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     return common, sizes
 
 
-def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
+def _jaccard_from_shingles(sh: DataFrame, *, universe: str) -> DataFrame:
     """sizes + inverted-index pair join + Jaccard filter over a
-    (doc_id, shingle) DataFrame (caller persists it)."""
-    common, sizes = pair_overlaps(sh)
+    (doc_id, shingle) DataFrame (caller persists it; `universe`
+    forwards to pair_overlaps' scale guard)."""
+    common, sizes = pair_overlaps(sh, universe=universe)
     return _jaccard_select(common, sizes)
 
 
@@ -592,11 +621,14 @@ def dedup_band_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair is annotated with the MINIMUM cap at which it
     appears (min over colliding bands of max(rn_a, rn_b); star edges
     from identical-signature groups are cap-independent, min_cap = 1),
-    then a 4-row caps frame joins on min_cap <= cap — never one
-    pipeline per cap value. The pair space is bounded by the sweep max
-    (rn <= {max(CAP_SWEEP)} before the self-join), so the sweep itself
-    carries the cap discipline it calibrates; the caps join is a
-    broadcast nested loop against a kernel-sized side. Output is
+    then the pairs PRE-AGGREGATE to (min_cap, n_pairs, n_ok) — at most
+    max(CAP_SWEEP) rows — before the 4-row caps frame joins on
+    min_cap <= cap, so the broadcast nested loop really does carry a
+    kernel-sized build side (broadcasting the caps frame itself on the
+    preserved side of the left join is a hint Spark cannot honor).
+    Never one pipeline per cap value. The pair space is bounded by the
+    sweep max (rn <= {max(CAP_SWEEP)} before the self-join), so the
+    sweep itself carries the cap discipline it calibrates. Output is
     exactly |CAP_SWEEP| rows."""
     from pyspark.sql.window import Window
 
@@ -664,14 +696,29 @@ def dedup_band_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = lazy_persist(scored)
+    # pre-aggregate by min_cap FIRST: the <= join then runs between two
+    # kernel-sized frames (<= max(CAP_SWEEP) rows vs |CAP_SWEEP| rows).
+    # Hinting broadcast on the PRESERVED side of a left-outer non-equi
+    # join can't be honored — Spark's BroadcastNestedLoopJoin would have
+    # to broadcast the full candidate-pair set instead, an executor-OOM
+    # risk at scale.
+    by_mincap = scored.groupBy("min_cap").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("ok"), F.lit(0)).alias("n_ok"),
+    )
     caps = spark.createDataFrame([(c,) for c in CAP_SWEEP], "cap int")
     per_cap = (
-        F.broadcast(caps)
-        .join(scored, F.col("min_cap") <= F.col("cap"), "left")
+        caps.join(
+            F.broadcast(by_mincap), F.col("min_cap") <= F.col("cap"), "left"
+        )
         .groupBy("cap")
         .agg(
-            F.count("min_cap").cast("bigint").alias("n_candidates"),
-            F.coalesce(F.sum("ok"), F.lit(0)).cast("bigint").alias("n_verified"),
+            F.coalesce(F.sum("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.sum("n_ok"), F.lit(0))
+            .cast("bigint")
+            .alias("n_verified"),
         )
     )
     total = F.broadcast(
@@ -764,7 +811,9 @@ def dedup_ngram_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast anti-join: no extra shuffle of the shingle table."""
     t = load_tables(spark, sf_dir)
     sh = lazy_persist(shingle_df(with_toks(t["documents"])))
-    return _jaccard_from_shingles(df_pruned_shingles(sh))
+    return _jaccard_from_shingles(
+        df_pruned_shingles(sh), universe="df_pruned"
+    )
 
 
 def df_pruned_shingles(
@@ -1301,7 +1350,8 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-containment/low-Jaccard pairs LSH misses."""
     docs = load_tables(spark, sf_dir)["documents"]
     common, sizes = pair_overlaps(
-        df_pruned_shingles(lazy_persist(shingle_df(docs)))
+        df_pruned_shingles(lazy_persist(shingle_df(docs))),
+        universe="df_pruned",
     )
     scored = (
         common.join(

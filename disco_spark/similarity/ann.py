@@ -518,14 +518,23 @@ def _adaptive_knn(
     g = knn_graph(e2, k=k, nprobe=nprobe)
     # write-then-swap-then-manifest: a crash leaves either the old
     # store (manifest + graph both old) or no manifest (rebuilt next
-    # call) — never a manifest pointing at missing/partial data
-    tmp = gdir + "_building"
+    # call) — never a manifest pointing at missing/partial data.
+    # Scratch names are PID-suffixed so two concurrent builders (e.g.
+    # bench + pytest) never write the same _building/_old paths; if a
+    # concurrent builder wins the rename-into-place, ours is discarded
+    # — both graphs are deterministic from the same fingerprinted
+    # inputs (warm==fresh bit-equality is pytest-pinned), so either
+    # copy is THE store.
+    tmp = f"{gdir}_building_{os.getpid()}"
     g.write.mode("overwrite").parquet(tmp)
-    old = gdir + "_old"
+    old = f"{gdir}_old_{os.getpid()}"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(gdir):
         os.rename(gdir, old)
-    os.rename(tmp, gdir)
+    try:
+        os.rename(tmp, gdir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     with open(mf, "w") as fh:
         json.dump(want, fh)

@@ -96,6 +96,27 @@ def test_round9_dedup_ops_plan_hygiene(spark):
             assert key.startswith(allowed), (name, key)
 
 
+def test_calibration_nonequi_join_builds_preaggregate(spark):
+    """The calibration sweep's min_cap <= cap join must BUILD on the
+    per-min_cap pre-aggregate (<= max(CAP_SWEEP) rows), never on the
+    raw candidate-pair set: Spark cannot honor a broadcast hint on the
+    preserved side of a left-outer BNLJ, so without the pre-aggregate
+    it would broadcast every scored pair (executor OOM at scale)."""
+    plan = _plan(spark, "dedup_band_cap_calibration")
+    outer = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line and "LeftOuter" in line
+    ]
+    assert outer, "expected a left-outer BNLJ for the caps sweep"
+    for line in outer:
+        assert "BuildRight" in line, line
+    # the build side must be the pre-aggregate: a HashAggregate on
+    # min_cap feeds the broadcast exchange, so n_pairs/n_ok appear as
+    # aggregate outputs in the plan
+    assert re.search(r"n_pairs#\d+", plan) and re.search(r"n_ok#\d+", plan)
+
+
 def test_lorenz_windows_only_over_deciles(spark):
     """The Lorenz cumulative window may order only the 10-row decile
     frame; ranks over raw customer revenue must come from the harness

@@ -137,7 +137,10 @@ def test_df_pruned_jaccard_drops_hot_shingles_keeps_near_dups(spark):
         .select("shingle")
     )
     kept = sh.join(F.broadcast(hot_set), "shingle", "left_anti")
-    pairs = {(r.doc_a, r.doc_b) for r in _jaccard_from_shingles(kept).collect()}
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_from_shingles(kept, universe="df_pruned").collect()
+    }
     assert (100, 101) in pairs  # rare-shingle near-dups survive
     # no pair exists among the hot-shingle-only docs
     assert not any(a < 100 and b < 100 for a, b in pairs)
