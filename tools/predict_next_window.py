@@ -1,0 +1,47 @@
+"""Predict NEXT round's driver window so it can be pre-validated
+before the round starts (the round-9 pattern: rehearse the predicted
+window vanilla-green, and the next drain is de-risked in advance).
+
+Simulates "this round's driver checks all come back green for the
+current PRIORITY window" on top of the committed CORRECTNESS_r*.json
+history, then replays the ordering policy to print the window the
+NEXT `make_priority.py --write` would front.
+
+Usage: python tools/predict_next_window.py [n_to_print]
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from make_priority import N_WINDOW, max_artifact_round, order_window, scan_correctness  # noqa: E402
+
+
+def main() -> None:
+    from disco_spark import registry
+
+    registry.load_all()
+    window = list(registry.PRIORITY[:N_WINDOW])
+
+    last_green, last_checked = scan_correctness(REPO)
+    this_round = max_artifact_round(REPO) + 1
+    for n in window:  # assume the pending driver run greens the window
+        last_green[n] = this_round
+        last_checked[n] = this_round
+
+    reg = list(registry.QUERIES)
+    ordered, tags = order_window(reg, last_green, last_checked, [])
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_WINDOW
+    print(
+        f"# predicted round-{this_round + 1} window "
+        f"(assumes the r{this_round} window greens):"
+    )
+    for name in ordered[:n]:
+        print(f"{name}  # {tags[name]}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
