@@ -7,7 +7,11 @@ current PRIORITY window" on top of the committed CORRECTNESS_r*.json
 history, then replays the ordering policy to print the window the
 NEXT `make_priority.py --write` would front.
 
-Usage: python tools/predict_next_window.py [n_to_print]
+Usage: python tools/predict_next_window.py [n_to_print] [--validate]
+  --validate  additionally run every predicted name against its DuckDB
+              oracle at sf0.01 in a VANILLA SparkSession (the driver's
+              own config) and report failures — the one-command version
+              of the pre-validation rehearsal.
 """
 
 import os
@@ -33,13 +37,43 @@ def main() -> None:
 
     reg = list(registry.QUERIES)
     ordered, tags = order_window(reg, last_green, last_checked, [])
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_WINDOW
+    args = [a for a in sys.argv[1:] if a != "--validate"]
+    validate = "--validate" in sys.argv[1:]
+    n = int(args[0]) if args else N_WINDOW
+    predicted = ordered[:n]
     print(
         f"# predicted round-{this_round + 1} window "
         f"(assumes the r{this_round} window greens):"
     )
-    for name in ordered[:n]:
+    for name in predicted:
         print(f"{name}  # {tags[name]}")
+
+    if validate:
+        from pyspark.sql import SparkSession
+
+        from disco_spark.testing import compare_query
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        bad = []
+        for i, name in enumerate(predicted):
+            try:
+                compare_query(spark, name, "/root/testdata/sf0.01")
+                print(f"{i + 1:3d}/{len(predicted)} OK   {name}", flush=True)
+            except Exception as ex:  # noqa: BLE001 — report and continue
+                bad.append(name)
+                print(
+                    f"{i + 1:3d}/{len(predicted)} FAIL {name}: "
+                    f"{str(ex)[:200]}",
+                    flush=True,
+                )
+        spark.stop()
+        print(f"VALIDATE FAILED: {bad}")
+        sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
