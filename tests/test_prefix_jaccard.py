@@ -122,3 +122,22 @@ def test_prefix_short_docs_excluded_like_naive(spark):
         == _naive_pairs(docs, 0.8).count()
         == 0
     )
+
+
+def test_prefix_plan_shape(spark):
+    """The physical plan must stay candidate-bounded: every join is
+    keyed (no CartesianProduct / BroadcastNestedLoop anywhere — the
+    prefix join keys on shingle, the verify keys on doc ids), and the
+    positional-bound groupBy is present as a real aggregation."""
+    from disco_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["dedup_ngram_jaccard_prefix"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the grouped candidate stage aggregates cpref + positional maxima
+    assert "cpref" in plan and "imax" in plan and "jmax" in plan
