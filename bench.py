@@ -293,15 +293,21 @@ def store_states(sf_dir: str) -> dict[str, str]:
     warm k-NN graph removes ~10s (sf0.1) / ~125s (sf1) of build cost from
     whichever consumer runs first, which would otherwise read as a
     round-over-round speedup/regression (the 412x bogus-factor lesson in
-    PERFORMANCE.md). 'warm' = at least one serveable store keyed to this
-    scale factor exists under the root."""
+    PERFORMANCE.md). 'warm' = at least one store entry keyed to this
+    scale factor with its manifest.json WRITTEN (every store writes the
+    manifest LAST, so a crashed/partial build does not count). A store
+    whose manifest fingerprints no longer match the dataset still says
+    'warm' here — the readers re-fingerprint and rebuild — which is the
+    honest limit of a stat-only check; it flags presence, not a serve
+    guarantee."""
     repo = os.path.dirname(os.path.abspath(__file__))
     base = os.path.basename(os.path.normpath(sf_dir))
     states: dict[str, str] = {}
     for store in ("knn_graph", "ann_index", "sig_store"):
         root = os.path.join(repo, "benchdata", store)
         warm = os.path.isdir(root) and any(
-            d == base or d.startswith(base + "_")
+            (d == base or d.startswith(base + "_"))
+            and os.path.isfile(os.path.join(root, d, "manifest.json"))
             for d in os.listdir(root)
         )
         states[store] = "warm" if warm else "cold"

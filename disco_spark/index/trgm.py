@@ -69,9 +69,9 @@ def trigram_postings(
     transform allocates one 3-char string per character of corpus
     text — measured as the whole 15x-at-10x factor on the sf1 text
     volume, pure allocation/GC, not shuffle): it probes each needed
-    trigram with instr() over the text, |needed| scans per doc with
-    zero per-position allocation, then explodes the <= |needed|
-    present ones."""
+    trigram with a contains() scan over the text, |needed| scans per
+    doc with zero per-position allocation, then explodes the <=
+    |needed| present ones."""
     if needed is not None:
         tgs = F.filter(
             F.array(*[F.lit(t) for t in sorted(set(needed))]),

@@ -525,12 +525,30 @@ def _adaptive_knn(
     # — both graphs are deterministic from the same fingerprinted
     # inputs (warm==fresh bit-equality is pytest-pinned), so either
     # copy is THE store.
+    # reclaim scratch a CRASHED builder left behind (PID-suffixed names
+    # are never reused, so leftovers accumulate otherwise); an age
+    # guard keeps a concurrent LIVE builder's in-progress scratch safe
+    import glob as _glob
+    import time as _time
+
+    for stale in _glob.glob(f"{gdir}_building_*") + _glob.glob(f"{gdir}_old_*"):
+        try:
+            if _time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     tmp = f"{gdir}_building_{os.getpid()}"
     g.write.mode("overwrite").parquet(tmp)
     old = f"{gdir}_old_{os.getpid()}"
     shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(gdir):
-        os.rename(gdir, old)
+    try:
+        # the move-aside is itself racy against a concurrent builder's
+        # swap (isdir then rename = TOCTOU): losing THAT race is as
+        # harmless as losing the rename-into-place below, so tolerate
+        if os.path.isdir(gdir):
+            os.rename(gdir, old)
+    except OSError:
+        pass
     try:
         os.rename(tmp, gdir)
     except OSError:

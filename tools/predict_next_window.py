@@ -26,8 +26,15 @@ from make_priority import N_WINDOW, max_artifact_round, order_window, scan_corre
 def main() -> None:
     from disco_spark import registry
 
-    registry.load_all()
+    # the committed window is read BEFORE load_all; the registry dict
+    # must then be rebuilt in REGISTRATION order (make_priority.main
+    # does the same PRIORITY.clear()) — load_all's finalize_order
+    # reorders QUERIES into PRIORITY order, and feeding that reordered
+    # view to order_window would change its registration-order
+    # tie-breaks, predicting a window the real --write never generates
     window = list(registry.PRIORITY[:N_WINDOW])
+    registry.PRIORITY.clear()
+    registry.load_all()
 
     last_green, last_checked = scan_correctness(REPO)
     this_round = max_artifact_round(REPO) + 1
@@ -72,10 +79,12 @@ def main() -> None:
                     flush=True,
                 )
         spark.stop()
-        print(f"VALIDATE FAILED: {bad}")
+        if bad:
+            print(f"VALIDATE FAILED ({len(bad)}): {bad}")
+        else:
+            print(f"VALIDATE OK: {len(predicted)}/{len(predicted)}")
         sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()
