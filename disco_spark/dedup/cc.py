@@ -87,6 +87,33 @@ _LSH_PAIRS_CTES = f"""
 LSH_CLUSTER_ORACLE = _cluster_oracle(_LSH_PAIRS_CTES)
 
 
+def _prefix_pairs_ctes() -> str:
+    """pairs CTE = the NAIVE exact join at the prefix threshold: the
+    Spark side generates pairs via the lossless AllPairs/PPJoin prune
+    (prefix_jaccard_pairs), so the naive oracle doubles as the
+    losslessness proof — same contract as dedup_ngram_jaccard_prefix."""
+    from disco_spark.dedup.dedup import PREFIX_JACCARD_T
+
+    return f"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+            >= {PREFIX_JACCARD_T}
+    )"""
+
+
+PREFIX_CLUSTER_ORACLE = _cluster_oracle(_prefix_pairs_ctes())
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 30, driver_threshold: int = DRIVER_EDGE_THRESHOLD
 ) -> DataFrame:
@@ -244,6 +271,25 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline all share one driver-checked cluster definition."""
     t = load_tables(spark, sf_dir)
     return cluster_map(t["documents"])
+
+
+@query("dedup_cluster_exact", oracle=PREFIX_CLUSTER_ORACLE)
+def dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT cluster map: connected components over EXACT jaccard >=
+    0.8 pairs (prefix-filtered — dedup_ngram_jaccard_prefix's lossless
+    candidate bound), singletons map to themselves. The LSH map
+    (dedup_cluster_canonical) is the production default — banding recall
+    is ~1 for true near-dups and the pair space is cap-bounded — but a
+    compliance-grade pass ("no pair above threshold may survive, period")
+    needs clusters whose EDGE SET is provably complete; prefix filtering
+    is the exact generator that still survives scale (the unbounded
+    posting join OOMs — pair_overlaps' measured contract). Oracle =
+    connected components over the NAIVE exact pairs, so every driver
+    check re-proves both the candidate bound AND the clustering."""
+    from disco_spark.dedup.dedup import prefix_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    return cluster_map(t["documents"], pair_fn=prefix_jaccard_pairs)
 
 
 def cluster_map(docs: DataFrame, pair_fn=None) -> DataFrame:

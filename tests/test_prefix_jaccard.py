@@ -124,6 +124,44 @@ def test_prefix_short_docs_excluded_like_naive(spark):
     )
 
 
+def test_cluster_exact_oracle(spark):
+    """The strict cluster map: CC over exact prefix pairs vs the
+    naive-pairs recursive-CTE oracle."""
+    compare_query(spark, "dedup_cluster_exact", SF_CORRECT)
+
+
+def test_cluster_exact_matches_cc_over_naive_pairs(spark):
+    """cluster_map(pair_fn=prefix) must equal cluster_map(pair_fn=naive
+    at the same threshold) — the lossless bound extended through the
+    transitive closure."""
+    from disco_spark.dedup.cc import cluster_map
+
+    texts = [
+        "a b c d e f g h i j k l m n o p q r s t",
+        "a b c d e f g h i j k l m n o p q r s t",      # dup of 0
+        "a b c d e f g h i j k l m n o p q r s Z",      # near-dup chain
+        "totally different text goes here with words",  # singleton
+    ]
+    docs = _docs(spark, texts)
+    got = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in cluster_map(
+            docs, pair_fn=lambda d: prefix_jaccard_pairs(d, t=0.8)
+        ).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in cluster_map(
+            docs, pair_fn=lambda d: _naive_pairs(d, 0.8)
+        ).collect()
+    )
+    assert got == want
+    # 0 and 1 are identical -> same cluster; 3 is a singleton
+    labels = dict(got)
+    assert labels[0] == labels[1]
+    assert labels[3] == 3
+
+
 def test_prefix_plan_shape(spark):
     """The physical plan must stay candidate-bounded: every join is
     keyed (no CartesianProduct / BroadcastNestedLoop anywhere — the
