@@ -299,18 +299,24 @@ def store_states(sf_dir: str) -> dict[str, str]:
     whose manifest fingerprints no longer match the dataset still says
     'warm' here — the readers re-fingerprint and rebuild — which is the
     honest limit of a stat-only check; it flags presence, not a serve
-    guarantee."""
+    guarantee. The matched entry names are recorded IN the state string
+    ('warm:entry1,entry2') because the base-prefix match is ambiguous:
+    a variant-dataset entry (e.g. sf1_evenbase built from the salted
+    artifact's sibling) matches 'sf1_*' without being a store the plain
+    sf1 headline queries consume — the entry list lets a reader of the
+    artifact tell a genuinely-warm run from a false-prefix match."""
     repo = os.path.dirname(os.path.abspath(__file__))
     base = os.path.basename(os.path.normpath(sf_dir))
     states: dict[str, str] = {}
     for store in ("knn_graph", "ann_index", "sig_store"):
         root = os.path.join(repo, "benchdata", store)
-        warm = os.path.isdir(root) and any(
-            (d == base or d.startswith(base + "_"))
+        matched = sorted(
+            d
+            for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if (d == base or d.startswith(base + "_"))
             and os.path.isfile(os.path.join(root, d, "manifest.json"))
-            for d in os.listdir(root)
         )
-        states[store] = "warm" if warm else "cold"
+        states[store] = "warm:" + ",".join(matched) if matched else "cold"
     return states
 
 

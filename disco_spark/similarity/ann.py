@@ -549,13 +549,22 @@ def _adaptive_knn(
             os.rename(gdir, old)
     except OSError:
         pass
+    renamed = True
     try:
         os.rename(tmp, gdir)
     except OSError:
+        renamed = False
         shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    with open(mf, "w") as fh:
-        json.dump(want, fh)
+    # the manifest is written ONLY when our graph made it into place: a
+    # losing builder stamping the winner's graph with its own `want`
+    # would mislabel the store whenever the two builders fingerprinted
+    # DIFFERENT inputs (dataset regenerated between their reads) — the
+    # winner's own manifest write (or its absence, forcing a rebuild)
+    # is the only truthful label for the graph that actually survived
+    if renamed:
+        with open(mf, "w") as fh:
+            json.dump(want, fh)
     return spark.read.parquet(gdir)
 
 

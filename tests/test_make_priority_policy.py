@@ -69,34 +69,48 @@ def test_priority_file_matches_policy_output():
     window appends) live in registry.PRIORITY_META, written by
     `make_priority --write`, so this test replays THAT generation: a
     driver artifact written after the commit cannot retroactively fail
-    the suite (the round-9 cross-round failure mode)."""
+    the suite (the round-9 cross-round failure mode).
+
+    The replay runs in a FRESH SUBPROCESS because registration order is
+    only observable in a fresh interpreter: in-process PRIORITY.clear()
+    + load_all() cannot restore it once any query module was imported
+    earlier (the module cache skips re-registration), which made this
+    test import-order dependent across pytest selections — and made
+    the registration-order tie-break comparison circular whenever an
+    earlier load_all() had already reordered QUERIES into committed-
+    PRIORITY order (the round-10 ADVICE finding)."""
+    import json
+    import subprocess
+
     import make_priority as mp
 
-    repo = os.path.join(os.path.dirname(__file__), "..")
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
     sys.path.insert(0, repo)
     from disco_spark import registry
 
     committed = list(registry.PRIORITY)
     meta = registry.PRIORITY_META
-    try:
-        registry.PRIORITY.clear()
-        registry.load_all()
-        _check(mp, repo, registry, committed, meta)
-    finally:
-        # registry module state is shared across the test session —
-        # restore the committed window for later tests
-        registry.PRIORITY.clear()
-        registry.PRIORITY.extend(committed)
-        registry.load_all()
-
-
-def _check(mp, repo, registry, committed, meta):
-    last_green, last_checked = mp.scan_correctness(
-        repo, max_round=meta["max_round"]
+    script = (
+        "import json, sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        f"sys.path.insert(0, {os.path.join(repo, 'tools')!r})\n"
+        "from disco_spark import registry\n"
+        "registry.PRIORITY.clear()\n"  # fresh cache: true registration order
+        "registry.load_all()\n"
+        "import make_priority as mp\n"
+        f"lg, lc = mp.scan_correctness({repo!r}, max_round={meta['max_round']!r})\n"
+        f"ordered, _ = mp.order_window(list(registry.QUERIES), lg, lc, "
+        f"{meta['changed']!r})\n"
+        "print(json.dumps(ordered))\n"
     )
-    ordered, _ = mp.order_window(
-        list(registry.QUERIES), last_green, last_checked, meta["changed"]
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=repo,
     )
+    ordered = json.loads(out.stdout.strip().splitlines()[-1])
     # post-generation registrations are APPENDED to the committed list
     # (so they displace no drain slot); the policy, re-run today,
     # interleaves them by registration order instead — compare modulo
