@@ -223,14 +223,18 @@ HEADLINE = [
     # O(sum df²) total pair volume, which the salted sf1 artifact's
     # planted near-dup density turns into a JVM OOM — measured r9).
     # Production discipline = df_pruned / lsh_jaccard siblings.
-    # dedup_ngram_jaccard_prefix (round 10) is the EXACT-at-threshold
-    # fix — AllPairs/PPJoin prefix filtering, completes the same sf1
-    # artifact in ~54s where the naive join OOMs — but is also off the
-    # list: the artifact's FROZEN vocabulary (9.6k shingles at 10x
-    # docs) makes its candidate volume grow ~quadratically across the
-    # sf0.1->sf1 pair, a replica-salt artifact property (Heaps' law
-    # grows real vocabularies), so its rehearsal factor would measure
-    # the artifact, not the plan.
+    # dedup_ngram_jaccard_prefix + dedup_cluster_exact (round 10) are
+    # the EXACT-at-threshold fix — AllPairs/PPJoin prefix filtering —
+    # and joined the headline list in round 11 once the growing-vocab
+    # artifact (benchdata/sf1g, tools/make_scaled_data.py
+    # --vocab-growth) turned their frozen-vocab adjudication into a
+    # measurement: 2.1x / 2.3x wall at 10x data where the interleave-
+    # salted artifact (vocab frozen at 9.6k shingles, sum(df^2) 1806x
+    # base) showed ~18x. On the salted sf1 rehearsal their factors
+    # still read the artifact, not the plan — adjudicated in
+    # PERFORMANCE.md round 11 with the sf1g numbers alongside.
+    "dedup_ngram_jaccard_prefix",
+    "dedup_cluster_exact",
     "dedup_cluster_canonical",
     "dedup_rate_by_source",
     "vocab_pmi_collocations",

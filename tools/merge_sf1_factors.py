@@ -2,8 +2,11 @@
 detail into BENCH_sf1.json with a per-query 10x scale factor — the
 whole-surface dress-rehearsal artifact the performance audit reads.
 
-Usage: python tools/merge_sf1_factors.py [base.json] [scaled.json]
-Defaults: BENCH_DETAIL.json, BENCH_DETAIL_sf1_raw.json.
+Usage: python tools/merge_sf1_factors.py [base.json] [scaled.json] [out.json]
+Defaults: BENCH_DETAIL.json, BENCH_DETAIL_sf1_raw.json, BENCH_sf1.json.
+The out name's stem (sf1 / sf1g / ...) names the scaled artifact in the
+metric and note, so the salted and growing-vocab rehearsals can be
+recorded side by side.
 """
 
 import json
@@ -11,6 +14,8 @@ import sys
 
 base_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
 scaled_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DETAIL_sf1_raw.json"
+out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf1.json"
+tag = out_path.rsplit("BENCH_", 1)[-1].split(".json")[0]
 base = json.load(open(base_path))
 scaled = json.load(open(scaled_path))
 
@@ -28,16 +33,16 @@ over10 = sorted(
     key=lambda n: -factors[n]["factor"],
 )
 out = {
-    "metric": "headline_queries_total_sf1",
+    "metric": f"headline_queries_total_{tag}",
     "value": scaled["value"],
     "unit": "sec",
     "sf": 1.0,
     "n_queries": len(scaled["queries"]),
     "skipped": scaled.get("skipped", []),
     "note": (
-        "10x replicated-data dress rehearsal (benchdata/sf1) over the FULL "
-        "headline set; per-query wall factors vs the same-session sf0.1 "
-        "run. Queries >10x are adjudicated in PERFORMANCE.md."
+        f"10x replicated-data dress rehearsal (benchdata/{tag}) over the "
+        "FULL headline set; per-query wall factors vs the same-session "
+        "sf0.1 run. Queries >10x are adjudicated in PERFORMANCE.md."
     ),
     "aggregate_factor": round(scaled["value"] / base["value"], 2),
     "n_over_10x": len(over10),
@@ -45,7 +50,7 @@ out = {
     "missing_vs_base": missing,
     "queries": factors,
 }
-with open("BENCH_sf1.json", "w") as f:
+with open(out_path, "w") as f:
     json.dump(out, f, indent=1)
 print(
     f"aggregate {out['aggregate_factor']}x for 10x data over "
