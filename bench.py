@@ -228,10 +228,10 @@ HEADLINE = [
     # and joined the headline list in round 11 once the growing-vocab
     # artifact (benchdata/sf1g, tools/make_scaled_data.py
     # --vocab-growth) turned their frozen-vocab adjudication into a
-    # measurement: 2.1x / 2.3x wall at 10x data where the interleave-
+    # measurement: 3.73x / 3.45x wall at 10x data where the interleave-
     # salted artifact (vocab frozen at 9.6k shingles, sum(df^2) 1806x
-    # base) showed ~18x. On the salted sf1 rehearsal their factors
-    # still read the artifact, not the plan — adjudicated in
+    # base) showed 21.2x / 21.3x. On the salted sf1 rehearsal their
+    # factors still read the artifact, not the plan — adjudicated in
     # PERFORMANCE.md round 11 with the sf1g numbers alongside.
     "dedup_ngram_jaccard_prefix",
     "dedup_cluster_exact",
