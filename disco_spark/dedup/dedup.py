@@ -280,7 +280,9 @@ def rep_band_keys(grouped: DataFrame) -> DataFrame:
     )
 
 
-def band_candidates(sig: DataFrame) -> DataFrame:
+def band_candidates(
+    sig: DataFrame, grouped: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded minhash signatures:
     docs collide when one whole band of their signatures matches. The
     self-join is bucketed on (band_idx, band_key) AND bounded per
@@ -291,8 +293,13 @@ def band_candidates(sig: DataFrame) -> DataFrame:
 
     The band keys come from ONE posexplode over an array expression
     (not a UNION of per-band selects, which would re-evaluate the
-    signature aggregation once per band — 3 shuffles instead of 1)."""
-    grouped = lazy_persist(signature_groups(sig))
+    signature aggregation once per band — 3 shuffles instead of 1).
+
+    ``grouped`` lets a caller that also reads the signature-group map
+    (the recall-curve audit) pass its own persisted frame in, so the
+    grouping window runs once."""
+    if grouped is None:
+        grouped = lazy_persist(signature_groups(sig))
     star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
         F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
@@ -604,10 +611,13 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prefix_jaccard_pairs(
-    docs: DataFrame, t: float = PREFIX_JACCARD_T
+    docs: DataFrame, t: float = PREFIX_JACCARD_T, sh: DataFrame | None = None
 ) -> DataFrame:
     """Composable core: (doc_a, doc_b, jaccard) with EXACT jaccard >= t
     via AllPairs prefix filtering + the PPJoin positional filter.
+    Callers that also consume the shingle projection (the recall-curve
+    audit joins it against the LSH chain) pass their persisted frame
+    via ``sh`` so the tokenize scan happens once.
 
     Plan: one persisted shingle scan feeds (1) global shingle df
     counts, (2) a per-doc window ranking shingles by ascending
@@ -638,7 +648,8 @@ def prefix_jaccard_pairs(
     from pyspark.sql.window import Window
 
     t_eff = t - 1e-4
-    sh = lazy_persist(shingle_df(docs))
+    if sh is None:
+        sh = lazy_persist(shingle_df(docs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wd = Window.partitionBy("doc_id")
@@ -707,6 +718,117 @@ def prefix_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return _jaccard_select(common, sizes, min_jac=t)
+
+
+# --------------------------------------------------------------------------
+# LSH banding recall S-curve, measured against EXACT ground truth: the
+# prefix-filtered exact join (provably lossless) supplies every true
+# pair with jaccard >= 0.5, the PRODUCTION band chain (signature
+# groups + BAND_CAP, exactly what dedup_minhash_lsh ships) proposes
+# candidates, and the curve reports per-jaccard-bucket recall. This is
+# the number the LSH default's "banding recall ~1 for true near-dups"
+# claim rests on — previously an analytic argument (1-(1-j^2)^3 for
+# 3 bands of 2), now a driver-checked measurement per corpus.
+# --------------------------------------------------------------------------
+RECALL_CURVE_T = 0.5  # curve floor: exact ground truth down to j=0.5
+
+
+@query(
+    "dedup_lsh_recall_curve",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_bands_sql()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    true_pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+            >= {RECALL_CURVE_T}
+    )
+    SELECT CAST(LEAST(FLOOR(t.jaccard * 10 + 1e-9), 9) AS BIGINT) AS j_bucket,
+           COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN h.doc_a IS NOT NULL OR ga.rep = gb.rep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_proposed,
+           ROUND(CAST(SUM(CASE WHEN h.doc_a IS NOT NULL OR ga.rep = gb.rep
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS recall
+    FROM true_pairs t
+      LEFT JOIN cands h ON h.doc_a = t.doc_a AND h.doc_b = t.doc_b
+      JOIN grp ga ON ga.doc_id = t.doc_a
+      JOIN grp gb ON gb.doc_id = t.doc_b
+    GROUP BY 1
+    """,
+)
+def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH banding recall by exact-jaccard bucket: ground
+    truth is the prefix-filtered EXACT join at t={RECALL_CURVE_T}
+    (lossless bound — the oracle recomputes it with the naive posting
+    join, so every driver check re-proves both the bound AND the
+    curve), candidates are the PRODUCTION band chain including the
+    signature-group star edges and the BAND_CAP hot-bucket cut. Rows:
+    (j_bucket, n_true, n_proposed, recall) with j_bucket = floor(10j)
+    clamped to 9 (identical docs land in bucket 9 and arrive via star
+    edges, so their recall is structurally 1.0).
+
+    Scale shape: one shared persisted shingle scan feeds both arms;
+    the truth side is the prefix plan (rare-shingle collisions only),
+    the candidate side is the capped band self-join; the final left
+    join starts FROM the true-pair list — at 100 TB this is the audit
+    you run on a sample to certify the banding config before trusting
+    LSH recall on the full corpus, the recall-side companion to
+    dedup_band_cap_calibration (which sweeps the cap on the same
+    chain). The 1e-9 nudge before floor() keeps bucket edges identical
+    on both engines (round-to-6 values like 0.7 sit one ulp below the
+    edge in IEEE doubles; both engines floor the same nudged value).
+
+    A true pair counts as proposed when it is a direct candidate OR
+    both docs share a signature group: the chain REPRESENTS an
+    identical-signature clique as rep->member star edges (that linear
+    representation is the whole point of the grouping), so a
+    (member, member) pair inside one group is recovered by the
+    downstream transitive clustering by construction — counting it
+    missed would charge the audit for the chain's own compression."""
+    t = load_tables(spark, sf_dir)
+    return lsh_recall_curve_frame(with_toks(t["documents"]))
+
+
+def lsh_recall_curve_frame(docs: DataFrame) -> DataFrame:
+    """Composable core of dedup_lsh_recall_curve over any (doc_id,
+    text[, toks]) frame — the per-bucket banding-recall curve."""
+    sh = lazy_persist(shingle_df(docs))
+    truth = prefix_jaccard_pairs(docs, t=RECALL_CURVE_T, sh=sh)
+    grouped = lazy_persist(signature_groups(minhash_signatures(sh)))
+    cands = band_candidates(None, grouped=grouped).withColumn(
+        "hit", F.lit(1)
+    )
+    reps = grouped.select("doc_id", "rep")
+    caught = F.when(
+        F.col("hit").isNotNull() | (F.col("rep_a") == F.col("rep_b")), 1
+    ).otherwise(0)
+    bucket = F.least(
+        F.floor(F.col("jaccard") * 10 + F.lit(1e-9)), F.lit(9)
+    ).cast("long")
+    return (
+        truth.join(cands, ["doc_a", "doc_b"], "left")
+        .join(reps.toDF("doc_a", "rep_a"), "doc_a")
+        .join(reps.toDF("doc_b", "rep_b"), "doc_b")
+        .groupBy(bucket.alias("j_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(caught).alias("n_proposed"),
+            F.round(
+                F.sum(caught).cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
