@@ -634,6 +634,68 @@ def ann_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH knn AS ({_adaptive_knn_sql(nprobe=4, k=TOP_K)}),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {TOP_K}
+    ),
+    matched AS (
+      SELECT e.query_id, COUNT(k.dst_id) AS m
+      FROM exact e LEFT JOIN knn k
+        ON k.src_id = e.query_id AND k.dst_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(m AS BIGINT) AS n_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_queries
+    FROM matched GROUP BY 1
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the production adaptive-cell k-NN graph
+    against the exact brute-force top-k, on the probe sample: for each
+    of the first N_QUERIES vectors, how many of its TRUE top-{TOP_K}
+    cosine neighbors the IVF graph recovered — reported as the exact
+    integer histogram (n_matched in 0..{TOP_K}, n_queries). Integer
+    counts, never a float recall, so both engines agree bit-for-bit
+    and rank-boundary cosine ties (broken identically on both sides:
+    ROUND(cos,6) DESC, id ASC) cannot wobble the result.
+
+    This is the ANN-side twin of dedup_lsh_recall_curve: the pytest
+    gate (recall@5 >= 0.45 on near-uniform 16-d data) catches
+    regressions, but the driver-checked histogram MEASURES the
+    space/recall trade per corpus. Scale shape: exact side is
+    O(probes * n) with the probe set broadcast (the ann_cosine_topk
+    plan — a sample audit, never all-pairs); approx side serves warm
+    off the persisted graph store; the comparison join starts FROM the
+    {TOP_K}*{N_QUERIES}-row exact list."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = _adaptive_knn(spark, sf_dir).select("src_id", "dst_id")
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.src_id)
+        & (exact.neighbor_id == approx.dst_id),
+        "left",
+    )
+    per_q = joined.groupBy("query_id").agg(
+        F.count("dst_id").alias("n_matched")
+    )
+    return per_q.groupBy("n_matched").agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH knn AS ({_adaptive_knn_sql(nprobe=4, k=TOP_K)})

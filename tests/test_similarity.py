@@ -328,3 +328,29 @@ def test_dedup_deep_superset_of_default(spark):
         for r in registry.QUERIES["dedup_embedding_cosine_deep"](spark, SF_SMOKE).collect()
     }
     assert base <= deep
+
+
+def test_ann_recall_audit_oracle(spark):
+    compare_query(spark, "ann_recall_audit", "/root/testdata/sf0.01")
+
+
+def test_ann_recall_audit_accounting(spark):
+    """Histogram bounds: every probe appears exactly once, matched
+    counts sit in [0, TOP_K], and the implied recall agrees with a
+    direct set comparison of the two registered queries' outputs."""
+    from disco_spark.similarity.ann import N_QUERIES, TOP_K
+
+    registry.load_all()
+    rows = registry.QUERIES["ann_recall_audit"](spark, SF_SMOKE).collect()
+    assert sum(r.n_queries for r in rows) == N_QUERIES
+    assert all(0 <= r.n_matched <= TOP_K for r in rows)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.src_id, r.dst_id)
+        for r in registry.QUERIES["ann_knn_graph_adaptive"](spark, SF_SMOKE).collect()
+        if r.src_id < N_QUERIES
+    }
+    assert sum(r.n_matched * r.n_queries for r in rows) == len(exact & approx)
