@@ -1289,10 +1289,11 @@ def simhash_udf() -> "F.udf":
     return _udf
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
+# shared head of the simhash oracle chain (toks -> per-token 60-bit
+# hash -> per-bit vote sums); composed by dedup_simhash (signature per
+# doc) and dedup_simhash_pairs (signatures -> naive hamming join) so
+# the two oracles cannot diverge
+_SIMHASH_CTES = f"""toks AS (
       SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
     ),
     h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
@@ -1301,7 +1302,13 @@ def simhash_udf() -> "F.udf":
              SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM h, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
       GROUP BY doc_id, j
-    )
+    )"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
     SELECT doc_id,
            CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
@@ -1350,6 +1357,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""aggregate(zip_with(votes, sequence(0, {B - 1}),
                  (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (acc, x) -> acc + x)"""
         ).alias("simhash"),
+    )
+
+
+SIMHASH_HAMMING_MAX = 3
+# Manku-Jain-Sarma (WWW'07) pigeonhole banding: split the 60-bit
+# signature into 6 disjoint 10-bit blocks and band on every C(6,3)=20
+# 3-block combination. A pair within hamming <= 3 differs in <= 3
+# blocks, so >= 3 blocks are IDENTICAL and some 3-subset of them is one
+# of the bands — the candidate bound is lossless, the exact analog of
+# the prefix-Jaccard principle for hamming space. Block count is the
+# scale knob: 6 blocks -> 2^30 buckets (collision rate ~n^2/2^30 on
+# near-uniform simhash bits); the naive-oracle contract re-proves the
+# bound at every driver check.
+_SIMHASH_BAND_COMBOS = [
+    (a, b, c)
+    for a in range(6)
+    for b in range(a + 1, 6)
+    for c in range(b + 1, 6)
+]
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with EXACT hamming <= {SIMHASH_HAMMING_MAX}
+    semantics at scale: pigeonhole banding proposes (any qualifying
+    pair matches one of the C(6,3)=20 three-block band keys — see
+    _SIMHASH_BAND_COMBOS for the losslessness argument), bit_count of
+    the XOR verifies. The ORACLE is the naive all-pairs hamming join
+    (small-SF duty, like the prefix-Jaccard contract), so every driver
+    check re-proves the pigeonhole bound.
+
+    Scale shape: the signature frame is one row per doc (the
+    dedup_simhash plan, zero shuffle); banding posexplodes 20 30-bit
+    keys per doc and self-joins bucketed on (band_idx, band_key) —
+    2^30 bucket space on near-uniform signature bits keeps buckets
+    tiny where a single 15-bit band (2^15 buckets) would go quadratic
+    at 100 TB; distinct() dedups multi-band proposals before the
+    bit_count verify, which is O(1) per candidate."""
+    return simhash_pigeonhole_pairs(
+        lazy_persist(dedup_simhash(spark, sf_dir))
+    )
+
+
+def simhash_pigeonhole_pairs(
+    sigs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX
+) -> DataFrame:
+    """Composable core over any (doc_id, simhash) frame — the banded
+    exact hamming <= max_hamming join. The 6-block/3-combination band
+    set is lossless for max_hamming <= 3 (the registered default);
+    callers passing a larger budget lose the guarantee and should
+    re-derive the block count (m blocks cover hamming <= m - c)."""
+
+    def blk(i: int) -> Column:
+        return F.shiftright(F.col("simhash"), i * 10).bitwiseAND(F.lit(1023))
+
+    keys = F.array(
+        *[
+            blk(c0) * F.lit(1 << 20) + blk(c1) * F.lit(1 << 10) + blk(c2)
+            for (c0, c1, c2) in _SIMHASH_BAND_COMBOS
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band_idx", "band_key")
+    )
+    a = bands.toDF("doc_a", "sig_a", "band_idx", "band_key")
+    b = bands.toDF("doc_b", "sig_b", "band_idx", "band_key")
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

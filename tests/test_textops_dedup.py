@@ -14,7 +14,7 @@ from disco_spark.dedup.dedup import (
     simhash_udf,
 )
 from disco_spark.testing import compare_query
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 registry.load_all()
 
@@ -398,3 +398,44 @@ def test_bloom_merge_and_build_guards(spark):
         bloom_build(spark, keys, "k", m_bits=1000)
     with pytest.raises(ValueError, match="undersized"):
         bloom_build(spark, keys, "k", m_bits=64)
+
+
+def test_simhash_pairs_oracle(spark):
+    compare_query(spark, "dedup_simhash_pairs", SF_CORRECT)
+
+
+def test_simhash_pigeonhole_lossless_on_random_sigs(spark):
+    """The C(6,3) band set must reproduce the naive all-pairs hamming
+    join exactly on adversarial signatures: random 60-bit values plus
+    planted pairs at hamming exactly 0, 1, 3 (must be found) and 4
+    (must NOT be found at the <=3 budget)."""
+    import random
+
+    from disco_spark.dedup.dedup import simhash_pigeonhole_pairs
+
+    rng = random.Random(11)
+    sigs = []
+    base = rng.getrandbits(60)
+    sigs.append((0, base))
+    sigs.append((1, base))                                # hamming 0
+    sigs.append((2, base ^ (1 << 7)))                     # hamming 1
+    sigs.append((3, base ^ (1 << 0) ^ (1 << 20) ^ (1 << 59)))  # hamming 3
+    sigs.append((4, base ^ 0b1111))                       # hamming 4
+    for i in range(5, 40):
+        sigs.append((i, rng.getrandbits(60)))
+    df = spark.createDataFrame(sigs, "doc_id bigint, simhash bigint")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pigeonhole_pairs(df).collect()
+    }
+    naive = {}
+    rows = dict(sigs)
+    for a in rows:
+        for b in rows:
+            if a < b:
+                h = bin(rows[a] ^ rows[b]).count("1")
+                if h <= 3:
+                    naive[(a, b)] = h
+    assert got == naive
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(0, 3)] == 3
+    assert (0, 4) not in got
