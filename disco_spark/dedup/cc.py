@@ -114,6 +114,30 @@ def _prefix_pairs_ctes() -> str:
 PREFIX_CLUSTER_ORACLE = _cluster_oracle(_prefix_pairs_ctes())
 
 
+def _hamming_pairs_ctes() -> str:
+    """pairs CTE = the NAIVE all-pairs simhash hamming join at the
+    registered budget: the Spark side generates pairs via the lossless
+    pigeonhole banding (simhash_pigeonhole_pairs), so the naive oracle
+    doubles as the losslessness proof — the dedup_simhash_pairs
+    contract, composed into the shared cluster oracle."""
+    from disco_spark.dedup.dedup import _SIMHASH_CTES, SIMHASH_HAMMING_MAX
+
+    return f"""{_SIMHASH_CTES},
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+    )"""
+
+
+HAMMING_CLUSTER_ORACLE = _cluster_oracle(_hamming_pairs_ctes())
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 30, driver_threshold: int = DRIVER_EDGE_THRESHOLD
 ) -> DataFrame:
@@ -290,6 +314,52 @@ def dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return cluster_map(t["documents"], pair_fn=prefix_jaccard_pairs)
+
+
+@query("dedup_cluster_hamming", oracle=HAMMING_CLUSTER_ORACLE)
+def dedup_cluster_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster map over EXACT simhash hamming <= 3 pairs
+    (dedup_simhash_pairs' lossless pigeonhole bound), singletons map
+    to themselves — the fingerprint sibling of dedup_cluster_exact's
+    shingle-set map, and the usable output on replica-heavy corpora
+    where the hamming PAIR list is itself quadratic in clique size
+    (124.97M true pairs on the salted 10x artifact).
+
+    The edge set is the signature-grouped one, not the raw pair list:
+    docs sharing an IDENTICAL signature collapse to their min-doc_id
+    rep (star edges — hamming-0 pairs, trivially qualifying), and the
+    pigeonhole band join runs over DISTINCT signatures only. CC over
+    these edges equals CC over all qualifying pairs: a cross-group
+    qualifying pair (a, b) implies the same-signature pair
+    (rep_a, rep_b) qualifies identically, and star edges connect each
+    doc to its rep — so components coincide, which the NAIVE all-pairs
+    oracle re-proves at every driver check. Measured on the salted 10x
+    artifact: 50k docs -> 140 distinct signatures -> 917 rep pairs +
+    ~50k star edges, where the ungrouped edge list (125M) pushed CC
+    past 10 minutes; grouped, the whole map lands in the driver
+    union-find path."""
+    from pyspark.sql.window import Window
+
+    from disco_spark.dedup.dedup import simhash_frame, simhash_pigeonhole_pairs
+    from disco_spark.session import lazy_persist
+    from disco_spark.textops.analysis import with_toks
+
+    def grouped_edges(d: DataFrame) -> DataFrame:
+        sigs = lazy_persist(simhash_frame(with_toks(d)))
+        grouped = sigs.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy("simhash"))
+        )
+        star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
+            F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        reps = grouped.filter(F.col("doc_id") == F.col("rep")).select(
+            "doc_id", "simhash"
+        )
+        rep_pairs = simhash_pigeonhole_pairs(reps).select("doc_a", "doc_b")
+        return star.unionByName(rep_pairs)
+
+    t = load_tables(spark, sf_dir)
+    return cluster_map(t["documents"], pair_fn=grouped_edges)
 
 
 def cluster_map(docs: DataFrame, pair_fn=None) -> DataFrame:

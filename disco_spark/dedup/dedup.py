@@ -1335,7 +1335,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disco_spark.operators.classic import DiscoJob
 
     t = load_tables(spark, sf_dir)
-    docs = DiscoJob._fan_out(with_toks(t["documents"]))
+    return simhash_frame(DiscoJob._fan_out(with_toks(t["documents"])))
+
+
+def simhash_frame(docs: DataFrame) -> DataFrame:
+    """Composable core of dedup_simhash over any tokenized (doc_id,
+    toks) frame: (doc_id, simhash) — docs with zero tokens are dropped
+    (no signature; cluster callers re-attach them as singletons)."""
     B = SIMHASH_BITS
     hv = docs.select(
         "doc_id",

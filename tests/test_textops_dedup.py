@@ -439,3 +439,24 @@ def test_simhash_pigeonhole_lossless_on_random_sigs(spark):
     assert got == naive
     assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(0, 3)] == 3
     assert (0, 4) not in got
+
+
+def test_cluster_hamming_oracle(spark):
+    compare_query(spark, "dedup_cluster_hamming", SF_CORRECT)
+
+
+def test_cluster_hamming_covers_every_qualifying_pair(spark):
+    """Compliance property: every exact hamming<=3 pair must share a
+    cluster, and every doc must appear exactly once in the map."""
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    cm = {
+        r.doc_id: r.cluster_id
+        for r in registry.QUERIES["dedup_cluster_hamming"](spark, sf).collect()
+    }
+    pairs = registry.QUERIES["dedup_simhash_pairs"](spark, sf).collect()
+    assert pairs, "no hamming pairs at sf0.001; corpus drifted"
+    for r in pairs:
+        assert cm[r.doc_a] == cm[r.doc_b], (r.doc_a, r.doc_b)
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(cm) == n_docs
