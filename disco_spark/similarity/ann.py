@@ -568,6 +568,62 @@ def _adaptive_knn(
     return spark.read.parquet(gdir)
 
 
+@query(
+    "dedup_cluster_embedding",
+    # CC over the SAME adaptive-knn replay chain as
+    # dedup_embedding_cosine, recursive-CTE closure on top (the
+    # dedup_cluster_* oracle pattern); singletons map to themselves
+    oracle=f"""
+    WITH RECURSIVE knn AS ({_adaptive_knn_sql(nprobe=4, k=TOP_K)}),
+    pairs AS (
+      SELECT src_id AS a, dst_id AS b FROM knn
+      WHERE cos_sim >= {COS_MIN} AND src_id < dst_id
+    ),
+    edges AS (SELECT a AS s, b AS d FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    reach(node, comp) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cc AS (SELECT node AS vec_id, MIN(comp) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT vec_id, cluster_id FROM cc
+    UNION ALL
+    SELECT vec_id, vec_id AS cluster_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM cc)
+    """,
+)
+def dedup_cluster_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id) over the embedding near-dup graph:
+    connected components of the adaptive-cell k-NN cosine pairs at
+    COS_MIN (dedup_embedding_cosine's edge set), singletons mapping to
+    themselves — the embedding-space member of the cluster-map family
+    (LSH: dedup_cluster_canonical; exact jaccard: dedup_cluster_exact;
+    hamming: dedup_cluster_hamming). SemDeDup's keep policy
+    (dedup_semantic_prune) answers "which vector survives"; this map
+    answers "which vectors are the same thing", which is what split
+    assignment and contamination audits need (a cluster must never
+    straddle a train/test split).
+
+    Scale shape: the edge set is k-capped per vector by construction
+    (<= k*n edges — never a threshold-complete enumeration), so CC
+    stays bounded; components come from the shared hybrid
+    connected_components (driver union-find under the edge threshold,
+    large-star/small-star above)."""
+    from disco_spark.dedup.cc import connected_components
+
+    pairs = embedding_dedup_pairs(spark, sf_dir)
+    comp = connected_components(
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    ).select(F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id"))
+    e = load_tables(spark, sf_dir)["embeddings"]
+    singles = e.select("vec_id").join(comp, "vec_id", "left_anti").select(
+        "vec_id", F.col("vec_id").alias("cluster_id")
+    )
+    return comp.unionByName(singles)
+
+
 def embedding_dedup_pairs(
     spark: SparkSession,
     sf_dir: str,

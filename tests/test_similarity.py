@@ -354,3 +354,23 @@ def test_ann_recall_audit_accounting(spark):
         if r.src_id < N_QUERIES
     }
     assert sum(r.n_matched * r.n_queries for r in rows) == len(exact & approx)
+
+
+def test_cluster_embedding_oracle(spark):
+    compare_query(spark, "dedup_cluster_embedding", "/root/testdata/sf0.01")
+
+
+def test_cluster_embedding_covers_every_pair_and_vector(spark):
+    """Every >=COS_MIN knn pair shares a cluster; every vector appears
+    exactly once; a cluster never straddles pairs it should join."""
+    registry.load_all()
+    cm = {
+        r.vec_id: r.cluster_id
+        for r in registry.QUERIES["dedup_cluster_embedding"](spark, SF_SMOKE).collect()
+    }
+    pairs = registry.QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE).collect()
+    assert pairs, "no cosine pairs at smoke SF; threshold drifted"
+    for r in pairs:
+        assert cm[r.vec_a] == cm[r.vec_b], (r.vec_a, r.vec_b)
+    n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(cm) == n
