@@ -288,6 +288,7 @@ HEADLINE = [
     "text_tokenizer_fertility_by_lang",
     "dedup_band_cap_calibration",
     "dedup_keep_best_quality",
+    "dedup_edit_cap_calibration",
 ]
 
 

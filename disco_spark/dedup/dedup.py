@@ -317,6 +317,92 @@ def band_candidates(
     return rep_pairs.union(star).distinct()
 
 
+# Per-doc candidate-degree cap: BAND_CAP bounds what one HOT BUCKET can
+# propose (O(BAND_CAP²) per bucket), but a corpus where every document
+# has many moderate-similarity "gray zone" siblings inflates the
+# candidate set through MANY DISTINCT buckets — each sibling pair
+# colliding in some band, no bucket ever hot (measured on the
+# growing-vocab 10x rehearsal: candidates grew 51.6x while no bucket
+# exceeded BAND_CAP; PERFORMANCE.md "dedup_edit_distance"). The degree
+# cap closes that route: each rep keeps at most EDIT_CAND_CAP candidate
+# partners (among larger-id reps), ranked by how many bands proposed
+# the pair — the band-collision count is a monotone estimate of Jaccard,
+# so the partners a capped doc KEEPS are its most-similar ones and the
+# ones it drops are the gray zone the cap exists to shed. Identical-
+# signature star edges are exempt (linear in total by construction and
+# always true pairs). Candidate count is then <= EDIT_CAND_CAP * n_reps
+# + n_members BY CONSTRUCTION — linear at any corpus size. The recall
+# price is measured per corpus by dedup_edit_cap_calibration (the
+# degree-cap analog of dedup_band_cap_calibration).
+EDIT_CAND_CAP = 8
+
+
+def ranked_band_candidates(grouped: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, cr) rep candidate pairs where cr is doc_a's
+    per-doc candidate rank: partners ordered by band-collision count
+    descending (ties: doc_b ascending — deterministic in any engine).
+    The groupBy that counts colliding bands also dedups the pair, so
+    this costs the same single shuffle as band_candidates' distinct().
+    Callers cut at cr <= cap; the calibration sweep reads cr itself."""
+    from pyspark.sql.window import Window
+
+    bands = rep_band_keys(grouped)
+    a = bands.toDF("doc_a", "band_idx", "band_key")
+    b = bands.toDF("doc_b", "band_idx", "band_key")
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("n_bands"), "doc_b")
+    return pairs.select("doc_a", "doc_b", F.row_number().over(w).alias("cr"))
+
+
+def capped_band_candidates(
+    sig: DataFrame,
+    cap: int = EDIT_CAND_CAP,
+    grouped: DataFrame | None = None,
+) -> DataFrame:
+    """band_candidates with the per-doc degree cap: at most ``cap``
+    rep partners per doc (highest band-collision counts win) plus the
+    cap-exempt star edges. See EDIT_CAND_CAP for the scale rationale."""
+    if grouped is None:
+        grouped = lazy_persist(signature_groups(sig))
+    star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    capped = (
+        ranked_band_candidates(grouped)
+        .filter(F.col("cr") <= cap)
+        .select("doc_a", "doc_b")
+    )
+    # arms disjoint (star doc_b is never a rep); groupBy already deduped
+    return capped.union(star)
+
+
+def _ranked_cands_sql() -> str:
+    """DuckDB CTEs extending _bands_sql's chain with the per-doc
+    candidate rank: `ranked` (doc_a, doc_b, cr) mirrors
+    ranked_band_candidates() — same BAND_CAP'd band chain, same
+    (n_bands DESC, doc_b) rank order. Callers cut at cr and union
+    `star` themselves (production: cr <= EDIT_CAND_CAP; the
+    calibration sweeps the cut)."""
+    return f"""{_bands_sql()},
+    ranked AS (
+      SELECT doc_a, doc_b,
+             ROW_NUMBER() OVER (PARTITION BY doc_a
+                                ORDER BY n_bands DESC, doc_b) AS cr
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+    )"""
+
+
 @query(
     "dedup_lsh_band_stats",
     oracle=f"""
@@ -1559,14 +1645,41 @@ ED_NUM, ED_DEN = 2, 5
 # digits; boilerplate-band false positives are in the hundreds).
 ED_MAX = 64
 
+# Character-histogram prescreen alphabet. For ANY subset alphabet A,
+# sum over c in A of |count_c(a) - count_c(b)| <= full-alphabet L1
+# <= 2 * levenshtein(a, b)  (a substitution moves two histogram cells
+# by one each; an insert/delete moves one) — so ceil(L1_A / 2) is a
+# LOWER BOUND on the edit distance and screening on it is lossless.
+# 36 chars covers the token alphabet; chars outside A only make the
+# bound looser, never wrong.
+ED_HIST_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _char_hist(col: str = "text") -> Column:
+    """array<int> of per-character counts over ED_HIST_ALPHABET —
+    computed ONCE PER DOCUMENT (projected before the pair join, so the
+    cost is O(|A| * len) per doc, never per candidate pair)."""
+    return F.array(
+        *[
+            F.length(col) - F.length(F.replace(F.col(col), F.lit(c), F.lit("")))
+            for c in ED_HIST_ALPHABET
+        ]
+    )
+
 
 @query(
     "dedup_edit_distance",
     oracle=f"""
-    WITH {MINHASH_PAIRS_SQL}
+    WITH {_SHINGLES_SQL},
+    {_ranked_cands_sql()},
+    ed_cands AS (
+      SELECT doc_a, doc_b FROM ranked WHERE cr <= {EDIT_CAND_CAP}
+      UNION
+      SELECT doc_a, doc_b FROM star
+    )
     SELECT p.doc_a, p.doc_b,
            levenshtein(a.text, b.text) AS edit_dist
-    FROM lsh_pairs p
+    FROM ed_cands p
       JOIN documents a ON a.doc_id = p.doc_a
       JOIN documents b ON b.doc_id = p.doc_b
     WHERE levenshtein(a.text, b.text) <= {ED_MAX}
@@ -1576,33 +1689,64 @@ ED_MAX = 64
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup verify: LSH bands PROPOSE candidate
-    pairs (never the n^2 cross space), exact Levenshtein CONFIRMS —
-    keeping pairs whose edit distance is <= 40% of the longer text AND
-    <= ED_MAX absolute. Both thresholds are integer arithmetic so both
-    engines decide identically; the distance itself is an exact int.
-    At 100 TB the verify budget is O(candidates · len): the ED_MAX
-    threshold makes Spark's levenshtein run banded with early exit
-    (O(ED_MAX·len) per pair, returns -1 past the band), so one batch of
-    long boilerplate-band false positives can no longer buy O(len²)
-    each — the same bounded-verify principle dedup_lsh_jaccard applies
-    to shingle intersection. DuckDB computes the full distance and
-    filters to the same bar (oracle scale is small)."""
+    pairs (never the n^2 cross space), capped at EDIT_CAND_CAP partners
+    per doc (highest band-collision counts win; identical-signature
+    star edges exempt), and exact Levenshtein CONFIRMS — keeping pairs
+    whose edit distance is <= 40% of the longer text AND <= ED_MAX
+    absolute. Both thresholds are integer arithmetic so both engines
+    decide identically; the distance itself is an exact int.
+
+    Scale budget, both factors bounded BY CONSTRUCTION:
+    - candidate COUNT <= EDIT_CAND_CAP * n_reps + n_members (the degree
+      cap closes the gray-zone inflation route BAND_CAP cannot: many
+      moderate-similarity siblings colliding through many distinct,
+      never-hot buckets — measured 51.6x candidate growth on the 10x
+      growing-vocab rehearsal before the cap; recall price measured by
+      dedup_edit_cap_calibration);
+    - per-candidate VERIFY cost: a lossless char-histogram prescreen
+      (ceil(L1/2) and the length gap both lower-bound the distance, so
+      pairs that already break either threshold skip levenshtein with
+      the result set provably unchanged — histograms are computed once
+      per DOC, the per-pair check is a 36-int fold), and survivors run
+      Spark's ED_MAX-banded levenshtein (O(ED_MAX * len) per pair,
+      returns -1 past the band), the same bounded-verify principle
+      dedup_lsh_jaccard applies to shingle intersection.
+    DuckDB mirrors the capped candidate set (same rank, same
+    deterministic ties) but verifies every candidate with the full
+    distance — the prescreen is a plan optimization the lower-bound
+    property keeps invisible in results (oracle scale is small)."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    pairs = band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
-    # length prefilter: |len_a - len_b| lower-bounds the edit distance,
-    # so pairs whose length gap already breaks either threshold skip
-    # even the banded levenshtein (the result set is provably unchanged)
+    pairs = capped_band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        _char_hist().alias("ha"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        _char_hist().alias("hb"),
+    )
     la, lb = F.length("ta"), F.length("tb")
-    len_gap_ok = (ED_DEN * F.abs(la - lb) <= ED_NUM * F.greatest(la, lb)) & (
-        F.abs(la - lb) <= ED_MAX
+    l1 = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # every lower bound on the true distance screens both thresholds:
+    # a pair whose BOUND already exceeds ED_MAX or the 40% ratio would
+    # fail the final filter a fortiori — dropping it here is lossless
+    ed_lb = F.greatest(
+        F.abs(la - lb).cast("long"), F.floor((l1 + F.lit(1)) / F.lit(2))
+    )
+    screen_ok = (ED_DEN * ed_lb <= ED_NUM * F.greatest(la, lb)) & (
+        ed_lb <= ED_MAX
     )
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(len_gap_ok)
+        .filter(screen_ok)
         .withColumn("edit_dist", F.levenshtein("ta", "tb", ED_MAX))
         .filter(
             (F.col("edit_dist") >= 0)
@@ -1612,6 +1756,153 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# EDIT_CAND_CAP calibration: recall-vs-degree-cap sweep — the decision-
+# side companion to dedup_edit_distance's cap, exactly as
+# dedup_band_cap_calibration is to BAND_CAP. A corpus owner reads the
+# flat part of the curve and sets EDIT_CAND_CAP from data.
+# --------------------------------------------------------------------------
+EDIT_CAP_SWEEP = [2, 4, 8, 16, 32]
+
+
+@query(
+    "dedup_edit_cap_calibration",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_ranked_cands_sql()},
+    allpairs AS (
+      SELECT doc_a, doc_b, cr AS min_cap FROM ranked
+      WHERE cr <= {max(EDIT_CAP_SWEEP)}
+      UNION ALL
+      SELECT doc_a, doc_b, 1 AS min_cap FROM star
+    ),
+    scored AS (
+      SELECT p.min_cap,
+             CASE WHEN levenshtein(a.text, b.text) <= {ED_MAX}
+                   AND {ED_DEN} * levenshtein(a.text, b.text)
+                       <= {ED_NUM} * greatest(length(a.text), length(b.text))
+                  THEN 1 ELSE 0 END AS ok
+      FROM allpairs p
+        JOIN documents a ON a.doc_id = p.doc_a
+        JOIN documents b ON b.doc_id = p.doc_b
+    ),
+    caps AS (SELECT unnest({EDIT_CAP_SWEEP}) AS cap),
+    per_cap AS (
+      SELECT caps.cap, COUNT(s.min_cap) AS n_candidates,
+             COALESCE(SUM(s.ok), 0) AS n_verified
+      FROM caps LEFT JOIN scored s ON s.min_cap <= caps.cap
+      GROUP BY caps.cap
+    ),
+    total AS (SELECT COALESCE(SUM(ok), 0) AS tot FROM scored)
+    SELECT CAST(cap AS BIGINT) AS cap,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CASE WHEN tot > 0
+                THEN ROUND(CAST(n_verified AS DOUBLE) / tot, 6)
+           END AS recall_vs_max
+    FROM per_cap CROSS JOIN total
+    """,
+)
+def dedup_edit_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cap sweep over EDIT_CAND_CAP ∈ {{2, 4, 8, 16, 32}}:
+    for each per-doc candidate-degree cap, how many candidate pairs the
+    capped generator would hand the edit-distance verify and how many
+    of them CONFIRM (banded Levenshtein within both thresholds), recall
+    normalized to the sweep's largest cap. The flat part of the curve
+    is where the cap is safe — the measured answer to "what did
+    EDIT_CAND_CAP cost on THIS corpus".
+
+    ONE band chain and ONE verify serve the whole sweep: each ranked
+    rep pair's minimum admitting cap IS its rank cr (star edges are
+    cap-exempt, min_cap = 1), the verify scores every pair in the sweep
+    space once (the lossless histogram prescreen gates levenshtein
+    inside the CASE — screened-out pairs score ok=0 without paying the
+    banded scan), and the pairs pre-aggregate to |max cap| rows before
+    the kernel-sized caps frame joins on min_cap <= cap. Never one
+    pipeline per cap value; the pair space is bounded by the sweep max
+    BY CONSTRUCTION, so the sweep carries the discipline it
+    calibrates."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    grouped = lazy_persist(
+        signature_groups(minhash_signatures(shingle_df(with_toks(docs))))
+    )
+    star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.lit(1).alias("min_cap"),
+    )
+    ranked = (
+        ranked_band_candidates(grouped)
+        .filter(F.col("cr") <= max(EDIT_CAP_SWEEP))
+        .select("doc_a", "doc_b", F.col("cr").alias("min_cap"))
+    )
+    cands = ranked.unionByName(star)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        _char_hist().alias("ha"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        _char_hist().alias("hb"),
+    )
+    la, lb = F.length("ta"), F.length("tb")
+    l1 = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    ed_lb = F.greatest(
+        F.abs(la - lb).cast("long"), F.floor((l1 + F.lit(1)) / F.lit(2))
+    )
+    screen_ok = (ED_DEN * ed_lb <= ED_NUM * F.greatest(la, lb)) & (
+        ed_lb <= ED_MAX
+    )
+    ed = F.levenshtein("ta", "tb", ED_MAX)
+    # And short-circuits in codegen: screened-out pairs never run the
+    # banded levenshtein, but still count as candidates (ok = 0)
+    ok = F.when(
+        screen_ok & (ed >= 0) & (ED_DEN * ed <= ED_NUM * F.greatest(la, lb)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    scored = lazy_persist(
+        cands.join(ta, "doc_a").join(tb, "doc_b").select("min_cap", ok.alias("ok"))
+    )
+    by_mincap = scored.groupBy("min_cap").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("ok"), F.lit(0)).alias("n_ok"),
+    )
+    caps = spark.createDataFrame([(c,) for c in EDIT_CAP_SWEEP], "cap int")
+    per_cap = (
+        caps.join(
+            F.broadcast(by_mincap), F.col("min_cap") <= F.col("cap"), "left"
+        )
+        .groupBy("cap")
+        .agg(
+            F.coalesce(F.sum("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.sum("n_ok"), F.lit(0))
+            .cast("bigint")
+            .alias("n_verified"),
+        )
+    )
+    total = F.broadcast(
+        scored.agg(F.coalesce(F.sum("ok"), F.lit(0)).alias("_tot"))
+    )
+    return per_cap.crossJoin(total).select(
+        F.col("cap").cast("bigint").alias("cap"),
+        "n_candidates",
+        "n_verified",
+        F.when(
+            F.col("_tot") > 0,
+            F.round(F.col("n_verified").cast("double") / F.col("_tot"), 6),
+        ).alias("recall_vs_max"),
     )
 
 
