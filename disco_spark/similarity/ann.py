@@ -382,15 +382,15 @@ _ADAPTIVE_K_SQL = (
 )
 
 
-def _adaptive_knn_sql(nprobe: int, k: int) -> str:
-    """Replay knn_graph over adaptive sqrt(n) k-means cells: converged
-    assignments from the unrolled Lloyd CTEs, per-cell mean centroids,
-    top-nprobe cell probes per vector, exact cosine within probed cells,
-    top-k per source. Returns a full SELECT (src_id, dst_id, cos_sim)."""
+def _cells_cents_sql() -> str:
+    """DuckDB CTE fragment `cells` (vec_id, embedding, adaptive-cell
+    label from the unrolled Lloyd chain) + `cents` (per-cell decimal-
+    accumulated mean centroids) — the shared quantizer head of every
+    adaptive-knn oracle (_adaptive_knn_sql and the nprobe coverage
+    sweep replay the SAME cell geometry, so neither can drift)."""
     from disco_spark.similarity.kmeans import kmeans_ctes
 
-    return f"""
-    WITH {kmeans_ctes(_ADAPTIVE_K_SQL, iters=1)},
+    return f"""{kmeans_ctes(_ADAPTIVE_K_SQL, iters=1)},
     cells AS (
       SELECT e.vec_id, e.embedding, a.cluster AS label
       FROM embeddings e JOIN afinal a USING (vec_id)
@@ -403,7 +403,16 @@ def _adaptive_knn_sql(nprobe: int, k: int) -> str:
           FROM cells
         ) GROUP BY label, pos
       ) GROUP BY label
-    ),
+    )"""
+
+
+def _adaptive_knn_sql(nprobe: int, k: int) -> str:
+    """Replay knn_graph over adaptive sqrt(n) k-means cells: converged
+    assignments from the unrolled Lloyd CTEs, per-cell mean centroids,
+    top-nprobe cell probes per vector, exact cosine within probed cells,
+    top-k per source. Returns a full SELECT (src_id, dst_id, cos_sim)."""
+    return f"""
+    WITH {_cells_cents_sql()},
     probes AS (
       SELECT src_id, q_emb, label FROM (
         SELECT v.vec_id AS src_id, v.embedding AS q_emb, c.label,
@@ -689,23 +698,73 @@ def ann_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adaptive_knn(spark, sf_dir)
 
 
-@query(
-    "ann_recall_audit",
-    oracle=f"""
-    WITH knn AS ({_adaptive_knn_sql(nprobe=4, k=TOP_K)}),
-    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
-    scored AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
-      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+# Audit probe budget: 128 probe vectors (vs the 5 ann_cosine_topk
+# demos with). 128 * TOP_K = 640 ground-truth pairs per audit — enough
+# that a recall shift of a couple of points moves whole histogram rows,
+# while the exact side stays a broadcast-probed O(128 * n) scan.
+AUDIT_N_QUERIES = 128
+
+
+def _exact_topk_pairs(e: DataFrame, n_queries: int) -> DataFrame:
+    """(query_id, neighbor_id) exact brute-force cosine top-{TOP_K}
+    for the first ``n_queries`` vectors — the ground-truth side shared
+    by ann_recall_audit and ann_nprobe_calibration. Probe set
+    broadcast; per-row norms precomputed; deterministic tie-break
+    (ROUND(cos,6) DESC, id ASC) on both engines."""
+    e = e.withColumn("nrm", norm(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _exact_pairs_sql(n_queries: int) -> str:
+    """DuckDB CTEs `q` (probe vectors) -> `qscored` -> `exact`
+    ((query_id, neighbor_id) ground truth) mirroring
+    _exact_topk_pairs."""
+    return f"""
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {n_queries}),
+    qscored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
     ),
     exact AS (
       SELECT query_id, neighbor_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS rn
-        FROM scored
+        FROM qscored
       ) WHERE rn <= {TOP_K}
-    ),
+    )"""
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH knn AS ({_adaptive_knn_sql(nprobe=4, k=TOP_K)}),
+    {_exact_pairs_sql(AUDIT_N_QUERIES)},
     matched AS (
       SELECT e.query_id, COUNT(k.dst_id) AS m
       FROM exact e LEFT JOIN knn k
@@ -718,24 +777,27 @@ def ann_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@k of the production adaptive-cell k-NN graph
-    against the exact brute-force top-k, on the probe sample: for each
-    of the first N_QUERIES vectors, how many of its TRUE top-{TOP_K}
-    cosine neighbors the IVF graph recovered — reported as the exact
-    integer histogram (n_matched in 0..{TOP_K}, n_queries). Integer
-    counts, never a float recall, so both engines agree bit-for-bit
-    and rank-boundary cosine ties (broken identically on both sides:
-    ROUND(cos,6) DESC, id ASC) cannot wobble the result.
+    """Measured recall@5 of the production adaptive-cell k-NN graph
+    against the exact brute-force top-5, on a 128-probe sample
+    (AUDIT_N_QUERIES; 640 ground-truth pairs): for each probe vector,
+    how many of its TRUE top-5 cosine neighbors the IVF graph
+    recovered — reported as the exact integer histogram (n_matched in
+    0..5, n_queries). Integer counts, never a float recall, so both
+    engines agree bit-for-bit and rank-boundary cosine ties (broken
+    identically on both sides: ROUND(cos,6) DESC, id ASC) cannot
+    wobble the result.
 
-    This is the ANN-side twin of dedup_lsh_recall_curve: the pytest
-    gate (recall@5 >= 0.45 on near-uniform 16-d data) catches
-    regressions, but the driver-checked histogram MEASURES the
-    space/recall trade per corpus. Scale shape: exact side is
-    O(probes * n) with the probe set broadcast (the ann_cosine_topk
-    plan — a sample audit, never all-pairs); approx side serves warm
-    off the persisted graph store; the comparison join starts FROM the
-    {TOP_K}*{N_QUERIES}-row exact list."""
-    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    This is the ANN-side twin of dedup_lsh_recall_curve, at matching
+    statistical depth: the pytest gate (recall@5 >= 0.45 on
+    near-uniform 16-d data) catches regressions, but the
+    driver-checked histogram MEASURES the space/recall trade per
+    corpus — and ann_nprobe_calibration decomposes it along the nprobe
+    axis. Scale shape: exact side is O(128 * n) with the probe set
+    broadcast (a sample audit, never all-pairs); approx side serves
+    warm off the persisted graph store; the comparison join starts
+    FROM the 640-row exact list."""
+    t = load_tables(spark, sf_dir)
+    exact = _exact_topk_pairs(t["embeddings"], AUDIT_N_QUERIES)
     approx = _adaptive_knn(spark, sf_dir).select("src_id", "dst_id")
     joined = exact.join(
         approx,
@@ -748,6 +810,125 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_q.groupBy("n_matched").agg(
         F.count(F.lit(1)).alias("n_queries")
+    )
+
+
+# --------------------------------------------------------------------------
+# nprobe calibration: candidate-coverage-vs-nprobe sweep — the decision-
+# side companion to ann_recall_audit, exactly as dedup_band_cap_calibration
+# is to BAND_CAP. Coverage@nprobe = fraction of TRUE top-k pairs whose
+# neighbor lives in one of the query's first `nprobe` cells — the
+# standard IVF candidate-recall metric, an upper bound on (and at the
+# production setting, empirically equal to) end-to-end recall, and
+# integer-exact: it needs no tie adjudication inside the probed scan.
+# --------------------------------------------------------------------------
+NPROBE_SWEEP = [1, 2, 4, 8]
+
+
+@query(
+    "ann_nprobe_calibration",
+    oracle=f"""
+    WITH {_cells_cents_sql()},
+    {_exact_pairs_sql(AUDIT_N_QUERIES)},
+    cellrank AS (
+      SELECT q.query_id, c.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(list_cosine_similarity(q.q_emb::DOUBLE[], c.centroid), 6) DESC,
+                        c.label
+             ) AS cell_rank
+      FROM q CROSS JOIN cents c
+    ),
+    covered AS (
+      SELECT r.cell_rank
+      FROM exact e
+        JOIN cells m ON m.vec_id = e.neighbor_id
+        JOIN cellrank r ON r.query_id = e.query_id AND r.label = m.label
+    ),
+    nprobes AS (SELECT unnest({NPROBE_SWEEP}) AS nprobe),
+    per AS (
+      SELECT nprobes.nprobe, COUNT(c.cell_rank) AS n_covered
+      FROM nprobes LEFT JOIN covered c ON c.cell_rank <= nprobes.nprobe
+      GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS tot FROM exact)
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(n_covered AS BIGINT) AS n_covered,
+           CASE WHEN tot > 0
+                THEN ROUND(CAST(n_covered AS DOUBLE) / tot, 6)
+           END AS coverage
+    FROM per CROSS JOIN total
+    """,
+)
+def ann_nprobe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate coverage vs nprobe, swept over nprobe ∈ {1, 2, 4, 8}
+    on the 128-probe audit sample: for each sweep value, how many of
+    the exact top-5 ground-truth pairs have their neighbor inside one
+    of the query's first `nprobe` probed cells (same adaptive sqrt(n)
+    cells, same rounded-centroid probe order as the production graph).
+    The flat part of the curve is where extra probes stop buying
+    recall — a corpus owner reads this once and sets nprobe from data,
+    exactly as dedup_band_cap_calibration sets BAND_CAP.
+
+    ONE quantizer pass and ONE ground-truth scan serve the whole
+    sweep: each (query, true-neighbor) pair's minimum admitting nprobe
+    IS its neighbor's cell rank in the query's probe order, the pairs
+    pre-aggregate to at most |cells| rows, and the kernel-sized nprobe
+    frame joins on cell_rank <= nprobe — never one search per sweep
+    value. Scale shape: cell ranking is probes x sqrt(n) broadcast,
+    ground truth is the audit's broadcast-probed scan."""
+    t = load_tables(spark, sf_dir)
+    from disco_spark.session import lazy_persist
+
+    e = t["embeddings"]
+    cells = adaptive_cells(e)
+    e2 = lazy_persist(
+        e.drop("label").join(cells, "vec_id").select("vec_id", "embedding", "label")
+    )
+    exact = _exact_topk_pairs(e2, AUDIT_N_QUERIES)
+    cents = ivf_centroids(e2)
+    q = e2.filter(F.col("vec_id") < AUDIT_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "c_sim", F.round(cosine(F.col("q_emb"), F.col("centroid")), 6)
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    ranks = (
+        qc.withColumn("cell_rank", F.row_number().over(wc))
+        .select("query_id", "label", "cell_rank")
+    )
+    covered = (
+        exact.join(
+            e2.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .join(ranks, ["query_id", "label"])
+        .select("cell_rank")
+    )
+    by_rank = covered.groupBy("cell_rank").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    nprobes = spark.createDataFrame([(p,) for p in NPROBE_SWEEP], "nprobe int")
+    per = (
+        nprobes.join(
+            F.broadcast(by_rank), F.col("cell_rank") <= F.col("nprobe"), "left"
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.coalesce(F.sum("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_covered")
+        )
+    )
+    total = F.broadcast(exact.agg(F.count(F.lit(1)).alias("_tot")))
+    return per.crossJoin(total).select(
+        F.col("nprobe").cast("bigint").alias("nprobe"),
+        "n_covered",
+        F.when(
+            F.col("_tot") > 0,
+            F.round(F.col("n_covered").cast("double") / F.col("_tot"), 6),
+        ).alias("coverage"),
     )
 
 

@@ -337,23 +337,63 @@ def test_ann_recall_audit_oracle(spark):
 def test_ann_recall_audit_accounting(spark):
     """Histogram bounds: every probe appears exactly once, matched
     counts sit in [0, TOP_K], and the implied recall agrees with a
-    direct set comparison of the two registered queries' outputs."""
-    from disco_spark.similarity.ann import N_QUERIES, TOP_K
+    direct set comparison against the independently-computed ground
+    truth and the registered graph's output."""
+    from disco_spark.similarity.ann import (
+        AUDIT_N_QUERIES,
+        TOP_K,
+        _exact_topk_pairs,
+    )
 
     registry.load_all()
     rows = registry.QUERIES["ann_recall_audit"](spark, SF_SMOKE).collect()
-    assert sum(r.n_queries for r in rows) == N_QUERIES
+    assert sum(r.n_queries for r in rows) == AUDIT_N_QUERIES
     assert all(0 <= r.n_matched <= TOP_K for r in rows)
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     exact = {
         (r.query_id, r.neighbor_id)
-        for r in registry.QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()
+        for r in _exact_topk_pairs(e, AUDIT_N_QUERIES).collect()
     }
+    assert len(exact) == AUDIT_N_QUERIES * TOP_K
     approx = {
         (r.src_id, r.dst_id)
         for r in registry.QUERIES["ann_knn_graph_adaptive"](spark, SF_SMOKE).collect()
-        if r.src_id < N_QUERIES
+        if r.src_id < AUDIT_N_QUERIES
     }
     assert sum(r.n_matched * r.n_queries for r in rows) == len(exact & approx)
+    # the 5-probe exact demo is the audit ground truth's prefix
+    demo = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    assert demo <= exact
+
+
+def test_nprobe_calibration_oracle(spark):
+    compare_query(spark, "ann_nprobe_calibration", "/root/testdata/sf0.01")
+
+
+def test_nprobe_calibration_consistent_with_audit(spark):
+    """Coverage is monotone in nprobe, tops out at the full ground
+    truth, and at the production setting (nprobe=4) candidate coverage
+    equals the audit's end-to-end matched count — scanned true
+    neighbors always make the top-k cut, so the two instruments must
+    agree at the operating point."""
+    from disco_spark.similarity.ann import AUDIT_N_QUERIES, TOP_K
+
+    registry.load_all()
+    cal = {
+        r.nprobe: r
+        for r in registry.QUERIES["ann_nprobe_calibration"](spark, SF_SMOKE).collect()
+    }
+    probes = sorted(cal)
+    for lo, hi in zip(probes, probes[1:]):
+        assert cal[lo].n_covered <= cal[hi].n_covered
+    total = AUDIT_N_QUERIES * TOP_K
+    assert all(0 <= cal[p].n_covered <= total for p in probes)
+    audit = registry.QUERIES["ann_recall_audit"](spark, SF_SMOKE).collect()
+    matched = sum(r.n_matched * r.n_queries for r in audit)
+    assert cal[4].n_covered == matched
 
 
 def test_cluster_embedding_oracle(spark):
