@@ -281,7 +281,7 @@ def rep_band_keys(grouped: DataFrame) -> DataFrame:
 
 
 def band_candidates(
-    sig: DataFrame, grouped: DataFrame | None = None
+    sig: DataFrame | None = None, grouped: DataFrame | None = None
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded minhash signatures:
     docs collide when one whole band of their signatures matches. The
@@ -297,7 +297,10 @@ def band_candidates(
 
     ``grouped`` lets a caller that also reads the signature-group map
     (the recall-curve audit) pass its own persisted frame in, so the
-    grouping window runs once."""
+    grouping window runs once; ``sig`` is ignored (and may be None)
+    when ``grouped`` is provided."""
+    if grouped is None and sig is None:
+        raise ValueError("band_candidates needs sig or grouped")
     if grouped is None:
         grouped = lazy_persist(signature_groups(sig))
     star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
@@ -360,13 +363,17 @@ def ranked_band_candidates(grouped: DataFrame) -> DataFrame:
 
 
 def capped_band_candidates(
-    sig: DataFrame,
+    sig: DataFrame | None = None,
     cap: int = EDIT_CAND_CAP,
     grouped: DataFrame | None = None,
 ) -> DataFrame:
     """band_candidates with the per-doc degree cap: at most ``cap``
     rep partners per doc (highest band-collision counts win) plus the
-    cap-exempt star edges. See EDIT_CAND_CAP for the scale rationale."""
+    cap-exempt star edges. ``sig`` is ignored (and may be None) when
+    ``grouped`` is provided. See EDIT_CAND_CAP for the scale
+    rationale."""
+    if grouped is None and sig is None:
+        raise ValueError("capped_band_candidates needs sig or grouped")
     if grouped is None:
         grouped = lazy_persist(signature_groups(sig))
     star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
@@ -855,7 +862,7 @@ RECALL_CURVE_T = 0.5  # curve floor: exact ground truth down to j=0.5
 )
 def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured LSH banding recall by exact-jaccard bucket: ground
-    truth is the prefix-filtered EXACT join at t={RECALL_CURVE_T}
+    truth is the prefix-filtered EXACT join at t=0.5 (RECALL_CURVE_T)
     (lossless bound — the oracle recomputes it with the naive posting
     join, so every driver check re-proves both the bound AND the
     curve), candidates are the PRODUCTION band chain including the
@@ -1486,8 +1493,8 @@ _SIMHASH_BAND_COMBOS = [
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with EXACT hamming <= {SIMHASH_HAMMING_MAX}
-    semantics at scale: pigeonhole banding proposes (any qualifying
+    """SimHash near-dup pairs with EXACT hamming <= 3
+    (SIMHASH_HAMMING_MAX) semantics at scale: pigeonhole banding proposes (any qualifying
     pair matches one of the C(6,3)=20 three-block band keys — see
     _SIMHASH_BAND_COMBOS for the losslessness argument), bit_count of
     the XOR verifies. The ORACLE is the naive all-pairs hamming join
@@ -1511,9 +1518,19 @@ def simhash_pigeonhole_pairs(
 ) -> DataFrame:
     """Composable core over any (doc_id, simhash) frame — the banded
     exact hamming <= max_hamming join. The 6-block/3-combination band
-    set is lossless for max_hamming <= 3 (the registered default);
-    callers passing a larger budget lose the guarantee and should
-    re-derive the block count (m blocks cover hamming <= m - c)."""
+    set is lossless ONLY for max_hamming <= 3 (SIMHASH_HAMMING_MAX,
+    the registered default): a pair at hamming h can dirty at most h
+    of the 6 blocks, so some clean 3-block combo exists iff
+    h <= 6 - 3. A larger budget needs a re-derived block count
+    (m blocks of c cover hamming <= m - c) — enforced, not documented
+    away: silently-incomplete pairs are the one failure mode a
+    lossless operator must not have."""
+    if max_hamming > SIMHASH_HAMMING_MAX:
+        raise ValueError(
+            f"max_hamming={max_hamming} voids the 6-block/3-combo "
+            f"pigeonhole guarantee (lossless only for <= "
+            f"{SIMHASH_HAMMING_MAX}); re-derive the band set instead"
+        )
 
     def blk(i: int) -> Column:
         return F.shiftright(F.col("simhash"), i * 10).bitwiseAND(F.lit(1023))

@@ -706,7 +706,7 @@ AUDIT_N_QUERIES = 128
 
 
 def _exact_topk_pairs(e: DataFrame, n_queries: int) -> DataFrame:
-    """(query_id, neighbor_id) exact brute-force cosine top-{TOP_K}
+    """(query_id, neighbor_id) exact brute-force cosine top-5 (TOP_K)
     for the first ``n_queries`` vectors — the ground-truth side shared
     by ann_recall_audit and ann_nprobe_calibration. Probe set
     broadcast; per-row norms precomputed; deterministic tie-break

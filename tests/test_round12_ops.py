@@ -191,3 +191,35 @@ def test_capped_verify_drops_only_capped_pairs(spark):
     assert max(deg.values()) <= EDIT_CAND_CAP
     for r in got:
         assert 0 <= r.edit_dist
+
+
+def test_simhash_pigeonhole_rejects_unsound_budget(spark):
+    """max_hamming above the pigeonhole guarantee raises instead of
+    silently returning incomplete pairs (r11 ADVICE)."""
+    import pytest as _pytest
+
+    from disco_spark.dedup.dedup import (
+        SIMHASH_HAMMING_MAX,
+        simhash_pigeonhole_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 7), (2, 11)], "doc_id long, simhash long"
+    )
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pigeonhole_pairs(sigs, max_hamming=SIMHASH_HAMMING_MAX + 1)
+    # the registered budget still works
+    assert simhash_pigeonhole_pairs(sigs).count() >= 0
+
+
+def test_band_candidates_need_input():
+    """sig=None without grouped is a contract error, not a crash later
+    (r11 ADVICE: the None-when-grouped contract is now explicit)."""
+    import pytest as _pytest
+
+    from disco_spark.dedup.dedup import band_candidates, capped_band_candidates
+
+    with _pytest.raises(ValueError):
+        band_candidates(None)
+    with _pytest.raises(ValueError):
+        capped_band_candidates(None)
