@@ -223,3 +223,52 @@ def test_band_candidates_need_input():
         band_candidates(None)
     with _pytest.raises(ValueError):
         capped_band_candidates(None)
+
+
+def test_simhash_frame_plan_is_shuffle_free(spark):
+    """simhash_frame's whole bit-vote runs inside each row (higher-
+    order functions over the token array): its physical plan must add
+    ZERO Exchange over the scan. Pins the r11 bench-drift question
+    (dedup_simhash 1.06->1.97s on a plan-neutral oracle refactor)
+    permanently: if this ever fails, the plan regressed for real;
+    while it passes, wall drift is host variance."""
+    from disco_spark.dedup.dedup import simhash_frame
+    from disco_spark.textops.analysis import with_toks
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        simhash_frame(with_toks(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cc_distributed_path_never_collects(spark):
+    """Above DRIVER_EDGE_THRESHOLD the CC seam must take the
+    large-star/small-star path WITHOUT collecting the edge list to the
+    driver (r11 optional item): DataFrame.collect is patched to raise
+    for the duration of the call — convergence checks are count()-only
+    by design, so a zero-threshold run must complete untouched."""
+    from pyspark.sql import DataFrame
+
+    from disco_spark.dedup.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 12)], "src long, dst long"
+    )
+    real_collect = DataFrame.collect
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("distributed CC path called collect()")
+
+    DataFrame.collect = forbidden
+    try:
+        out = connected_components(edges, driver_threshold=0)
+    finally:
+        DataFrame.collect = real_collect
+    labels = {r.node: r.comp for r in out.collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
