@@ -1732,9 +1732,19 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ties) but verifies every candidate with the full
     distance — the prescreen is a plan optimization the lower-bound
     property keeps invisible in results (oracle scale is small)."""
+    from disco_spark.session import default_parallelism
+
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     pairs = capped_band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
+    # candidate pairs are byte-TINY (3 ints) but verify-HEAVY (a banded
+    # levenshtein each once texts are attached), so AQE's byte-based
+    # partition coalescing packs them into ONE post-shuffle partition
+    # and serializes the whole verify on one core (measured at 10x:
+    # 19,827 of 22,489 survivors in partition 0; 22.9s -> 9.9s with the
+    # spread). An explicit round-robin repartition is the idiomatic
+    # override: AQE never coalesces a user-specified repartition.
+    pairs = pairs.repartition(default_parallelism(spark))
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),
@@ -1857,7 +1867,11 @@ def dedup_edit_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cr") <= max(EDIT_CAP_SWEEP))
         .select("doc_a", "doc_b", F.col("cr").alias("min_cap"))
     )
-    cands = ranked.unionByName(star)
+    from disco_spark.session import default_parallelism
+
+    # same AQE-coalesce override as dedup_edit_distance: the sweep's
+    # pair space is byte-tiny and verify-heavy
+    cands = ranked.unionByName(star).repartition(default_parallelism(spark))
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),
