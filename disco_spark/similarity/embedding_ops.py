@@ -43,18 +43,25 @@ def embedding_l2_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quantize_int8(vec: Column) -> tuple[Column, Column]:
+def quantize_int8(vec: Column, scale: Column | None = None) -> tuple[Column, Column]:
     """Symmetric int8 quantization: scale = 127 / max|x| per vector,
     q_i = round(x_i * scale). Returns (quantized array<int>, scale).
     4x smaller than float32 on the wire — the shuffle-volume lever for
     embedding-heavy joins; dot products on int8 + per-vector scales
-    reconstruct scores to ~1e-2, re-rank exact on the shortlist."""
-    absmax = F.aggregate(
-        vec,
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-    )
-    scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
+    reconstruct scores to ~1e-2, re-rank exact on the shortlist.
+
+    PERF CONTRACT: pass ``scale`` as a pre-projected plain column
+    (withColumn first, then F.col) when quantizing — the default
+    inline scale expression sits INSIDE the transform lambda, where
+    Catalyst does no CSE, so the absmax fold reruns per element
+    (O(d²)/vector; see embedding_quantize_int8)."""
+    if scale is None:
+        absmax = F.aggregate(
+            vec,
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        )
+        scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
     quant = F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("int"))
     return quant, scale
 
@@ -82,13 +89,27 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (array<int>
-    + per-vector scale; serialized as CSV for the driver gate)."""
+    + per-vector scale; serialized as CSV for the driver gate).
+
+    The scale is PROJECTED before the quantizing transform (the
+    shingle_df toks idiom): Catalyst does no common-subexpression
+    elimination inside higher-order-function lambdas, so inlining
+    quantize_int8's scale expression into the per-element lambda
+    recomputes the full absmax array fold PER ELEMENT — O(d²) per
+    vector, measured 9.0 -> 1.3 s on the 10x rehearsal corpus."""
     t = load_tables(spark, sf_dir)
-    q, scale = quantize_int8(F.col("embedding"))
-    return t["embeddings"].select(
-        "vec_id",
-        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
-        F.round(scale, 6).alias("scale"),
+    _, scale = quantize_int8(F.col("embedding"))
+    q, _ = quantize_int8(F.col("embedding"), scale=F.col("_sc"))
+    return (
+        t["embeddings"]
+        .withColumn("_sc", scale)
+        .select(
+            "vec_id",
+            F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias(
+                "q_csv"
+            ),
+            F.round(F.col("_sc"), 6).alias("scale"),
+        )
     )
 
 
