@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -365,17 +366,73 @@ def main() -> None:
     warm_sec = round(time.perf_counter() - t0, 3)
     print(f"# warmup (table load + first query): {warm_sec:.3f}s", file=sys.stderr)
 
-    times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        # noop sink executes the full physical plan (incl. sorts that a
-        # bare count() would let the optimizer elide) with no driver collect.
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+    # Noise-robust protocol: per-query MEDIAN of N reps, reps taken as N
+    # INTERLEAVED full passes over the query list (not back-to-back reps
+    # of one query) — the r12 three-run forensics measured ±10% aggregate
+    # and 3-4x per-query swings on IDENTICAL code from minutes-scale
+    # hypervisor/memory-bandwidth noise windows, so a query's reps must
+    # be time-separated by ~a full pass to decorrelate; consecutive reps
+    # would all land inside one noise window and the median would keep
+    # it. Default 3 reps at the canonical sf0.1 (where the driver's
+    # cross-round comparison lives); 1 rep everywhere else — the 10x
+    # rehearsal artifacts compare sf1/sf1g AGAINST sf0.1 within one quiet
+    # run, where tripling ~30 min of scaled wall buys little.
+    # SPARK_GRAFT_BENCH_REPS overrides either default.
+    reps_env = os.environ.get("SPARK_GRAFT_BENCH_REPS", "")
+    n_reps = int(reps_env) if reps_env else (3 if sf == "0.1" else 1)
+    rep_times: dict[str, list[float]] = {name: [] for name in names}
+    pass_totals: list[float] = []
+    for rep in range(n_reps):
+        p0 = time.perf_counter()
+        for name in names:
+            t0 = time.perf_counter()
+            df = registry.QUERIES[name](spark, sf_dir)
+            # noop sink executes the full physical plan (incl. sorts that
+            # a bare count() would let the optimizer elide) with no
+            # driver collect.
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            rep_times[name].append(dt)
+            print(f"# [pass {rep + 1}/{n_reps}] {name}: {dt:.3f}s", file=sys.stderr)
+        pass_totals.append(round(time.perf_counter() - p0, 3))
+        print(
+            f"# pass {rep + 1}/{n_reps} total: {pass_totals[-1]:.3f}s",
+            file=sys.stderr,
+        )
 
+    times = {
+        name: round(statistics.median(rs), 3) for name, rs in rep_times.items()
+    }
+    # per-query relative spread (max-min)/median — the honest error bar a
+    # reader of a cross-round delta needs; 0.0 when the query is too fast
+    # to resolve
+    dispersion = {
+        name: round((max(rs) - min(rs)) / m, 3) if (m := times[name]) > 0 else 0.0
+        for name, rs in rep_times.items()
+    }
     total = round(sum(times.values()), 3)
+
+    # Re-assert the EDIT_CAND_CAP recall price PER RUN on THIS dataset
+    # (not only when the calibration query rotates through a driver
+    # window): the sweep is one extra execution whose result is 5 rows,
+    # and the recorded curve makes every bench artifact carry the lossy
+    # knob's measured cost next to the wall numbers it bought.
+    # SPARK_GRAFT_NO_RECALL_ROW=1 skips it (e.g. datasets where the
+    # dedup family is known-pathological and already SKIPped).
+    edit_cap_recall: dict[str, float | None] = {}
+    if (
+        "dedup_edit_cap_calibration" in registry.QUERIES
+        and "dedup_edit_distance" not in skip
+        and not os.environ.get("SPARK_GRAFT_NO_RECALL_ROW")
+    ):
+        try:
+            for r in registry.QUERIES["dedup_edit_cap_calibration"](
+                spark, sf_dir
+            ).collect():
+                edit_cap_recall[str(r["cap"])] = r["recall_vs_max"]
+        except Exception as e:  # never fail the bench for the audit row
+            print(f"# edit-cap recall row failed: {e}", file=sys.stderr)
+
     payload = {
         # a partial run gets a DIFFERENT metric name, not just a
         # "skipped" field: round-over-round tooling comparing
@@ -389,7 +446,24 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # recorded BEFORE the run (the run itself warms cold stores)
         "stores": stores,
+        # protocol provenance: "queries" are per-query MEDIANS over
+        # `reps` interleaved passes (identical to single-shot when
+        # reps=1); every raw rep + the per-query spread is kept so a
+        # cross-round delta can be read against its error bar instead
+        # of against the host's ±10% single-shot noise
+        "reps": n_reps,
+        "pass_totals_sec": pass_totals,
     }
+    if edit_cap_recall:
+        # recall_vs_max per swept cap on THIS dataset; the production
+        # EDIT_CAND_CAP row is the price actually paid by this run
+        payload["edit_cap_recall"] = edit_cap_recall
+    if n_reps > 1:
+        payload["rep_times"] = rep_times
+        payload["dispersion"] = dispersion
+        ds = sorted(dispersion.values())
+        payload["dispersion_p50"] = ds[len(ds) // 2]
+        payload["dispersion_p90"] = ds[(len(ds) * 9) // 10]
     if skip:
         payload["skipped"] = sorted(skip)
     # Full per-query detail goes to a file: the driver records only the
@@ -415,6 +489,11 @@ def main() -> None:
     compact["queries"] = slowest
     compact["n_queries"] = len(times)
     compact["queries_detail_file"] = detail_path
+    # the raw per-rep matrix (231 x reps floats) lives in the detail
+    # file only — the stdout line must stay inside the driver's tail
+    # buffer (the BENCH_r04 parsed=null lesson)
+    compact.pop("rep_times", None)
+    compact.pop("dispersion", None)
     print(json.dumps(compact))
     spark.stop()
 

