@@ -23,6 +23,7 @@ a full value-hash oracle.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -337,7 +338,16 @@ def band_candidates(
 # + n_members BY CONSTRUCTION — linear at any corpus size. The recall
 # price is measured per corpus by dedup_edit_cap_calibration (the
 # degree-cap analog of dedup_band_cap_calibration).
-EDIT_CAND_CAP = 8
+# Per-corpus knob: SPARK_GRAFT_EDIT_CAND_CAP overrides the default 8.
+# Read ONCE at import so the Spark plan and the DuckDB oracle SQL
+# (which bakes the cap into its ranked-candidate cut) are generated
+# from the SAME value — a corpus owner reads the flat part of
+# dedup_edit_cap_calibration's curve and sets the cap from data
+# instead of editing a module constant. The default's measured price:
+# 1.0% of true pairs on the adversarial clique corpus, 0% at
+# sf0.01/0.001 (re-asserted per bench run in the artifact's
+# edit_cap_recall field).
+EDIT_CAND_CAP = int(os.environ.get("SPARK_GRAFT_EDIT_CAND_CAP", "8"))
 
 
 def ranked_band_candidates(grouped: DataFrame) -> DataFrame:
@@ -401,7 +411,18 @@ def spread_verify_pairs(pairs: DataFrame) -> DataFrame:
     the idiomatic override: AQE never coalesces a user-specified
     repartition. Every propose/verify operator must route its candidate
     frame through here BEFORE attaching verify payloads; the plan-shape
-    test pins RoundRobinPartitioning in the executed plan."""
+    test pins RoundRobinPartitioning in the executed plan.
+
+    Scale boundary: the spread placement matters while the payload side
+    BROADCASTS (the measured pathology — the tiny pair frame's
+    partitioning survives the broadcast join into the verify stage). At
+    a scale where the payload join goes sort-merge, the join itself
+    re-shuffles both sides by key and AQE's coalescing then sizes
+    partitions by the combined (payload-heavy) bytes — the
+    one-partition collapse cannot recur there, because the rows being
+    packed now carry the texts. Spreading AFTER attaching payloads
+    would cover both regimes but round-robin-shuffles the full text
+    bytes a second time; pre-attach placement is the right default."""
     from disco_spark.session import default_parallelism
 
     return pairs.repartition(default_parallelism(pairs.sparkSession))

@@ -88,3 +88,31 @@ def test_spread_helper_is_round_robin(spark):
         .toString()
     )
     assert "RoundRobinPartitioning" in plan
+
+
+def test_edit_cand_cap_env_knob_is_oracle_synchronized():
+    """SPARK_GRAFT_EDIT_CAND_CAP must flow into BOTH the Spark plan's
+    constant and the baked oracle SQL (read once at import) — a knob
+    that moved only one side would de-synchronize the driver gate."""
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "import disco_spark.dedup.dedup as d\n"
+        "from disco_spark import registry\n"
+        "registry.load_all()\n"
+        "assert d.EDIT_CAND_CAP == 3\n"
+        "assert 'cr <= 3' in registry.ORACLES['dedup_edit_distance']\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_EDIT_CAND_CAP="3")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "ok" in out.stdout
