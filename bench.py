@@ -290,6 +290,9 @@ HEADLINE = [
     "dedup_band_cap_calibration",
     "dedup_keep_best_quality",
     "dedup_edit_cap_calibration",
+    # round 13: planted-cluster recall audit (in-query adaptive graph
+    # build over a generated corpus — the one knn path with no store)
+    "ann_recall_audit_planted",
 ]
 
 
