@@ -296,6 +296,24 @@ HEADLINE = [
 ]
 
 
+def summarize_reps(
+    rep_times: dict[str, list[float]],
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(medians, dispersion) per query from the raw rep matrix.
+
+    Dispersion = (max − min) / median — the relative error bar a reader
+    of a cross-round delta divides by; 0.0 when the median is too small
+    to resolve (sub-ms queries would otherwise divide by ~0)."""
+    times = {
+        name: round(statistics.median(rs), 3) for name, rs in rep_times.items()
+    }
+    dispersion = {
+        name: round((max(rs) - min(rs)) / m, 3) if (m := times[name]) > 0 else 0.0
+        for name, rs in rep_times.items()
+    }
+    return times, dispersion
+
+
 def store_states(sf_dir: str) -> dict[str, str]:
     """cold/warm state of each persisted store for THIS dataset, recorded
     in the bench artifact so round-over-round totals stay comparable: a
@@ -403,16 +421,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    times = {
-        name: round(statistics.median(rs), 3) for name, rs in rep_times.items()
-    }
-    # per-query relative spread (max-min)/median — the honest error bar a
-    # reader of a cross-round delta needs; 0.0 when the query is too fast
-    # to resolve
-    dispersion = {
-        name: round((max(rs) - min(rs)) / m, 3) if (m := times[name]) > 0 else 0.0
-        for name, rs in rep_times.items()
-    }
+    times, dispersion = summarize_reps(rep_times)
     total = round(sum(times.values()), 3)
 
     # Re-assert the EDIT_CAND_CAP recall price PER RUN on THIS dataset

@@ -116,3 +116,23 @@ def test_edit_cand_cap_env_knob_is_oracle_synchronized():
     )
     assert out.returncode == 0, out.stderr[-500:]
     assert "ok" in out.stdout
+
+
+def test_bench_summarize_reps_math():
+    """The bench protocol's median/dispersion summary is load-bearing
+    (cross-round deltas are read against it) — pin the math on crafted
+    rep matrices: odd-count median, the noise-spike case the protocol
+    exists for, and the zero-median guard."""
+    import bench
+
+    times, disp = bench.summarize_reps(
+        {
+            "spiked": [1.0, 4.0, 1.2],  # one hypervisor-window outlier
+            "steady": [2.0, 2.0, 2.0],
+            "fast": [0.0, 0.0, 0.0],  # sub-ms: no divide-by-zero
+        }
+    )
+    assert times == {"spiked": 1.2, "steady": 2.0, "fast": 0.0}
+    assert disp["spiked"] == 2.5  # (4.0-1.0)/1.2
+    assert disp["steady"] == 0.0
+    assert disp["fast"] == 0.0
