@@ -401,6 +401,17 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_REPS overrides either default.
     reps_env = os.environ.get("SPARK_GRAFT_BENCH_REPS", "")
     n_reps = int(reps_env) if reps_env else (3 if sf == "0.1" else 1)
+    # detail artifact path resolved BEFORE the passes: each pass
+    # checkpoints a partial artifact, so a run killed mid-pass-2 still
+    # leaves pass-1's full per-query data on disk (clearly marked
+    # partial — the metric name changes, the rule every partial-run
+    # reader of these artifacts already relies on). Default is per-SF:
+    # BENCH_DETAIL.json is reserved for the canonical sf0.1 run so a
+    # smoke run at another scale factor can never clobber it.
+    default_detail = (
+        "BENCH_DETAIL.json" if sf == "0.1" else f"BENCH_DETAIL_sf{sf}.json"
+    )
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", default_detail)
     rep_times: dict[str, list[float]] = {name: [] for name in names}
     pass_totals: list[float] = []
     for rep in range(n_reps):
@@ -420,6 +431,29 @@ def main() -> None:
             f"# pass {rep + 1}/{n_reps} total: {pass_totals[-1]:.3f}s",
             file=sys.stderr,
         )
+        if rep + 1 < n_reps:
+            ck_times, _ = summarize_reps(rep_times)
+            try:
+                with open(detail_path, "w") as f:
+                    json.dump(
+                        {
+                            "metric": "headline_queries_total_partial_run",
+                            "value": round(sum(ck_times.values()), 3),
+                            "unit": "sec",
+                            "queries": ck_times,
+                            "rep_times": rep_times,
+                            "passes_done": rep + 1,
+                            "reps": n_reps,
+                            "pass_totals_sec": pass_totals,
+                            "sf": float(sf)
+                            if sf.replace(".", "").isdigit()
+                            else sf,
+                            "stores": stores,
+                        },
+                        f,
+                    )
+            except OSError as e:
+                print(f"# could not checkpoint {detail_path}: {e}", file=sys.stderr)
 
     times, dispersion = summarize_reps(rep_times)
     total = round(sum(times.values()), 3)
@@ -482,15 +516,8 @@ def main() -> None:
     # tail of stdout, and an 80+-query JSON line outgrows that buffer
     # (BENCH_r04.json parsed=null). The FINAL stdout line is kept compact
     # (slowest 12 queries only) so it always survives tail capture and
-    # parses; the detail file holds the rest.
-    # default detail artifact is per-SF (BENCH_DETAIL.json is reserved
-    # for the canonical sf0.1 run), so a smoke run at another scale
-    # factor can never clobber the committed headline artifact and the
-    # round-over-round total is always compared at one SF
-    default_detail = (
-        "BENCH_DETAIL.json" if sf == "0.1" else f"BENCH_DETAIL_sf{sf}.json"
-    )
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", default_detail)
+    # parses; the detail file holds the rest (path resolved before the
+    # passes — see the per-pass checkpointing above).
     try:
         with open(detail_path, "w") as f:
             json.dump(payload, f)

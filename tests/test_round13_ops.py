@@ -136,3 +136,37 @@ def test_bench_summarize_reps_math():
     assert disp["spiked"] == 2.5  # (4.0-1.0)/1.2
     assert disp["steady"] == 0.0
     assert disp["fast"] == 0.0
+
+
+def test_bench_delta_classifier():
+    """tools/bench_delta.py separates envelope-disjoint movement from
+    noise: overlapping envelopes -> silent; disjoint -> REGRESSED /
+    IMPROVED; single-rep artifacts only flag past the fallback ratio."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    import bench_delta
+
+    old = {
+        "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 0.1},
+        "rep_times": {"a": [0.9, 1.0, 1.3], "b": [0.9, 1.0, 1.1]},
+    }
+    new = {
+        "queries": {"a": 1.2, "b": 2.0, "c": 3.0, "d": 0.4},
+        "rep_times": {"a": [1.1, 1.2, 1.4], "b": [1.5, 2.0, 2.2]},
+    }
+    out = bench_delta.classify(old, new)
+    # a: envelopes overlap (1.1 <= 1.3) -> noise, silent
+    # b: new min 1.5 > old max 1.1 -> REGRESSED
+    # c: no reps either side, ratio 3.0 >= 2.5 at base >= 0.5 -> unsure
+    # d: ratio 4x but base 0.1/0.4 under MIN_BASE_SEC -> silent
+    assert [r["query"] for r in out["regressed"]] == ["b"]
+    assert [r["query"] for r in out["regressed_unsure"]] == ["c"]
+    assert out["improved"] == [] and out["improved_unsure"] == []
+    assert out["n_common"] == 4
