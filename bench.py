@@ -401,6 +401,12 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_REPS overrides either default.
     reps_env = os.environ.get("SPARK_GRAFT_BENCH_REPS", "")
     n_reps = int(reps_env) if reps_env else (3 if sf == "0.1" else 1)
+    if n_reps < 1:
+        # fail BEFORE the table-load warmup is paid: 0 reps would run
+        # zero passes and then statistics.median([]) raises anyway
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_REPS={reps_env!r} must be >= 1"
+        )
     # detail artifact path resolved BEFORE the passes: each pass
     # checkpoints a partial artifact, so a run killed mid-pass-2 still
     # leaves pass-1's full per-query data on disk (clearly marked
@@ -469,6 +475,7 @@ def main() -> None:
     if (
         "dedup_edit_cap_calibration" in registry.QUERIES
         and "dedup_edit_distance" not in skip
+        and "dedup_edit_cap_calibration" not in skip
         and not os.environ.get("SPARK_GRAFT_NO_RECALL_ROW")
     ):
         try:

@@ -9,10 +9,13 @@ Verdict classes per common query:
   on both sides this is the strongest artifact-native signal available
   — a shift no rep of the other run ever touched.
 - regressed? / improved?: envelopes unavailable on one side (single-rep
-  artifact) and the median ratio clears FALLBACK_RATIO at a base wall
-  >= MIN_BASE_SEC. The r12 three-run forensics measured 3-4x per-query
-  swings on identical code, so single-shot ratios under ~2.5x carry no
-  signal; these rows are flagged for eyes, not asserted.
+  artifact) and the median ratio clears FALLBACK_RATIO with EITHER wall
+  >= MIN_BASE_SEC (max(old, new), deliberately: a 0.1 s -> 0.6 s move
+  crosses INTO the meaningful range and deserves eyes even though its
+  base is sub-threshold; only both-sub-0.5 s ratios are pure noise).
+  The r12 three-run forensics measured 3-4x per-query swings on
+  identical code, so single-shot ratios under ~2.5x carry no signal;
+  these rows are flagged for eyes, not asserted.
 - everything else: inside the noise band; not listed.
 
 Prints one JSON line: aggregate medians + their ratio, the envelope
