@@ -335,7 +335,7 @@ def store_states(sf_dir: str) -> dict[str, str]:
     repo = os.path.dirname(os.path.abspath(__file__))
     base = os.path.basename(os.path.normpath(sf_dir))
     states: dict[str, str] = {}
-    for store in ("knn_graph", "ann_index", "sig_store"):
+    for store in ("knn_graph", "ann_index", "sig_store", "planted_cells"):
         root = os.path.join(repo, "benchdata", store)
         matched = sorted(
             d
@@ -368,9 +368,31 @@ def main() -> None:
             # a typo'd skip silently running the pathological query is
             # the exact failure this knob exists to prevent — be loud
             print(f"# WARNING: skip names not in HEADLINE: {unknown}", file=sys.stderr)
+    # SPARK_GRAFT_ONLY: comma-separated names to RESTRICT the run to —
+    # the rehearsal's second-rep envelope leg re-times only the queries
+    # sitting on the 10x line (tools/run_rehearsal.sh). An ONLY run is
+    # always a partial artifact (metric suffix below) and the per-run
+    # instrument rows (edit-cap / planted recall) fire only when their
+    # carrying query is actually in the run.
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+        if s.strip()
+    }
+    if only:
+        print(f"# restricting to (SPARK_GRAFT_ONLY): {sorted(only)}", file=sys.stderr)
+        unknown = sorted(only - set(HEADLINE))
+        if unknown:
+            print(f"# WARNING: only names not in HEADLINE: {unknown}", file=sys.stderr)
     stores = store_states(sf_dir)
     print(f"# persisted stores: {stores}", file=sys.stderr)
-    names = [n for n in HEADLINE if n in registry.QUERIES and n not in skip]
+    names = [
+        n
+        for n in HEADLINE
+        if n in registry.QUERIES
+        and n not in skip
+        and (not only or n in only)
+    ]
     if not names:
         print('{"error": "no queries to run (all skipped or unregistered)"}')
         spark.stop()
@@ -473,9 +495,8 @@ def main() -> None:
     # dedup family is known-pathological and already SKIPped).
     edit_cap_recall: dict[str, float | None] = {}
     if (
-        "dedup_edit_cap_calibration" in registry.QUERIES
+        "dedup_edit_cap_calibration" in names
         and "dedup_edit_distance" not in skip
-        and "dedup_edit_cap_calibration" not in skip
         and not os.environ.get("SPARK_GRAFT_NO_RECALL_ROW")
     ):
         try:
@@ -486,12 +507,38 @@ def main() -> None:
         except Exception as e:  # never fail the bench for the audit row
             print(f"# edit-cap recall row failed: {e}", file=sys.stderr)
 
+    # Pin the IVF pipeline's structure-recovery health PER RUN (the
+    # edit_cap_recall pattern): recall@5 on the planted 16-cluster
+    # corpus is one cheap serve once the planted_cells store is warm
+    # (the timed passes above warmed it), and a value under 1.0 on a
+    # corpus whose true neighbors are all same-cluster means the
+    # quantizer / probe / scoring chain broke — per run, not per
+    # calibration-query driver window. Skipped at sf0.001 where true
+    # neighbors are cross-cluster ties (test_planted_recall_is_one).
+    ann_planted_recall: float | None = None
+    if (
+        "ann_recall_audit_planted" in names
+        and sf != "0.001"
+        and not os.environ.get("SPARK_GRAFT_NO_RECALL_ROW")
+    ):
+        try:
+            rows = registry.QUERIES["ann_recall_audit_planted"](
+                spark, sf_dir
+            ).collect()
+            tot = 5 * sum(r["n_queries"] for r in rows)
+            if tot:
+                ann_planted_recall = round(
+                    sum(r["n_matched"] * r["n_queries"] for r in rows) / tot, 6
+                )
+        except Exception as e:  # never fail the bench for the audit row
+            print(f"# planted recall row failed: {e}", file=sys.stderr)
+
     payload = {
         # a partial run gets a DIFFERENT metric name, not just a
         # "skipped" field: round-over-round tooling comparing
         # headline_queries_total must never mistake a smaller query set
         # for a speedup, even if it ignores every other field
-        "metric": "headline_queries_total" + ("_partial" if skip else ""),
+        "metric": "headline_queries_total" + ("_partial" if skip or only else ""),
         "value": total,
         "unit": "sec",
         "queries": times,
@@ -511,6 +558,8 @@ def main() -> None:
         # recall_vs_max per swept cap on THIS dataset; the production
         # EDIT_CAND_CAP row is the price actually paid by this run
         payload["edit_cap_recall"] = edit_cap_recall
+    if ann_planted_recall is not None:
+        payload["ann_planted_recall"] = ann_planted_recall
     if n_reps > 1:
         payload["rep_times"] = rep_times
         payload["dispersion"] = dispersion
@@ -519,6 +568,8 @@ def main() -> None:
         payload["dispersion_p90"] = ds[(len(ds) * 9) // 10]
     if skip:
         payload["skipped"] = sorted(skip)
+    if only:
+        payload["only"] = sorted(only)
     # Full per-query detail goes to a file: the driver records only the
     # tail of stdout, and an 80+-query JSON line outgrows that buffer
     # (BENCH_r04.json parsed=null). The FINAL stdout line is kept compact

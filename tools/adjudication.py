@@ -1,0 +1,189 @@
+"""Committed adjudication map for the 10x-rehearsal artifacts.
+
+Every BENCH_sf1 / BENCH_sf1g row whose 10x wall factor crosses the 10x
+line must carry a machine-readable class — the r13 verdict's point: the
+8 salted-artifact >10x rows were adjudicated only in PERFORMANCE.md
+prose, so a reader of the artifact could not tell an instrument
+verifying a 4x candidate superset from a real regression. The map below
+IS that adjudication, replayed into the artifact by
+tools/merge_sf1_factors.py and pinned by
+tests/test_rehearsal_adjudication.py; a >10x row whose name is absent
+here classifies as ``unadjudicated`` and FAILS the rehearsal run — new
+crossings force a written adjudication, not a shrug.
+
+Classes (each anchored in PERFORMANCE.md measurements):
+
+- instrument-superset: the query deliberately measures a superset of
+  the production workload (a calibration sweep verifying every swept
+  knob value); its wall prices the instrument, not the pipeline.
+- volume-linear-contract: per-token / per-char contract work on the
+  salted artifact, where "10x docs" is a measured 17.2x characters /
+  19.8x tokens — ~17x wall IS linear in the true input.
+- frozen-vocab-artifact: exact-shingle df inflation specific to the
+  frozen-vocab salted corpus; the same plan measures sub-4x on the
+  Heaps-law growing-vocab artifact (PERFORMANCE.md round 11).
+- replica-clique-artifact: LSH gray-zone candidate inflation from the
+  synthetic replica-clique structure (51.6x candidates measured at 10x
+  docs); the per-candidate verify is sub-linear, which is the plan
+  property that matters.
+- cost-model-envelope: inside a documented super-linear cost model
+  (exact k-NN is n*sqrt(n): bound 31.6x at 10x rows).
+- small-base-variance: sf0.1 denominator under ~1 s inside the
+  recorded 2-4x shared-host variance band; the factor carries no
+  plan signal at that base.
+"""
+
+from __future__ import annotations
+
+CLASSES = frozenset(
+    {
+        "instrument-superset",
+        "volume-linear-contract",
+        "frozen-vocab-artifact",
+        "replica-clique-artifact",
+        "cost-model-envelope",
+        "small-base-variance",
+    }
+)
+
+UNADJUDICATED = "unadjudicated"
+
+# Re-run band for the second-rep envelope leg: queries whose primary
+# factor lands within +-25% of the 10x line get one more scaled-side
+# rep, so over/under membership is quoted with an error bar (the
+# r12->r13 churn at the line — text_bpe_pretokens 15.1->9.55x on
+# untouched code — is exactly a noise-crossing a single rep can't
+# distinguish from a regression).
+LINE_BAND = (7.5, 12.5)
+
+_VOL = (
+    "volume-linear-contract",
+    "per-token/per-char contract scan; the salted artifact is 17.2x "
+    "chars / 19.8x tokens for 10x docs (PERFORMANCE.md r9 table)",
+)
+
+# name -> (class, why). Applies to both rehearsal artifacts unless
+# overridden in TAG_OVERRIDES (the same query can be artifact-limited
+# on the salted corpus and plan-limited on the growing-vocab one).
+ADJUDICATIONS: dict[str, tuple[str, str]] = {
+    # --- instruments that verify more than production runs ---
+    "dedup_edit_cap_calibration": (
+        "instrument-superset",
+        "the sweep verifies the cap=32 candidate space, 4x the "
+        "production cap-8 set; production dedup_edit_distance reads "
+        "6.03x on the same corpus (PERFORMANCE.md r13)",
+    ),
+    "dedup_band_cap_calibration": (
+        "instrument-superset",
+        "verifies every swept band-cap value, a strict superset of the "
+        "production cap's candidate set",
+    ),
+    "ann_nprobe_calibration": (
+        "instrument-superset",
+        "coverage sweep over nprobe 1..8 — 2x the production nprobe=4 "
+        "probe volume by construction",
+    ),
+    # --- text-volume-linear contract scans (salted artifact) ---
+    "text_pii_scrub": _VOL,
+    "text_bpe_pretokens": _VOL,
+    "text_tokenizer_fertility_by_lang": _VOL,
+    "text_quality_logistic": _VOL,
+    "text_quality_gopher": _VOL,
+    "text_lm_perplexity": _VOL,
+    "vocab_top_bigrams": _VOL,
+    "sketch_countmin_heavy_hitters": _VOL,
+    "contamination_overlap_fraction": _VOL,
+    "contamination_test_vs_train": _VOL,
+    "dedup_lsh_band_stats": _VOL,
+    "dedup_exact_substring": _VOL,
+    "search_trigram_wildcard": (
+        "volume-linear-contract",
+        "trigram postings scale with chars (17.2x) and matches with "
+        "docs; posting-join + verify is output/index-volume-bound "
+        "(PERFORMANCE.md r9 table)",
+    ),
+    # --- frozen-vocab salted-corpus artifacts ---
+    "dedup_ngram_jaccard_prefix": (
+        "frozen-vocab-artifact",
+        "21.2x on the salted pair vs 3.73x on the Heaps-law sf1g "
+        "corpus — df inflation of the frozen vocab, not the plan "
+        "(PERFORMANCE.md r11)",
+    ),
+    "dedup_cluster_exact": (
+        "frozen-vocab-artifact",
+        "21.3x salted vs 3.45x sf1g; CC over the prefix pairs adds "
+        "~flat cost on top (PERFORMANCE.md r11)",
+    ),
+    "dedup_posting_skew_profile": (
+        "frozen-vocab-artifact",
+        "the df-histogram scan itself measures the frozen-vocab "
+        "posting inflation it exists to profile",
+    ),
+    # --- replica-clique candidate inflation ---
+    "dedup_edit_distance": (
+        "replica-clique-artifact",
+        "LSH candidates grow 51.6x (measured) from gray-zone sibling "
+        "cliques; wall grows sub-linearly per candidate "
+        "(PERFORMANCE.md r11)",
+    ),
+    # --- documented super-linear cost models ---
+    "ann_knn_graph_adaptive": (
+        "cost-model-envelope",
+        "exact k-NN over adaptive cells is n*sqrt(n): bound 31.6x at "
+        "10x rows, measured under it (PERFORMANCE.md r9 table)",
+    ),
+    "dedup_semantic_prune": (
+        "cost-model-envelope",
+        "adaptive-cell k-NN pairs (n*sqrt(n)) + one bounded groupBy",
+    ),
+    "dedup_embedding_cosine": (
+        "cost-model-envelope",
+        "carries the protocol-cold knn-graph build inside n*sqrt(n)",
+    ),
+    "dedup_embedding_cosine_deep": (
+        "cost-model-envelope",
+        "deep variant of the adaptive-cell k-NN chain (n*sqrt(n))",
+    ),
+    # --- sub-second sf0.1 denominators in the variance band ---
+    "discodb_metaquery_recursive": (
+        "small-base-variance",
+        "was 10.3x = 3% over the line on a small base; inside the "
+        "recorded 2-4x shared-host band (PERFORMANCE.md r9 table)",
+    ),
+    "pipeline_node_label_condense": (
+        "small-base-variance",
+        "r8-adjudicated borderliner (0.5-2.5 s sf0.1 base); crossed "
+        "and re-crossed the line on untouched code r12->r13",
+    ),
+    "regr_price_vs_qty": (
+        "small-base-variance",
+        "r8-adjudicated borderliner at a sub-second sf0.1 base",
+    ),
+    "unpivot_lineitem_measures": (
+        "small-base-variance",
+        "r8-adjudicated borderliner at a small sf0.1 base",
+    ),
+    "embedding_quantize_int8": (
+        "small-base-variance",
+        "linear scan over exactly-10x embeddings at a ~0.4-1 s "
+        "denominator (PERFORMANCE.md r11/r13)",
+    ),
+}
+
+TAG_OVERRIDES: dict[tuple[str, str], tuple[str, str]] = {
+    # on the growing-vocab artifact the exact-jaccard family factors
+    # are measurements of the plan (3.45-3.73x) — if one crosses 10x
+    # THERE, that is NOT the frozen-vocab artifact and must be looked
+    # at, so the sf1g side deliberately has no entry for them
+    ("sf1g", "dedup_ngram_jaccard_prefix"): (UNADJUDICATED, ""),
+    ("sf1g", "dedup_cluster_exact"): (UNADJUDICATED, ""),
+    ("sf1g", "dedup_posting_skew_profile"): (UNADJUDICATED, ""),
+}
+
+
+def classify(tag: str, name: str) -> tuple[str, str]:
+    """(class, why) for a >10x rehearsal row; ('unadjudicated', '')
+    when no committed adjudication covers it on this artifact."""
+    if (tag, name) in TAG_OVERRIDES:
+        return TAG_OVERRIDES[(tag, name)]
+    return ADJUDICATIONS.get(name, (UNADJUDICATED, ""))

@@ -8,7 +8,17 @@
 #      every measured run builds its own graph: cold on every side)
 #   4. measured bench runs: base sf0.1 -> BENCH_DETAIL_sf0.1_raw.json,
 #      sf1 -> BENCH_DETAIL_sf1_raw.json, sf1g -> BENCH_DETAIL_sf1g_raw.json
-#   5. merge per-query 10x factors -> BENCH_sf1.json / BENCH_sf1g.json
+#   4b. second scaled-side rep of the LINE-SITTING queries only (factor
+#      within adjudication.LINE_BAND): single-rep factors at the 10x
+#      line can't distinguish a noise-crossing from a regression (the
+#      r12->r13 churn: text_bpe_pretokens 15.1->9.55x on untouched
+#      code), so over/under membership is quoted with an envelope.
+#   5. merge per-query 10x factors -> BENCH_sf1.json / BENCH_sf1g.json.
+#      The merge stamps every >10x row with its committed adjudication
+#      class (tools/adjudication.py) and EXITS NON-ZERO on any
+#      unadjudicated crossing — under set -e that fails this script,
+#      which is the contract: new crossings demand a written
+#      adjudication, not a prose footnote.
 # Keep the machine otherwise quiet: the artifacts are wall-clock.
 #
 # All three legs run SINGLE-REP (SPARK_GRAFT_BENCH_REPS=1): a 10x factor
@@ -35,5 +45,30 @@ SPARK_GRAFT_SF_DIR=benchdata/sf1 SPARK_GRAFT_BENCH_REPS=1 \
 SPARK_GRAFT_SF_DIR=benchdata/sf1g SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL_sf1g_raw.json python bench.py
 
-python tools/merge_sf1_factors.py BENCH_DETAIL_sf0.1_raw.json BENCH_DETAIL_sf1_raw.json BENCH_sf1.json
-python tools/merge_sf1_factors.py BENCH_DETAIL_sf0.1_raw.json BENCH_DETAIL_sf1g_raw.json BENCH_sf1g.json
+# 4b: one extra scaled rep for the line-sitters (NO_RECALL_ROW: the
+# envelope leg times queries, the instrument rows already ran in the
+# full legs above). rm guards against a stale rep2 file from a prior
+# run leaking envelopes for queries that no longer sit on the line.
+rm -f BENCH_DETAIL_sf1_rep2.json BENCH_DETAIL_sf1g_rep2.json
+SITTERS=$(python tools/line_sitters.py BENCH_DETAIL_sf0.1_raw.json BENCH_DETAIL_sf1_raw.json)
+if [ -n "$SITTERS" ]; then
+  SPARK_GRAFT_SF_DIR=benchdata/sf1 SPARK_GRAFT_BENCH_REPS=1 \
+    SPARK_GRAFT_ONLY="$SITTERS" SPARK_GRAFT_NO_RECALL_ROW=1 \
+    SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL_sf1_rep2.json python bench.py
+fi
+SITTERS_G=$(python tools/line_sitters.py BENCH_DETAIL_sf0.1_raw.json BENCH_DETAIL_sf1g_raw.json)
+if [ -n "$SITTERS_G" ]; then
+  SPARK_GRAFT_SF_DIR=benchdata/sf1g SPARK_GRAFT_BENCH_REPS=1 \
+    SPARK_GRAFT_ONLY="$SITTERS_G" SPARK_GRAFT_NO_RECALL_ROW=1 \
+    SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL_sf1g_rep2.json python bench.py
+fi
+
+merge() { # base scaled out [rep2]
+  if [ -n "$4" ] && [ -f "$4" ]; then
+    python tools/merge_sf1_factors.py "$1" "$2" "$3" "$4"
+  else
+    python tools/merge_sf1_factors.py "$1" "$2" "$3"
+  fi
+}
+merge BENCH_DETAIL_sf0.1_raw.json BENCH_DETAIL_sf1_raw.json BENCH_sf1.json BENCH_DETAIL_sf1_rep2.json
+merge BENCH_DETAIL_sf0.1_raw.json BENCH_DETAIL_sf1g_raw.json BENCH_sf1g.json BENCH_DETAIL_sf1g_rep2.json

@@ -6,9 +6,10 @@ so the one-time store builds land in the same queries on both sides
 instead of whichever consumer happens to run first.
 
 Usage: python tools/warm_stores.py [sf_dir ...]
-Runs the two headline store-building queries (ann_index_compact_topk,
-dedup_incremental_lsh) once per dataset through the same noop sink
-bench.py uses. knn_graph is NOT touched here — wipe
+Runs the headline store-building queries (ann_index_compact_topk,
+dedup_incremental_lsh, ann_recall_audit_planted — the last trains the
+planted_cells quantizer store) once per dataset through the same noop
+sink bench.py uses. knn_graph is NOT touched here — wipe
 benchdata/knn_graph yourself immediately before the measured run.
 """
 
@@ -22,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from disco_spark import registry  # noqa: E402
 from disco_spark.session import get_spark  # noqa: E402
 
-WARMERS = ("ann_index_compact_topk", "dedup_incremental_lsh")
+WARMERS = (
+    "ann_index_compact_topk",
+    "dedup_incremental_lsh",
+    "ann_recall_audit_planted",
+)
 
 
 def main() -> None:
