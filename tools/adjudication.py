@@ -144,6 +144,12 @@ ADJUDICATIONS: dict[str, tuple[str, str]] = {
         "cost-model-envelope",
         "deep variant of the adaptive-cell k-NN chain (n*sqrt(n))",
     ),
+    "ann_recall_audit_planted": (
+        "cost-model-envelope",
+        "exact side is a broadcast-probed O(128*n) sample scan, approx "
+        "side the n*sqrt(n)/probe graph (PERFORMANCE.md r13 scale-shape "
+        "note); bound 31.6x at 10x rows",
+    ),
     # --- sub-second sf0.1 denominators in the variance band ---
     "discodb_metaquery_recursive": (
         "small-base-variance",
