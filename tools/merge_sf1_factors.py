@@ -2,8 +2,15 @@
 detail into BENCH_sf1.json with a per-query 10x scale factor — the
 whole-surface dress-rehearsal artifact the performance audit reads.
 
-Usage: python tools/merge_sf1_factors.py [base.json] [scaled.json] [out.json] [rep2.json]
+Usage: python tools/merge_sf1_factors.py [base.json] [scaled.json] [out.json] [rep2.json] [base2.json]
 Defaults: BENCH_DETAIL.json, BENCH_DETAIL_sf1_raw.json, BENCH_sf1.json.
+rep2.json is a second scaled-side rep — either the legacy line-sitter
+partial (has an ``only`` key) or a FULL second leg; base2.json a full
+second base rep. With full rep2 + base2 every row gets a
+factor_lo/factor_hi from the 2x2 rep matrix and the artifact quotes
+``aggregate_factor_lo/hi`` (min-total/max-total and max/min): the
+aggregate is a ratio of single-shot totals and inherits both legs'
+host swings multiplicatively, so it needs the envelope most of all.
 The out name's stem (sf1 / sf1g / ...) names the scaled artifact in the
 metric and note, so the salted and growing-vocab rehearsals can be
 recorded side by side.
@@ -34,10 +41,17 @@ base_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
 scaled_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DETAIL_sf1_raw.json"
 out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf1.json"
 rep2_path = sys.argv[4] if len(sys.argv) > 4 else None
+base2_path = sys.argv[5] if len(sys.argv) > 5 else None
 tag = out_path.rsplit("BENCH_", 1)[-1].split(".json")[0]
 base = json.load(open(base_path))
 scaled = json.load(open(scaled_path))
-rep2 = json.load(open(rep2_path))["queries"] if rep2_path else {}
+rep2_full = json.load(open(rep2_path)) if rep2_path else None
+rep2 = rep2_full["queries"] if rep2_full else {}
+# a rep2 produced via SPARK_GRAFT_ONLY is a partial (line-sitter) leg:
+# its total covers a subset, so it never feeds the aggregate envelope
+rep2_is_full = bool(rep2_full) and "only" not in rep2_full
+base2_full = json.load(open(base2_path)) if base2_path else None
+base2 = base2_full["queries"] if base2_full else {}
 
 factors = {}
 for name, t10 in scaled["queries"].items():
@@ -47,11 +61,15 @@ for name, t10 in scaled["queries"].items():
         "sf1_sec": t10,
         "factor": round(t10 / t1, 2) if t1 else None,
     }
-    if name in rep2 and t1:
-        t10b = rep2[name]
-        row["sf1_sec_rep2"] = t10b
-        row["factor_lo"] = round(min(t10, t10b) / t1, 2)
-        row["factor_hi"] = round(max(t10, t10b) / t1, 2)
+    if t1 and (name in rep2 or name in base2):
+        t10s = [t10] + ([rep2[name]] if name in rep2 else [])
+        t1s = [t1] + ([base2[name]] if name in base2 else [])
+        if name in rep2:
+            row["sf1_sec_rep2"] = rep2[name]
+        if name in base2:
+            row["sf0.1_sec_rep2"] = base2[name]
+        row["factor_lo"] = round(min(t10s) / max(t1s), 2)
+        row["factor_hi"] = round(max(t10s) / min(t1s), 2)
     factors[name] = row
 missing = sorted(set(base["queries"]) - set(scaled["queries"]))
 over10 = sorted(
@@ -97,6 +115,29 @@ out = {
         f"got a second scaled rep (line band {LINE_BAND})."
     ),
     "aggregate_factor": round(scaled["value"] / base["value"], 2),
+    # with a FULL second rep of both legs the aggregate — itself a
+    # ratio of two single-shot totals that inherits both legs' host
+    # swings multiplicatively — is quoted as an envelope, not a point
+    **(
+        {
+            "aggregate_factor_lo": round(
+                min(scaled["value"], rep2_full["value"])
+                / max(base["value"], base2_full["value"]),
+                2,
+            ),
+            "aggregate_factor_hi": round(
+                max(scaled["value"], rep2_full["value"])
+                / min(base["value"], base2_full["value"]),
+                2,
+            ),
+            "totals_sec": {
+                "base_reps": [base["value"], base2_full["value"]],
+                "scaled_reps": [scaled["value"], rep2_full["value"]],
+            },
+        }
+        if rep2_is_full and base2_full
+        else {}
+    ),
     "n_over_10x": len(over10),
     "over_10x": over10,
     "over_10x_classes": {n: factors[n]["class"] for n in over10},
