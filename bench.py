@@ -369,8 +369,8 @@ def main() -> None:
             # the exact failure this knob exists to prevent — be loud
             print(f"# WARNING: skip names not in HEADLINE: {unknown}", file=sys.stderr)
     # SPARK_GRAFT_ONLY: comma-separated names to RESTRICT the run to —
-    # the rehearsal's second-rep envelope leg re-times only the queries
-    # sitting on the 10x line (tools/run_rehearsal.sh). An ONLY run is
+    # ad-hoc partial timing runs (the r14 rehearsal's line-sitter legs
+    # used this before full rep-2 legs superseded them). An ONLY run is
     # always a partial artifact (metric suffix below) and the per-run
     # instrument rows (edit-cap / planted recall) fire only when their
     # carrying query is actually in the run.
@@ -398,17 +398,6 @@ def main() -> None:
         spark.stop()
         return
 
-    # warm the JVM, parquet footers, the per-session table-plan cache and
-    # the OS page cache once, so per-query numbers measure the query, not
-    # session startup or first-scan I/O (otherwise whichever query runs
-    # first absorbs the whole load cost and looks like a regression).
-    t0 = time.perf_counter()
-    for tdf in load_tables(spark, sf_dir).values():
-        tdf.count()
-    registry.QUERIES[names[0]](spark, sf_dir).count()
-    warm_sec = round(time.perf_counter() - t0, 3)
-    print(f"# warmup (table load + first query): {warm_sec:.3f}s", file=sys.stderr)
-
     # Noise-robust protocol: per-query MEDIAN of N reps, reps taken as N
     # INTERLEAVED full passes over the query list (not back-to-back reps
     # of one query) — the r12 three-run forensics measured ±10% aggregate
@@ -429,6 +418,17 @@ def main() -> None:
         raise SystemExit(
             f"SPARK_GRAFT_BENCH_REPS={reps_env!r} must be >= 1"
         )
+
+    # warm the JVM, parquet footers, the per-session table-plan cache and
+    # the OS page cache once, so per-query numbers measure the query, not
+    # session startup or first-scan I/O (otherwise whichever query runs
+    # first absorbs the whole load cost and looks like a regression).
+    t0 = time.perf_counter()
+    for tdf in load_tables(spark, sf_dir).values():
+        tdf.count()
+    registry.QUERIES[names[0]](spark, sf_dir).count()
+    warm_sec = round(time.perf_counter() - t0, 3)
+    print(f"# warmup (table load + first query): {warm_sec:.3f}s", file=sys.stderr)
     # detail artifact path resolved BEFORE the passes: each pass
     # checkpoints a partial artifact, so a run killed mid-pass-2 still
     # leaves pass-1's full per-query data on disk (clearly marked
@@ -522,10 +522,15 @@ def main() -> None:
         and not os.environ.get("SPARK_GRAFT_NO_RECALL_ROW")
     ):
         try:
+            from disco_spark.similarity.ann import TOP_K
+
             rows = registry.QUERIES["ann_recall_audit_planted"](
                 spark, sf_dir
             ).collect()
-            tot = 5 * sum(r["n_queries"] for r in rows)
+            # recall@k: the audit histogram buckets n_matched in 0..k,
+            # so the denominator is k per query — derive it from the
+            # same TOP_K the query uses, never a hardcoded literal
+            tot = TOP_K * sum(r["n_queries"] for r in rows)
             if tot:
                 ann_planted_recall = round(
                     sum(r["n_matched"] * r["n_queries"] for r in rows) / tot, 6

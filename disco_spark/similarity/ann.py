@@ -494,7 +494,6 @@ def _adaptive_knn(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 4
 ) -> DataFrame:
     import json
-    import shutil
 
     from disco_spark.session import file_fingerprints, lazy_persist
 
@@ -533,56 +532,73 @@ def _adaptive_knn(
         e.drop("label").join(cells, "vec_id").select("vec_id", "embedding", "label")
     )
     g = knn_graph(e2, k=k, nprobe=nprobe)
-    # write-then-swap-then-manifest: a crash leaves either the old
-    # store (manifest + graph both old) or no manifest (rebuilt next
-    # call) — never a manifest pointing at missing/partial data.
-    # Scratch names are PID-suffixed so two concurrent builders (e.g.
-    # bench + pytest) never write the same _building/_old paths; if a
-    # concurrent builder wins the rename-into-place, ours is discarded
-    # — both graphs are deterministic from the same fingerprinted
-    # inputs (warm==fresh bit-equality is pytest-pinned), so either
-    # copy is THE store.
-    # reclaim scratch a CRASHED builder left behind (PID-suffixed names
-    # are never reused, so leftovers accumulate otherwise); an age
-    # guard keeps a concurrent LIVE builder's in-progress scratch safe
+    return _swap_into_store(spark, g, gdir, mf, want)
+
+
+def _swap_into_store(
+    spark: SparkSession, df: DataFrame, data_dir: str, mf: str, want: dict
+) -> DataFrame:
+    """Persist ``df`` under ``data_dir`` and stamp ``want`` into the
+    manifest ``mf`` with the write-then-swap-then-manifest discipline
+    shared by the knn-graph and planted-cells stores (ensure_index in
+    index_store.py keeps its own multi-directory variant):
+
+    - a crash leaves either the old store (manifest + data both old)
+      or no manifest (rebuilt next call) — never a manifest pointing
+      at missing/partial data;
+    - scratch names are PID-suffixed so two concurrent builders (e.g.
+      bench + pytest) never write the same _building/_old paths; if a
+      concurrent builder wins the rename-into-place, ours is discarded
+      — stores here are deterministic from the same fingerprinted
+      inputs (warm==fresh bit-equality is pytest-pinned), so either
+      copy is THE store;
+    - scratch a CRASHED builder left behind is reclaimed (PID-suffixed
+      names are never reused, so leftovers accumulate otherwise); an
+      age guard keeps a concurrent LIVE builder's in-progress scratch
+      safe;
+    - the manifest is written ONLY when our data made it into place: a
+      losing builder stamping the winner's data with its own ``want``
+      would mislabel the store whenever the two builders fingerprinted
+      DIFFERENT inputs (dataset regenerated between their reads) — the
+      winner's own manifest write (or its absence, forcing a rebuild)
+      is the only truthful label for the data that actually survived.
+    """
     import glob as _glob
+    import json
+    import shutil
     import time as _time
 
-    for stale in _glob.glob(f"{gdir}_building_*") + _glob.glob(f"{gdir}_old_*"):
+    for stale in _glob.glob(f"{data_dir}_building_*") + _glob.glob(
+        f"{data_dir}_old_*"
+    ):
         try:
             if _time.time() - os.path.getmtime(stale) > 3600:
                 shutil.rmtree(stale, ignore_errors=True)
         except OSError:
             pass
-    tmp = f"{gdir}_building_{os.getpid()}"
-    g.write.mode("overwrite").parquet(tmp)
-    old = f"{gdir}_old_{os.getpid()}"
+    tmp = f"{data_dir}_building_{os.getpid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{data_dir}_old_{os.getpid()}"
     shutil.rmtree(old, ignore_errors=True)
     try:
         # the move-aside is itself racy against a concurrent builder's
         # swap (isdir then rename = TOCTOU): losing THAT race is as
         # harmless as losing the rename-into-place below, so tolerate
-        if os.path.isdir(gdir):
-            os.rename(gdir, old)
+        if os.path.isdir(data_dir):
+            os.rename(data_dir, old)
     except OSError:
         pass
     renamed = True
     try:
-        os.rename(tmp, gdir)
+        os.rename(tmp, data_dir)
     except OSError:
         renamed = False
         shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    # the manifest is written ONLY when our graph made it into place: a
-    # losing builder stamping the winner's graph with its own `want`
-    # would mislabel the store whenever the two builders fingerprinted
-    # DIFFERENT inputs (dataset regenerated between their reads) — the
-    # winner's own manifest write (or its absence, forcing a rebuild)
-    # is the only truthful label for the graph that actually survived
     if renamed:
         with open(mf, "w") as fh:
             json.dump(want, fh)
-    return spark.read.parquet(gdir)
+    return spark.read.parquet(data_dir)
 
 
 @query(
@@ -995,9 +1011,10 @@ def planted_cells_store(
 ) -> DataFrame:
     """(vec_id, label) adaptive cells for the planted corpus, served
     from the persisted store when the manifest matches; trained and
-    persisted otherwise (write cells first, manifest last — the
-    ensure_index crash-safety convention: a matching manifest without
-    the cells dir never serves)."""
+    persisted otherwise via _swap_into_store (write-then-swap-then-
+    manifest: an interrupted rebuild can never leave a matching
+    manifest next to a partial cells dir, and concurrent builders
+    never clobber each other's write)."""
     import json
 
     from disco_spark.session import file_fingerprints
@@ -1020,10 +1037,7 @@ def planted_cells_store(
                 return spark.read.parquet(cdir)
     except (OSError, ValueError):
         pass
-    adaptive_cells(planted).write.mode("overwrite").parquet(cdir)
-    with open(mf, "w") as fh:
-        json.dump(want, fh)
-    return spark.read.parquet(cdir)
+    return _swap_into_store(spark, adaptive_cells(planted), cdir, mf, want)
 
 
 def _planted_vectors(ids: DataFrame) -> DataFrame:

@@ -94,3 +94,45 @@ def test_audit_query_runs_warm_and_cold(spark):
         ).collect()
     }
     assert warm == cold
+
+
+def test_interrupted_rebuild_never_stamps_manifest(spark):
+    """Crash-safety (r14 review finding): the rebuild goes through
+    _swap_into_store, so a build that dies mid-parquet-write leaves NO
+    manifest update — the old 'write into cells/ under a possibly
+    matching manifest' path could leave a matching manifest next to a
+    partial cells dir and silently serve it."""
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    p = _planted(spark)
+    planted_cells_store(spark, SF_SMOKE, p, emb).count()
+    mf = os.path.join(_store(), "manifest.json")
+    stale = json.load(open(mf))
+    stale["algo"] = "something-older"
+    json.dump(stale, open(mf, "w"))
+
+    class Boom(RuntimeError):
+        pass
+
+    # the build side only touches the cells via DataFrame.write; abort
+    # there and the store must keep the (stale) manifest untouched so
+    # the next call retrains instead of serving whatever half-state
+    # the dead writer left in its PID-suffixed scratch dir
+    import pyspark.sql.readwriter as rw
+
+    orig = rw.DataFrameWriter.parquet
+    try:
+        def boom(self, path, *a, **kw):
+            raise Boom(path)
+
+        rw.DataFrameWriter.parquet = boom
+        try:
+            planted_cells_store(spark, SF_SMOKE, p, emb)
+            raise AssertionError("expected the aborted build to raise")
+        except Boom:
+            pass
+    finally:
+        rw.DataFrameWriter.parquet = orig
+    assert json.load(open(mf))["algo"] == "something-older"
+    # and the un-aborted retry heals the store
+    planted_cells_store(spark, SF_SMOKE, p, emb).count()
+    assert json.load(open(mf))["algo"] == "adaptive-sqrt-cells-lloyd1-v1"

@@ -4,9 +4,10 @@ whole-surface dress-rehearsal artifact the performance audit reads.
 
 Usage: python tools/merge_sf1_factors.py [base.json] [scaled.json] [out.json] [rep2.json] [base2.json]
 Defaults: BENCH_DETAIL.json, BENCH_DETAIL_sf1_raw.json, BENCH_sf1.json.
-rep2.json is a second scaled-side rep — either the legacy line-sitter
-partial (has an ``only`` key) or a FULL second leg; base2.json a full
-second base rep. With full rep2 + base2 every row gets a
+rep2.json is a second scaled-side rep — either a legacy line-sitter
+partial (covers a subset; per-row envelopes only) or a FULL second
+leg (same query set; also feeds the aggregate envelope); base2.json a
+full second base rep. With full rep2 + base2 every row gets a
 factor_lo/factor_hi from the 2x2 rep matrix and the artifact quotes
 ``aggregate_factor_lo/hi`` (min-total/max-total and max/min): the
 aggregate is a ratio of single-shot totals and inherits both legs'
@@ -47,9 +48,14 @@ base = json.load(open(base_path))
 scaled = json.load(open(scaled_path))
 rep2_full = json.load(open(rep2_path)) if rep2_path else None
 rep2 = rep2_full["queries"] if rep2_full else {}
-# a rep2 produced via SPARK_GRAFT_ONLY is a partial (line-sitter) leg:
-# its total covers a subset, so it never feeds the aggregate envelope
-rep2_is_full = bool(rep2_full) and "only" not in rep2_full
+# only a rep2 covering the SAME query set feeds the aggregate
+# envelope: a partial leg (SPARK_GRAFT_ONLY line-sitter file, a
+# mid-run per-pass checkpoint, a SKIP run) has a total over a
+# different set, and dividing such totals would understate the lo
+# bound — set equality is the check, not the 'only' marker alone
+rep2_is_full = bool(rep2_full) and set(rep2_full["queries"]) == set(
+    scaled["queries"]
+)
 base2_full = json.load(open(base2_path)) if base2_path else None
 base2 = base2_full["queries"] if base2_full else {}
 

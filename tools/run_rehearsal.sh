@@ -2,10 +2,11 @@
 # Whole-surface scale rehearsal, the comparability protocol in one
 # command (PERFORMANCE.md round-11 section):
 #   1. regenerate both scaled artifacts (salted sf1, growing-vocab sf1g)
-#   2. warm ann_index + sig_store per dataset (store builds land OUTSIDE
-#      the measured pass)
-#   3. wipe knn_graph ONCE (entries are keyed per dataset basename, so
-#      every measured run builds its own graph: cold on every side)
+#   2. warm ann_index + sig_store + planted_cells per dataset (store
+#      builds land OUTSIDE the measured pass)
+#   3. wipe knn_graph once PER REP (entries are keyed per dataset
+#      basename, so every leg of a rep builds its own graph cold; the
+#      second wipe keeps rep 2's cold-build profile identical to rep 1)
 #   4. measured bench runs, TWO FULL REPS of each leg (r14 protocol):
 #      rep 1 -> BENCH_DETAIL_{sf0.1,sf1,sf1g}_raw.json,
 #      rep 2 -> BENCH_DETAIL_{sf0.1,sf1,sf1g}_raw2.json.
