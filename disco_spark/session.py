@@ -67,7 +67,13 @@ def get_spark(app_name: str = "disco_spark", master: str | None = None) -> Spark
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver/bench runs need no port); profiling
+        # tools set SPARK_GRAFT_UI=1 to read per-stage metrics over the
+        # UI REST API (tools/profile_query.py).
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
     )
     if master is not None:
         builder = builder.master(master)
