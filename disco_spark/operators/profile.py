@@ -25,7 +25,17 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     """One row per column: (column, n_rows, n_nulls, n_distinct,
     min_repr, max_repr, avg_len). min/max are cast to string so mixed
     column types fit one schema; avg_len is the mean string-repr length
-    (a cheap width/size signal)."""
+    (a cheap width/size signal).
+
+    Exact-mode plan (guide §2.3/§7.2): k count_distincts mixed into one
+    aggregate make Catalyst Expand the scan k+1-fold and shuffle the
+    replicated rows — the one data-sized shuffle this operator had.
+    Instead the non-distinct measures compute in ONE scan (no Expand,
+    partial/final agg only) and each exact n_distinct runs as its own
+    single-COLUMN aggregation (column-pruned scan, shuffle = that
+    column's distinct values after map-side dedup); the k+1 one-row
+    results recombine by broadcast cross join. Approx mode (HLL) never
+    had the Expand and keeps its single-pass shape."""
     aggs = []
     for c in df.columns:
         col = F.col(c)
@@ -33,20 +43,31 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
         # hll_sketch_agg accepts only int/bigint/string/binary — sketch
         # the STRING CAST so doubles/dates/decimals profile too (the
         # cast is injective for primitives, so cardinality is preserved)
-        n_distinct = (
-            F.hll_sketch_estimate(F.hll_sketch_agg(s))
-            if approx
-            else F.count_distinct(col)
-        )
+        if approx:
+            aggs.append(
+                F.hll_sketch_estimate(F.hll_sketch_agg(s))
+                .cast("bigint")
+                .alias(f"{c}__distinct")
+            )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            n_distinct.cast("bigint").alias(f"{c}__distinct"),
             F.min(s).alias(f"{c}__min"),
             F.max(s).alias(f"{c}__max"),
             F.round(F.avg(F.length(s)), 6).alias(f"{c}__avglen"),
         ]
     wide = df.agg(*aggs)
+    if not approx:
+        for c in df.columns:
+            wide = wide.crossJoin(
+                F.broadcast(
+                    df.select(c).agg(
+                        F.count_distinct(F.col(c))
+                        .cast("bigint")
+                        .alias(f"{c}__distinct")
+                    )
+                )
+            )
     stack_args = ", ".join(
         f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`, `{c}__avglen`"
         for c in df.columns
@@ -85,15 +106,16 @@ def _profile_oracle() -> str:
 
 @query("profile_orders_columns", oracle=_profile_oracle())
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan column profile of the orders table (5 columns).
+    """Column profile of the orders table (5 columns).
 
     Exact n_distinct is what makes this oracle-checkable, but it is
-    also the plan's one scale cost: five count_distincts in one agg go
-    through a Catalyst Expand (the scan is replicated per distinct
-    column and shuffled). At 100 TB call profile_table(approx=True)
+    also the plan's one scale cost: as of this round each exact
+    distinct runs as its own column-pruned aggregation instead of a
+    Catalyst Expand replicating the scan 6-fold through one shuffle
+    (see profile_table). At 100 TB call profile_table(approx=True)
     — or the registered profile_orders_columns_approx — whose HLL
     sketches keep the whole profile a single partial/final agg with no
-    Expand and no data shuffle (PERFORMANCE.md, round 5)."""
+    per-column distinct passes (PERFORMANCE.md, round 5)."""
     t = load_tables(spark, sf_dir)
     return profile_table(t["orders"].select(*_PROFILE_ORACLE_COLS))
 

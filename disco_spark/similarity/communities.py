@@ -21,9 +21,10 @@ arithmetic on exact neighbor-label counts, so Spark and DuckDB replay
 the same trajectory bit-for-bit, and the oracle is the same
 unrolled-CTE chain the k-core / unrolled-Lloyd queries use.
 
-Scale story: one round = one hash join (adjacency x labels) + one
-grouped count + one per-node top-1 window over that node's few
-candidate labels — O(rounds) keyed shuffles on the edge list, no
+Scale story: one round = one hash join (adjacency x labels; the
+adjacency co-partitioned on src once, reused every round) + one
+grouped deterministic mode() over that node's few
+candidate labels — O(rounds) keyed shuffles of the LABEL frame, no
 driver state, no fixpoint iteration (LPA_ROUNDS bounds the plan; the
 test suite asserts the label assignment has CONVERGED on this graph
 by the registered round count, so the answer is the true sync-LPA
@@ -35,7 +36,7 @@ cannot drift from what triangles/k-core measure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
@@ -84,7 +85,21 @@ def _lpa_cte_chain(rounds: int = LPA_ROUNDS) -> str:
 def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     """(node, label) after `rounds` synchronous self-vote LPA rounds
     over an undirected edge list (u, v) — the engine plan behind
-    graph_label_propagation, exposed for planted-community tests."""
+    graph_label_propagation, exposed for planted-community tests.
+
+    Physical shape per round (guide §2.4): ONE exchange of the
+    node-sized labels frame (the adjacency is co-partitioned on src
+    once, up front, and reused by every round's join) + ONE grouped
+    mode() aggregation by node. The previous shape re-shuffled the
+    adjacency every round and resolved the vote with a
+    groupBy(node, label) exchange PLUS a row_number window (a third
+    exchange + sort): mode(label, deterministic=true) — most frequent,
+    ties to the SMALLEST value — is the vote rule as one aggregate,
+    with map-side partial aggregation of the per-node label histogram.
+    Labels/round counts are bit-identical (exact integer votes, same
+    tie rule)."""
+    from disco_spark.session import default_parallelism
+
     sym = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -94,23 +109,18 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             nodes.select(
                 F.col("node").alias("src"), F.col("node").alias("dst")
             )
-        )
+        ).repartition(default_parallelism(edges.sparkSession), "src")
     )
-    labels = nodes.select("node", F.col("node").alias("label"))
-    top1 = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
+    # labels0 from the persisted adjacency's self-loop rows (every node
+    # has exactly one) — no second distinct over sym
+    labels = und.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("node"), F.col("src").alias("label")
     )
     for _ in range(rounds):
-        labels = lazy_persist(labels)
-        votes = (
-            und.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
         labels = (
-            votes.withColumn("rk", F.row_number().over(top1))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.mode("label", True).alias("label"))
         )
     return labels
 
@@ -132,8 +142,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous label-propagation rounds: one row per surviving label
     with its member count and node-id span, largest communities first.
 
-    The per-node top-1 window runs over that node's handful of
-    candidate labels (bounded by its degree), never over the whole
+    The per-node deterministic mode() aggregates that node's handful
+    of candidate labels (bounded by its degree), never the whole
     graph; everything else is keyed joins and grouped integer counts.
     Convergence at the registered round count is pytest-asserted, so
     this is the sync-LPA fixpoint of this graph, not a truncation."""

@@ -67,21 +67,63 @@ TRIS_CTE = """
     )"""
 
 
+def capped_order_sets(
+    lineitem: DataFrame, cap: int = MAX_ORDER_PARTS
+) -> DataFrame:
+    """(o, ps) with ps = the SORTED distinct part set of order o, hub
+    orders (> cap distinct parts) dropped — the ONE aggregation the
+    graph's base projection needs. One groupBy(o) exchange replaces the
+    previous distinct-(o,p) exchange PLUS count-over-o window exchange
+    + sort (guide §2.4: two shuffles keyed compatibly share one):
+    collect_set dedups parts per order AND yields the hub degree as
+    size(ps) in the same pass. The transient set for a hub order is
+    collected before the cap filter drops it, bounded by the order's
+    distinct-part count — basket-shaped by construction (the cap
+    contract documents hubs as rare), and ObjectHashAggregate falls
+    back to sort-based aggregation under pressure."""
+    return (
+        lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") <= cap)
+    )
+
+
 def capped_order_parts(
     lineitem: DataFrame, cap: int = MAX_ORDER_PARTS
 ) -> DataFrame:
     """Distinct (o, p) with hub orders (> cap distinct parts) dropped —
     the ONE definition of the graph's base projection (mirrors the
     oracle `capped` CTE); edges, strengths, and item frequencies all
-    derive from this."""
-    op = lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    deg = Window.partitionBy("o")
+    derive from this. Derived by exploding capped_order_sets (one
+    exchange; the previous distinct + window shape paid two)."""
+    return capped_order_sets(lineitem, cap).select(
+        "o", F.explode("ps").alias("p")
+    )
+
+
+def coorder_strengths_from_sets(
+    sets: DataFrame, min_strength: int = MIN_COORDERS
+) -> DataFrame:
+    """(u, v, strength) with u < v from a capped_order_sets frame: each
+    order's C(k,2) ordered pairs are generated IN-ROW from the sorted
+    part set (nested array transform over suffix slices — no self-join,
+    guide §3.3: the previous shape joined the exploded projection with
+    itself on o, re-shuffling both branches and recomputing the
+    upstream twice), then one groupBy(u, v) counts co-orders. k <= cap
+    bounds the per-row expansion exactly as it bounded the join."""
+    pair_structs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+    )
     return (
-        op.withColumn("d", F.count(F.lit(1)).over(deg))
-        .filter(F.col("d") <= cap)
-        .drop("d")
+        sets.select(F.explode(pair_structs).alias("e"))
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("strength"))
+        .filter(F.col("strength") >= min_strength)
     )
 
 
@@ -89,7 +131,10 @@ def coorder_strengths(
     capped: DataFrame, min_strength: int = MIN_COORDERS
 ) -> DataFrame:
     """(u, v, strength) with u < v: part pairs co-ordered >=
-    min_strength times in the capped projection."""
+    min_strength times in a capped (o, p) projection. Kept for callers
+    holding the exploded shape; the sets path
+    (coorder_strengths_from_sets) avoids the self-join when the caller
+    starts from lineitem."""
     a = capped.select("o", F.col("p").alias("u"))
     b = capped.select("o", F.col("p").alias("v"))
     return (
@@ -106,9 +151,14 @@ def coorder_edges(
     cap: int = MAX_ORDER_PARTS,
     min_strength: int = MIN_COORDERS,
 ) -> DataFrame:
-    """(u, v) with u < v: part pairs co-ordered >= min_strength times."""
-    return coorder_strengths(
-        capped_order_parts(lineitem, cap), min_strength
+    """(u, v) with u < v: part pairs co-ordered >= min_strength times.
+
+    Physical shape (guide §2.4): lineitem scan → ONE groupBy(o)
+    exchange (set-collect) → in-row pair generation → ONE groupBy(u, v)
+    exchange. The previous shape (distinct + hub window + self-join on
+    o) paid ~5 exchanges and computed the capped projection twice."""
+    return coorder_strengths_from_sets(
+        capped_order_sets(lineitem, cap), min_strength
     ).select("u", "v")
 
 
@@ -241,10 +291,17 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disco_spark.session import lazy_persist
 
     li = load_tables(spark, sf_dir)["lineitem"]
-    capped = lazy_persist(capped_order_parts(li))
-    kept = coorder_strengths(capped)
+    # one persisted set-collect serves pair generation, item counts and
+    # the order total: the previous shape persisted the exploded (o, p)
+    # projection and self-joined it on o (guide §2.4/§3.3 — the
+    # coorder_edges rewrite, shared here)
+    sets = lazy_persist(capped_order_sets(li))
+    kept = coorder_strengths_from_sets(sets)
+    capped = sets.select("o", F.explode("ps").alias("p"))
     icnt = capped.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    n = F.broadcast(capped.agg(F.countDistinct("o").alias("n_orders")))
+    # sets holds one row per surviving order, so COUNT(*) == the
+    # previous countDistinct(o) — same value, no distinct aggregation
+    n = F.broadcast(sets.agg(F.count(F.lit(1)).alias("n_orders")))
     cu = icnt.select(F.col("p").alias("u"), F.col("c").alias("cu"))
     cv = icnt.select(F.col("p").alias("v"), F.col("c").alias("cv"))
     return (

@@ -86,7 +86,10 @@ def test_approx_profile_plan_no_expand(spark):
     )
     assert "Expand" not in plan
     assert plan.count("Exchange") <= 1
+    # the exact profile lost its Expand in the r14 optimization round:
+    # per-column count_distinct aggregations (column-pruned scans,
+    # broadcast-crossed 1-row results) replaced the 6x Expand shuffle
     exact_plan = (
         profile_table(base)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Expand" in exact_plan  # the contrast the docstring documents
+    assert "Expand" not in exact_plan

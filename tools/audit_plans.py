@@ -35,20 +35,19 @@ def formatted_plan(df) -> str:
 
 
 def summarize(plan: str) -> str:
-    c = lambda pat: len(re.findall(pat, plan))
-    bits = [
-        f"exch={c(r'Exchange')}",
-        f"smj={c(r'SortMergeJoin')}",
-        f"bhj={c(r'BroadcastHashJoin')}",
-        f"shj={c(r'ShuffledHashJoin')}",
-        f"bnl={c(r'BroadcastNestedLoopJoin')}",
-        f"cart={c(r'CartesianProduct')}",
-        f"sort={c(r'\bSort\b')}",
-        f"win={c(r'Window')}",
-        f"pyeval={c(r'BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas')}",
-        f"expand={c(r'Expand')}",
+    pats = [
+        ("exch", r"Exchange"),
+        ("smj", r"SortMergeJoin"),
+        ("bhj", r"BroadcastHashJoin"),
+        ("shj", r"ShuffledHashJoin"),
+        ("bnl", r"BroadcastNestedLoopJoin"),
+        ("cart", r"CartesianProduct"),
+        ("sort", r"\bSort\b"),
+        ("win", r"Window"),
+        ("pyeval", r"BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas"),
+        ("expand", r"Expand"),
     ]
-    return " ".join(bits)
+    return " ".join(f"{k}={len(re.findall(p, plan))}" for k, p in pats)
 
 
 def main() -> None:
