@@ -24,8 +24,10 @@ import sys
 import time
 import urllib.request
 
-from disco_spark import registry
-from disco_spark.session import get_spark, load_tables
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from disco_spark import registry  # noqa: E402
+from disco_spark.session import get_spark, load_tables  # noqa: E402
 
 
 def _api(spark, path: str):
