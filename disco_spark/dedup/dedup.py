@@ -135,6 +135,51 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_from_toks(
+    docs: DataFrame, k: int = SHINGLE_K, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MAP-ONLY minhash signatures: identical output to
+    ``minhash_signatures(shingle_df(docs))`` with ZERO shuffles.
+
+    min(md5(salt || shingle)) over a doc's shingle SET equals the min
+    over its shingle array (min over a multiset ignores repeats), so
+    each mh_i is computable in-row with array_min over the shingle
+    array — no explode, no per-doc distinct, no groupBy. That removes
+    the two widest exchanges of the LSH chain (the exploded shingle
+    rows are ~|toks| x ~30 bytes per doc; the signature is 6 fixed
+    hashes), which is exactly guide §2.3/§2.4 at 100 TB: signatures
+    become a property of the scan, and only 6 hashes per doc ever
+    reach an exchange.
+
+    The shingle array is projected ONCE as its own column before the
+    n_hashes array_min passes — Catalyst does no CSE inside
+    higher-order functions, and collapsing the projection would
+    rebuild the array per hash (same hazard shingle_df documents).
+    Same doc set as the shingle path: docs with fewer than k tokens
+    have no shingles and no signature."""
+    toks = F.col("toks")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
+    return base.filter(F.size(toks) >= k).select(
+        "doc_id", shingles.alias("_sh")
+    ).select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"s{i} "), s))
+                )
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+
 # Hot-bucket cap: at most BAND_CAP signature-group REPRESENTATIVES
 # survive per (band_idx, band_key) bucket (smallest doc_ids win —
 # deterministic in any engine), so one boilerplate band of B members
@@ -231,7 +276,7 @@ MINHASH_PAIRS_SQL = f"""{_SHINGLES_SQL},{_bands_sql()},
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures -> banded LSH -> candidate duplicate pairs."""
     t = load_tables(spark, sf_dir)
-    return band_candidates(minhash_signatures(shingle_df(with_toks(t["documents"]))))
+    return band_candidates(minhash_from_toks(with_toks(t["documents"])))
 
 
 def band_keys_df(sig: DataFrame) -> DataFrame:
@@ -478,9 +523,7 @@ def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pathological max_bucket is the boilerplate band this operator
     exists to survive (the quadratic pair blowup the cap prevented)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    grouped = signature_groups(
-        minhash_signatures(shingle_df(with_toks(docs)))
-    )
+    grouped = signature_groups(minhash_from_toks(with_toks(docs)))
     reps = grouped.filter(F.col("doc_id") == F.col("rep")).drop("rep")
     bucket = (
         band_keys_df(reps)
@@ -671,7 +714,13 @@ def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Composable core of dedup_lsh_jaccard: candidates from minhash
     bands, exact Jaccard verify only on candidates. One persisted
-    shingle scan feeds signatures, sizes, and the verify join."""
+    shingle scan feeds signatures, sizes, and the verify join — when
+    sh is persisted anyway, aggregating signatures from the cache
+    (partial agg ships ~1 row per doc per partition) beats the
+    map-only minhash_from_toks rewrite, which re-tokenizes and
+    re-hashes in a second scan (measured +1.7 s on dedup_lsh_jaccard
+    at sf0.1; minhash_from_toks wins only when no shingle frame
+    exists)."""
     sh = lazy_persist(shingle_df(docs))
     cands = band_candidates(minhash_signatures(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1775,7 +1824,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     pairs = spread_verify_pairs(
-        capped_band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
+        capped_band_candidates(minhash_from_toks(with_toks(docs)))
     )
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1887,7 +1936,7 @@ def dedup_edit_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     grouped = lazy_persist(
-        signature_groups(minhash_signatures(shingle_df(with_toks(docs))))
+        signature_groups(minhash_from_toks(with_toks(docs)))
     )
     star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
         F.col("rep").alias("doc_a"),

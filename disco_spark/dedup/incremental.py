@@ -32,9 +32,8 @@ from disco_spark.dedup.dedup import (
     SHINGLE_K,
     _SHINGLES_SQL,
     _bands_sql,
-    minhash_signatures,
+    minhash_from_toks,
     rep_band_keys,
-    shingle_df,
     signature_groups,
 )
 from disco_spark.registry import query
@@ -80,7 +79,7 @@ def signature_store_save(docs: DataFrame, path: str, subset: str = "all") -> Non
     built before any batch exists, so the chain cannot depend on what
     arrives later (the oracle replays exactly this per-side cap)."""
     grouped = signature_groups(
-        minhash_signatures(shingle_df(with_toks(docs)))
+        minhash_from_toks(with_toks(docs))
     ).persist()
     grouped.select("doc_id", "rep").write.mode("overwrite").parquet(
         os.path.join(path, "groups")
@@ -127,7 +126,7 @@ def dedup_against_store(
         F.col("doc_id").alias("corpus_doc"), F.col("rep").alias("c_rep")
     )
     in_grouped = lazy_persist(
-        signature_groups(minhash_signatures(shingle_df(with_toks(incoming))))
+        signature_groups(minhash_from_toks(with_toks(incoming)))
     )
     in_bands = rep_band_keys(in_grouped).select(
         F.col("doc_id").alias("i_rep"), "band_idx", "band_key"

@@ -304,14 +304,13 @@ def split_leakage_audit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     split_cluster_aware (whole clusters move to one split)."""
     from disco_spark.dedup.dedup import (
         band_candidates,
-        minhash_signatures,
-        shingle_df,
+        minhash_from_toks,
     )
     from disco_spark.textops.analysis import with_toks
 
     t = load_tables(spark, sf_dir)
     pairs = band_candidates(
-        minhash_signatures(shingle_df(with_toks(t["documents"])))
+        minhash_from_toks(with_toks(t["documents"]))
     )
     out = pairs.select(
         "doc_a",
@@ -363,14 +362,13 @@ def split_cluster_aware(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from disco_spark.dedup.cc import connected_components
     from disco_spark.dedup.dedup import (
         band_candidates,
-        minhash_signatures,
-        shingle_df,
+        minhash_from_toks,
     )
     from disco_spark.textops.analysis import with_toks
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    pairs = band_candidates(minhash_signatures(shingle_df(with_toks(docs))))
+    pairs = band_candidates(minhash_from_toks(with_toks(docs)))
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
