@@ -180,6 +180,60 @@ def minhash_from_toks(
     )
 
 
+def shingle_sets(
+    docs: DataFrame, k: int = SHINGLE_K, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MAP-ONLY per-doc shingle-set frame: (doc_id, sh_set, n,
+    mh0..mhN) where sh_set is the doc's DISTINCT shingle array,
+    n = |sh_set| and mh_i the minhash signature — every column computed
+    IN-ROW from the doc's own text, zero Exchanges.
+
+    This is the set-valued sibling of minhash_from_toks for callers
+    that also need the exact-verify data: per-doc distinct is
+    array_distinct (a row-local op — shingle_df's global `.distinct()`
+    shuffle only re-derives a per-doc property), sizes are array_size,
+    and a candidate pair's intersection count is
+    size(array_intersect(a, b)) — so the whole
+    sizes + common-shingle verify join of the LSH chain (two
+    (doc_id, shingle)-wide exchanges + a per-pair re-aggregation)
+    collapses into two doc_id-keyed joins against this frame. Exactly
+    guide §2.3 at 100 TB: only |docs| array rows ever reach an
+    exchange, never the exploded |shingles| rows, and the widest
+    shuffle of the chain (the per-doc distinct) disappears.
+
+    The distinct array is projected ONCE before the size/array_min
+    passes (no CSE inside higher-order functions — shingle_df's
+    measured hazard); minhash over the distinct set equals minhash
+    over the multiset (min ignores repeats), and the doc set matches
+    shingle_df's (< k tokens ⇒ no shingles ⇒ no row)."""
+    toks = F.col("toks")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
+    return (
+        base.filter(F.size(toks) >= k)
+        .select("doc_id", F.array_distinct(shingles).alias("sh_set"))
+        .select(
+            "doc_id",
+            "sh_set",
+            F.size("sh_set").alias("n"),
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("sh_set"),
+                        lambda s: F.md5(F.concat(F.lit(f"s{i} "), s)),
+                    )
+                ).alias(f"mh{i}")
+                for i in range(n_hashes)
+            ],
+        )
+    )
+
+
 # Hot-bucket cap: at most BAND_CAP signature-group REPRESENTATIVES
 # survive per (band_idx, band_key) bucket (smallest doc_ids win —
 # deterministic in any engine), so one boilerplate band of B members
@@ -713,28 +767,46 @@ def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Composable core of dedup_lsh_jaccard: candidates from minhash
-    bands, exact Jaccard verify only on candidates. One persisted
-    shingle scan feeds signatures, sizes, and the verify join — when
-    sh is persisted anyway, aggregating signatures from the cache
-    (partial agg ships ~1 row per doc per partition) beats the
-    map-only minhash_from_toks rewrite, which re-tokenizes and
-    re-hashes in a second scan (measured +1.7 s on dedup_lsh_jaccard
-    at sf0.1; minhash_from_toks wins only when no shingle frame
-    exists)."""
-    sh = lazy_persist(shingle_df(docs))
-    cands = band_candidates(minhash_signatures(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # verify join STARTS from the candidate list (tiny), expands to doc_a's
-    # shingles, then equi-joins (doc_b, shingle) — the intersection count
-    common = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    bands, exact Jaccard verify only on candidates. ONE persisted
+    map-only shingle_sets frame (per-doc distinct array + size +
+    signature, all in-row) serves everything: signatures project off
+    it, and the verify is two doc_id-keyed joins with the intersection
+    counted in-row by array_intersect — no exploded shingle frame, no
+    per-doc-distinct shuffle, no (doc_id, shingle)-wide verify
+    exchanges, no per-pair re-aggregation, no separate sizes joins.
+    A zero-overlap candidate pair survives to the filter with
+    jaccard = 0 (< JACCARD_MIN) — same output as the old inner
+    shingle-equijoin, which dropped it before the filter."""
+    st = lazy_persist(shingle_sets(docs))
+    cands = band_candidates(
+        st.select("doc_id", *[f"mh{i}" for i in range(N_HASHES)])
     )
-    return _jaccard_select(common, sizes)
+    a = st.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n").alias("na"),
+    )
+    b = st.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("c"),
+            "na",
+            "nb",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1100,8 +1172,12 @@ def dedup_band_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
-    sh = lazy_persist(shingle_df(with_toks(t["documents"])))
-    grouped = lazy_persist(signature_groups(minhash_signatures(sh)))
+    st = lazy_persist(shingle_sets(with_toks(t["documents"])))
+    grouped = lazy_persist(
+        signature_groups(
+            st.select("doc_id", *[f"mh{i}" for i in range(N_HASHES)])
+        )
+    )
     star = grouped.filter(F.col("doc_id") != F.col("rep")).select(
         F.col("rep").alias("doc_a"),
         F.col("doc_id").alias("doc_b"),
@@ -1133,29 +1209,36 @@ def dedup_band_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.greatest("rn_a", "rn_b")).alias("min_cap"))
     )
     cands = lazy_persist(rep_pairs.unionByName(star))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cands.select("doc_a", "doc_b")
-        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # verify in-row off the persisted map-only sets frame: two
+    # doc_id-keyed joins + array_intersect replace the old exploded
+    # common join, sizes joins and per-pair re-aggregation. A
+    # zero-overlap pair scores jac = 0 here where the old left join
+    # yielded c = NULL — both fall to ok = 0 (NULL >= t is NULL).
     jac = F.round(
         F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6
     )
     scored = (
-        cands.join(common, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        cands.join(
+            st.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh_set").alias("set_a"),
+                F.col("n").alias("na"),
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            st.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh_set").alias("set_b"),
+                F.col("n").alias("nb"),
+            ),
             "doc_b",
+        )
+        .select(
+            "min_cap",
+            F.size(F.array_intersect("set_a", "set_b")).alias("c"),
+            "na",
+            "nb",
         )
         .select(
             "min_cap",
@@ -2250,51 +2333,54 @@ def dedup_minhash_estimate_audit(
     registered evidence of exactly HOW coarse, and the template a
     larger deployment reruns after raising N_HASHES.
 
-    Plan: one persisted shingle scan feeds signatures, sizes, and the
-    exact-verify join; candidates stay band-bucketed (never all
-    pairs); the estimate is a signature self-equijoin on the bounded
-    candidate list. All hashing is md5 (engine-identical), all counts
-    integers, two rounded double divisions per pair."""
+    Plan: one persisted MAP-ONLY shingle_sets frame (per-doc distinct
+    array + size + signature, all in-row) serves estimate AND exact
+    sides: candidates stay band-bucketed (never all pairs); the
+    signature agreement count and the exact intersection
+    (array_intersect) are both computed in-row on the SAME two
+    doc_id-keyed joins, so the old five joins + per-pair
+    re-aggregation collapse to two exchanges. The cnt > 0 filter
+    reproduces the old inner shingle-equijoin, which dropped
+    zero-overlap candidate pairs. All hashing is md5
+    (engine-identical), all counts integers, two rounded double
+    divisions per pair."""
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = lazy_persist(shingle_df(docs))
-    sig = lazy_persist(minhash_signatures(sh))
-    cands = band_candidates(sig)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    st = lazy_persist(shingle_sets(docs))
+    cands = band_candidates(
+        st.select("doc_id", *[f"mh{i}" for i in range(N_HASHES)])
     )
-    sa = sig.select(
-        F.col("doc_id").alias("_sa"),
+    a = st.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n").alias("na"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
     )
-    sb = sig.select(
-        F.col("doc_id").alias("_sb"),
+    b = st.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n").alias("nb"),
         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
     )
     n_match = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
         for i in range(N_HASHES)
     )
-    est = (
-        cands.join(sa, F.col("_sa") == F.col("doc_a"))
-        .join(sb, F.col("_sb") == F.col("doc_b"))
-        .select("doc_a", "doc_b", n_match.alias("n_match"))
-    )
-    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n").alias("nb"))
     est_j = F.col("n_match").cast("double") / N_HASHES
     exact_j = F.col("cnt").cast("double") / (
         F.col("na") + F.col("nb") - F.col("cnt")
     )
     return (
-        est.join(common, ["doc_a", "doc_b"])
-        .join(za, F.col("_za") == F.col("doc_a"))
-        .join(zb, F.col("_zb") == F.col("doc_b"))
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            F.size(F.array_intersect("set_a", "set_b")).alias("cnt"),
+            "na",
+            "nb",
+        )
+        .filter(F.col("cnt") > 0)
         .select(
             "doc_a",
             "doc_b",
@@ -2375,24 +2461,38 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     production threshold — counts drop as the bar rises.
 
     Plan: candidate scoring once (persisted), a tiny broadcast
-    thresholds join fan-out, two bounded grouped counts."""
+    thresholds join fan-out, two bounded grouped counts. The scoring
+    pass rides ONE persisted map-only shingle_sets frame (per-doc
+    distinct array + size + signature in-row): two doc_id-keyed joins
+    with array_intersect replace the old exploded verify exchanges,
+    sizes joins and per-pair re-aggregation; cnt > 0 reproduces the
+    old inner shingle-equijoin's drop of zero-overlap pairs."""
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = lazy_persist(shingle_df(docs))
-    cands = band_candidates(minhash_signatures(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    st = lazy_persist(shingle_sets(docs))
+    cands = band_candidates(
+        st.select("doc_id", *[f"mh{i}" for i in range(N_HASHES)])
     )
-    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n").alias("nb"))
+    a = st.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n").alias("na"),
+    )
+    b = st.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
     scored = (
-        common.join(za, F.col("_za") == F.col("doc_a"))
-        .join(zb, F.col("_zb") == F.col("doc_b"))
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("cnt"),
+            "na",
+            "nb",
+        )
+        .filter(F.col("cnt") > 0)
         .select(
             "doc_a",
             "doc_b",
