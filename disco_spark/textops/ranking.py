@@ -428,31 +428,36 @@ def text_burrows_delta_sources(
     DECIMAL-rounded terms (order-independent); output is bounded by
     |sources|^2, not data volume.
 
-    Plan: one tokenized scan persisted feeds the top-word bound, the
-    per-source totals, and the counts; the densified grid is
-    |sources| x K cells (cross join of two broadcast-bounded sides);
-    the pair join runs on the word key over that bounded grid."""
+    Plan: ONE pass over the exploded tokens pre-aggregates to
+    (source, w, c) — vocab-x-sources-bounded (Heaps law), not
+    token-volume-bounded — and that compact persisted frame feeds the
+    top-word bound (sum per w), the per-source totals (sum per
+    source), and the top-word counts (broadcast-semi filter, no
+    re-aggregation). The exploded token rows never reach an exchange
+    (partial agg combines per partition) and never sit in cache. The
+    densified grid is |sources| x K cells (cross join of two
+    broadcast-bounded sides); the pair join runs on the word key over
+    that bounded grid."""
     from disco_spark.session import lazy_persist, load_tables
 
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = lazy_persist(
-        with_toks(docs).select("source", F.explode("toks").alias("w"))
+    counts = lazy_persist(
+        with_toks(docs)
+        .select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     top = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
+        counts.groupBy("w")
+        .agg(F.sum("c").alias("n"))
         .orderBy(F.desc("n"), "w")
         .limit(DELTA_TOP_WORDS)
         .select("w")
     )
-    st = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ts")
+    st = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("ts")
     )
-    c = (
-        toks.join(F.broadcast(top), "w")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    c = counts.join(F.broadcast(top), "w").select("source", "w", "c")
     grid = (
         st.crossJoin(F.broadcast(top))
         .join(c, ["source", "w"], "left")
