@@ -100,9 +100,16 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     tie rule)."""
     from disco_spark.session import default_parallelism
 
-    sym = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    from disco_spark.similarity.triangles import _both_orientations
+
+    # both orientations emitted in-row instead of a two-arm unionAll:
+    # the union arms each embedded (and really executed) the edge-
+    # builder subtree. Measured A/B at sf0.1: warm median 3.78 ->
+    # 3.31 s, cold rep 16.3 -> 4.4 s; persisting `edges` on top was
+    # WORSE (3.79 warm / 6.9 cold) — both remaining subtree references
+    # land inside one persisted-und materialization, where per-
+    # partition cache locking already dedups the work.
+    sym = _both_orientations(edges)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     und = lazy_persist(
         sym.unionAll(
