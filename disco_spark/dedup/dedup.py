@@ -871,9 +871,21 @@ def prefix_jaccard_pairs(
     via AllPairs prefix filtering + the PPJoin positional filter.
     Callers that also consume the shingle projection (the recall-curve
     audit joins it against the LSH chain) pass their persisted frame
-    via ``sh`` so the tokenize scan happens once.
+    via ``sh`` so the tokenize scan happens once; they keep the
+    exploded-frame plan below. Standalone callers (sh=None) ride ONE
+    persisted MAP-ONLY shingle-set frame instead (per-doc distinct
+    array + size, computed in-row — shingle_sets with no minhash
+    columns): df counts come from an explode that feeds PARTIAL
+    aggregation directly (vocab-bounded partials cross, never the
+    exploded rows), per-doc sizes are array_size (no window count),
+    and the verify is two doc_id-keyed joins with the intersection
+    counted in-row by array_intersect — no global per-doc-distinct
+    shuffle, no exploded verify exchanges, no per-pair re-aggregation.
+    (Measured at sf0.1: the old persisted exploded frame was rebuilt
+    by every broadcast-subquery future that referenced it — three
+    ~10-core-second scan+explode+distinct subtrees per run.)
 
-    Plan: one persisted shingle scan feeds (1) global shingle df
+    Plan (either path): the shingle frame feeds (1) global shingle df
     counts, (2) a per-doc window ranking shingles by ascending
     (df, shingle) that keeps each doc's prefix WITH its rank, (3) the
     verify join. Three lossless prunes stack before verification:
@@ -902,23 +914,45 @@ def prefix_jaccard_pairs(
     from pyspark.sql.window import Window
 
     t_eff = t - 1e-4
-    if sh is None:
-        sh = lazy_persist(shingle_df(docs))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    st = None
     wd = Window.partitionBy("doc_id")
-    prefix = (
-        sh.join(dfc, "shingle")
-        .withColumn(
-            "rn", F.row_number().over(wd.orderBy("df", "shingle"))
+    if sh is None:
+        # map-only set frame: same (doc_id, shingle) universe as
+        # shingle_df (distinct per doc; < k tokens => no row), with the
+        # per-doc size attached in-row instead of a window count
+        st = lazy_persist(shingle_sets(docs, n_hashes=0))
+        dfc = (
+            st.select(F.explode("sh_set").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
         )
-        .withColumn("n", F.count(F.lit(1)).over(wd))
-        .filter(
-            F.col("rn")
-            <= F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+        prefix = (
+            st.select("doc_id", "n", F.explode("sh_set").alias("shingle"))
+            .join(dfc, "shingle")
+            .withColumn(
+                "rn", F.row_number().over(wd.orderBy("df", "shingle"))
+            )
+            .filter(
+                F.col("rn")
+                <= F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+            )
+            .select("doc_id", "shingle", "n", "rn")
         )
-        .select("doc_id", "shingle", "n", "rn")
-    )
+    else:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        prefix = (
+            sh.join(dfc, "shingle")
+            .withColumn(
+                "rn", F.row_number().over(wd.orderBy("df", "shingle"))
+            )
+            .withColumn("n", F.count(F.lit(1)).over(wd))
+            .filter(
+                F.col("rn")
+                <= F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+            )
+            .select("doc_id", "shingle", "n", "rn")
+        )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "shingle",
@@ -963,6 +997,37 @@ def prefix_jaccard_pairs(
     # candidate shuffle feeds a wide groupBy anyway (53.7s vs 57.8s at
     # the 10x artifact, 2.7x WORSE at sf0.1 where the extra shuffle
     # dominates).
+    if st is not None:
+        # in-row verify: every candidate shares >= 1 prefix shingle, so
+        # c >= 1 always — identical output to the inner shingle-equijoin
+        a_st = st.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh_set").alias("set_a"),
+            F.col("n").alias("na2"),
+        )
+        b_st = st.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh_set").alias("set_b"),
+            F.col("n").alias("nb2"),
+        )
+        jac = F.round(
+            F.col("c").cast("double")
+            / (F.col("na2") + F.col("nb2") - F.col("c")),
+            6,
+        )
+        return (
+            cands.join(a_st, "doc_a")
+            .join(b_st, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("set_a", "set_b")).alias("c"),
+                "na2",
+                "nb2",
+            )
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= t)
+        )
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
