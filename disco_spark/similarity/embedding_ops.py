@@ -491,49 +491,63 @@ def embedding_quantization_error(
     per-cell terms fold as DECIMALs, per-vector stats round before
     the label fold.
 
-    Plan: one exploded pass computes absmax per vector (array fold,
-    no shuffle) then cell-level terms; two grouped aggregates
-    (vector, label). Bounded output |labels| rows."""
+    Plan: the per-vector sums fold IN-ROW over the embedding array
+    (the grouped cells were always the row's own exploded elements, so
+    the explode + (vec_id, label) exchange bought nothing — decimal
+    addition is exact, so the fold's left-to-right order reproduces
+    SUM bit-for-bit); one grouped aggregate folds vectors to |labels|
+    rows. Zero shuffles before the label fold at any scale."""
     t = load_tables(spark, sf_dir)
     vec = F.col("embedding")
     absmax = F.aggregate(
         vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
-    s = t["embeddings"].select(
+    # empty/NULL vectors produced no exploded cells and therefore no
+    # per-vector row — replicate that doc set exactly
+    s = t["embeddings"].filter(F.size(vec) > 0).select(
         "vec_id",
         "label",
-        F.posexplode("embedding").alias("pos", "valf"),
+        vec.alias("v"),
         F.when(absmax == 0.0, F.lit(0.0))
         .otherwise(F.lit(127.0) / absmax)
         .alias("sc"),
     )
-    cells = s.select(
+
+    def _val(x):
+        return x.cast("double")
+
+    def _xh(x):
+        return F.when(F.col("sc") == 0.0, F.lit(0.0)).otherwise(
+            F.round(_val(x) * F.col("sc")).cast("double") / F.col("sc")
+        )
+
+    _zero = F.lit(0).cast("decimal(38,15)")
+
+    def _fold(term):
+        # decimal addition promotes (38,15)+(38,15) -> (38,14); cast the
+        # running sum back so the accumulator type is stable. The cast
+        # is exact at these magnitudes (|terms| <= dim * max_cell², far
+        # below 10^23), so the fold equals SUM's scale-15 accumulation.
+        return F.aggregate(
+            F.col("v"),
+            _zero,
+            lambda acc, x: (acc + term(x).cast("decimal(38,15)")).cast(
+                "decimal(38,15)"
+            ),
+        )
+
+    pv = s.select(
         "vec_id",
         "label",
-        F.col("valf").cast("double").alias("val"),
-        "sc",
-    )
-    xh = F.when(F.col("sc") == 0.0, F.lit(0.0)).otherwise(
-        F.round(F.col("val") * F.col("sc")).cast("double") / F.col("sc")
-    )
-    hat = cells.select("vec_id", "label", "val", xh.alias("xh"))
-    pv = hat.groupBy("vec_id", "label").agg(
         (
-            F.sum(
-                ((F.col("val") - F.col("xh")) * (F.col("val") - F.col("xh")))
-                .cast("decimal(38,15)")
-            ).cast("double")
-            / F.count(F.lit(1))
+            _fold(lambda x: (_val(x) - _xh(x)) * (_val(x) - _xh(x))).cast(
+                "double"
+            )
+            / F.size("v")
         ).alias("mse"),
-        F.sum((F.col("val") * F.col("xh")).cast("decimal(38,15)"))
-        .cast("double")
-        .alias("dxy"),
-        F.sum((F.col("val") * F.col("val")).cast("decimal(38,15)"))
-        .cast("double")
-        .alias("dxx"),
-        F.sum((F.col("xh") * F.col("xh")).cast("decimal(38,15)"))
-        .cast("double")
-        .alias("dyy"),
+        _fold(lambda x: _val(x) * _xh(x)).cast("double").alias("dxy"),
+        _fold(lambda x: _val(x) * _val(x)).cast("double").alias("dxx"),
+        _fold(lambda x: _xh(x) * _xh(x)).cast("double").alias("dyy"),
     )
     cosr = F.when(
         (F.col("dxx") > 0) & (F.col("dyy") > 0),
