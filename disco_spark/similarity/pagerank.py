@@ -171,12 +171,24 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-volume cut scales with |edges|. Rank VALUES are unchanged:
     the arithmetic depends only on graph structure, not id encoding."""
     t = load_tables(spark, sf_dir)
-    fwd = t["lineitem"].select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    # both orientations emitted IN-ROW (explode of a 2-struct array):
+    # the old fwd.unionAll(back) embedded — and really executed — the
+    # lineitem scan in both arms (one 64-task scan stage at sf0.1);
+    # one arm per row halves the work feeding the dedup exchange
+    # (guide §2.4, the _both_orientations pattern from the co-order
+    # kernels)
+    s_node = F.col("l_suppkey") * 2
+    p_node = F.col("l_partkey") * 2 + 1
+    both = F.array(
+        F.struct(s_node.alias("src"), p_node.alias("dst")),
+        F.struct(p_node.alias("src"), s_node.alias("dst")),
     )
-    back = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ranks = pagerank(fwd.unionAll(back), iters=3)
+    edges = (
+        t["lineitem"]
+        .select(F.explode(both).alias("_e"))
+        .select("_e.src", "_e.dst")
+    )
+    ranks = pagerank(edges, iters=3)
     return ranks.select(
         F.when(
             F.col("node") % 2 == 0,
