@@ -101,10 +101,18 @@ def shingle_df(
         ),
     )
     base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
-    out = base.filter(F.size(toks) >= k).select(
+    if distinct:
+        # per-doc dedup is a ROW-LOCAL property: array_distinct before
+        # the explode yields exactly the rows the old global
+        # `.distinct()` produced — (doc_id, shingle) is unique per doc
+        # either way — without shuffling the exploded frame (guide
+        # §2.4; the widest exchange of every posting-join consumer)
+        return base.filter(F.size(toks) >= k).select(
+            "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        )
+    return base.filter(F.size(toks) >= k).select(
         "doc_id", F.explode(shingles).alias("shingle")
     )
-    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = """
