@@ -296,6 +296,44 @@ HEADLINE = [
 ]
 
 
+# Wall classification (r14 verdict item #7): headline rows whose wall is
+# the PROVEN SEMANTICS or a measured local floor — adjudicated in
+# OPTIMIZATION_r14.md "Deliberately left alone" / "Not yet optimized" and
+# re-checked in OPTIMIZATION_r15.md — versus plain optimization targets.
+# Emitted per run so readers of the artifact (and future optimization
+# rounds) stop re-litigating the same walls. Every headline query not in
+# this map is class "optimizable".
+# - streaming_*: the wall IS the proof — two real streaming runs plus a
+#   state-store restore (stateful_recovery), 3 real micro-batches of
+#   delta layout (index_add), a real checkpoint restart
+#   (checkpoint_recovery). Shaving them means proving less.
+# - decimal-moment family: the DECIMAL-accumulated sums are the
+#   cross-engine bit-exactness contract (PERFORMANCE.md "decimal tax",
+#   r7). The plan AROUND the accumulator is fair game (r15: scan
+#   fan-out), the accumulator is not.
+# - LSH cluster-map family: each consumer recomputes the pair plan + CC
+#   per query BY DESIGN (no cross-query memoization — the bench contract
+#   forbids it); within one query the chain measured at its local floor
+#   (r14: shuffle-hash hints and eager persists both measured WORSE).
+CONTRACT_WALLS = {
+    "streaming_stateful_recovery": "contract-wall:streaming-semantics",
+    "streaming_index_add": "contract-wall:streaming-semantics",
+    "streaming_checkpoint_recovery": "contract-wall:streaming-semantics",
+    "stats_corr_matrix": "contract-wall:decimal-exactness",
+    "regr_price_vs_qty": "contract-wall:decimal-exactness",
+    "regr_qty_vs_discount_by_brand": "contract-wall:decimal-exactness",
+    "dedup_cluster_canonical": "contract-wall:cluster-map-floor",
+    "dedup_rate_by_source": "contract-wall:cluster-map-floor",
+    "dedup_keep_best_quality": "contract-wall:cluster-map-floor",
+    "dedup_cluster_size_histogram": "contract-wall:cluster-map-floor",
+    "corpus_curation_pipeline": "contract-wall:cluster-map-floor",
+}
+
+
+def query_class(name: str) -> str:
+    return CONTRACT_WALLS.get(name, "optimizable")
+
+
 def summarize_reps(
     rep_times: dict[str, list[float]],
 ) -> tuple[dict[str, float], dict[str, float]]:
@@ -559,6 +597,16 @@ def main() -> None:
         "reps": n_reps,
         "pass_totals_sec": pass_totals,
     }
+    # Effective parallelism of THIS run (r14 verdict item #2): the driver's
+    # scaling probe flagged suspect_cpus_ignored on a harness that honors
+    # $SPARK_GRAFT_CPUS, because at sf0.1 the bench is fixed-overhead-bound
+    # (8 cores ≈ 32 cores) and nothing in the JSON line proved which master
+    # ran. Record it in the artifact instead of leaving it to inference.
+    try:
+        payload["cpus_effective"] = spark.sparkContext.defaultParallelism
+        payload["master"] = spark.sparkContext.master
+    except Exception:  # Spark Connect: no sparkContext; omit rather than guess
+        pass
     if edit_cap_recall:
         # recall_vs_max per swept cap on THIS dataset; the production
         # EDIT_CAND_CAP row is the price actually paid by this run
@@ -589,6 +637,9 @@ def main() -> None:
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:12])
     compact = dict(payload)
     compact["queries"] = slowest
+    # headline rows carry their wall class (contract-wall vs optimizable)
+    # so the top-12 reads as an adjudicated list, not a to-do list
+    compact["classes"] = {n: query_class(n) for n in slowest}
     compact["n_queries"] = len(times)
     compact["queries_detail_file"] = detail_path
     # the raw per-rep matrix (231 x reps floats) lives in the detail

@@ -35,7 +35,16 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     single-COLUMN aggregation (column-pruned scan, shuffle = that
     column's distinct values after map-side dedup); the k+1 one-row
     results recombine by broadcast cross join. Approx mode (HLL) never
-    had the Expand and keeps its single-pass shape."""
+    had the Expand and keeps its single-pass shape.
+
+    Wide-table tradeoff: exact mode now pays k+1 scans (one full, k
+    column-pruned) plus k one-row broadcast joins instead of Expand's
+    single k+1-fold-replicated shuffle. Measured a win on the 5-column
+    orders table (columnar source: each extra scan reads ONE column);
+    on very wide tables or non-columnar/row-oriented sources, the
+    repeated scans can dominate — there, or whenever exactness is not
+    the contract, use approx=True (single pass, no distinct shuffles
+    at all)."""
     aggs = []
     for c in df.columns:
         col = F.col(c)

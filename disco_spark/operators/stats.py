@@ -97,9 +97,23 @@ def regr_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, six decimal-exact sums per group; slope/intercept/r2 are
     derived scalar arithmetic (the textbook normal-equation forms), so
     the whole statistic is shuffle-order-independent. Parity target:
-    DuckDB/Postgres REGR_SLOPE / REGR_INTERCEPT / REGR_R2."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    return regr_by_group(li, "l_quantity", "l_extendedprice", "l_returnflag")
+    DuckDB/Postgres REGR_SLOPE / REGR_INTERCEPT / REGR_R2.
+
+    Fan-out before the aggregate for the same reason as
+    stats_corr_matrix: the six decimal casts are the per-row cost, and
+    an under-split scan would serialize them through one task; the
+    shuffle carries three pruned columns, the partial aggregation still
+    ships |groups| rows per partition, and the repartition is a
+    measured-size no-op at real scale (shuffle-order-independent exact
+    sums, results bit-identical)."""
+    from disco_spark.operators.classic import DiscoJob
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return regr_by_group(
+        DiscoJob._fan_out(li), "l_quantity", "l_extendedprice", "l_returnflag"
+    )
 
 
 def regr_by_group(
@@ -183,9 +197,22 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     All 15 moment sums come from a single aggregate (one scan, one
     constant-size partial-agg shuffle); each pair's correlation is then
     scalar arithmetic on the exact sums. The same construction serves
-    feature-redundancy screens over any numeric feature block."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    return corr_matrix(li, _CORR_COLS)
+    feature-redundancy screens over any numeric feature block.
+
+    The scan is fanned out first when it would arrive under-split
+    (guide §2.5 "input skew — one huge unsplittable file"): the decimal
+    casts make this query CPU-bound per row, and a single-row-group
+    parquet file serializes all 15 decimal sums through ONE task no
+    matter how many cores exist (measured 4.9-5.2 s at sf0.1 — wall #2
+    of the r14 bench — with 8 cores ≈ 32 cores because one task did all
+    the work). The fan-out shuffles only the four pruned double columns
+    and is a measured-size NO-OP at real scale (see _fan_out); decimal
+    sums are order/partitioning-independent, so results are
+    bit-identical."""
+    from disco_spark.operators.classic import DiscoJob
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(*_CORR_COLS)
+    return corr_matrix(DiscoJob._fan_out(li), _CORR_COLS)
 
 
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:

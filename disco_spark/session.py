@@ -69,10 +69,11 @@ def get_spark(app_name: str = "disco_spark", master: str | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # UI off by default (driver/bench runs need no port); profiling
         # tools set SPARK_GRAFT_UI=1 to read per-stage metrics over the
-        # UI REST API (tools/profile_query.py).
+        # UI REST API (tools/profile_query.py). Explicit value compare:
+        # SPARK_GRAFT_UI=0 must mean OFF, not truthy-string ON.
         .config(
             "spark.ui.enabled",
-            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
         )
     )
     if master is not None:

@@ -109,7 +109,14 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     # WORSE (3.79 warm / 6.9 cold) — both remaining subtree references
     # land inside one persisted-und materialization, where per-
     # partition cache locking already dedups the work.
-    sym = _both_orientations(edges)
+    # input self-loops are IGNORED (filtered before orientation): every
+    # node already casts exactly one self-vote via the appended loop row
+    # below. Without the filter, a caller-supplied (u, u) edge would emit
+    # twice from _both_orientations and land NEXT TO the appended loop —
+    # three duplicate labels0 rows and triple self-vote weight, diverging
+    # from the oracle's DISTINCT labels0 (in-repo callers emit u < v
+    # edges, but label_propagation is an exported API).
+    sym = _both_orientations(edges.filter(F.col("u") != F.col("v")))
     nodes = sym.select(F.col("src").alias("node")).distinct()
     und = lazy_persist(
         sym.unionAll(

@@ -521,19 +521,28 @@ def embedding_quantization_error(
             F.round(_val(x) * F.col("sc")).cast("double") / F.col("sc")
         )
 
-    _zero = F.lit(0).cast("decimal(38,15)")
+    _zero = F.lit(0).cast("decimal(37,15)")
 
     def _fold(term):
-        # decimal addition promotes (38,15)+(38,15) -> (38,14); cast the
-        # running sum back so the accumulator type is stable. The cast
-        # is exact at these magnitudes (|terms| <= dim * max_cell², far
-        # below 10^23), so the fold equals SUM's scale-15 accumulation.
+        # Accumulate at decimal(37,15): Add((37,15),(37,15)) lands in
+        # (38,15) with NO precision-loss rescale — Spark's add rule gives
+        # max(22,22)+15+1 = 38 ≤ 38 — so every step is EXACT scale-15
+        # addition and the fold equals SUM's accumulation bit-for-bit.
+        # (A (38,15) accumulator would promote each add to (38,14) under
+        # allowPrecisionLoss, silently rounding the running sum at scale
+        # 14 per step — the r14 shape; same final values on any corpus
+        # whose per-step scale-14 rounding never crosses the mse/cosr
+        # round(12)/round(9) boundaries, but not SUM in principle.) The
+        # cast back to (37,15) is exact while |sum| < 10^22 — per-vector
+        # sums are <= dim * max_cell², far below that for any real
+        # embedding. NULL cells add as 0, exactly as SUM ignored them on
+        # the exploded path (term is NULL whenever the cell is NULL).
         return F.aggregate(
             F.col("v"),
             _zero,
-            lambda acc, x: (acc + term(x).cast("decimal(38,15)")).cast(
-                "decimal(38,15)"
-            ),
+            lambda acc, x: (
+                acc + F.coalesce(term(x).cast("decimal(37,15)"), _zero)
+            ).cast("decimal(37,15)"),
         )
 
     pv = s.select(

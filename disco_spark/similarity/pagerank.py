@@ -18,11 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from disco_spark.registry import query
-from disco_spark.session import load_tables
+from disco_spark.session import default_parallelism, lazy_persist, load_tables
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 5, damping: float = 0.85, partitions: int = 32
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    partitions: int | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """(src, dst) edges -> (node, rank). Fixed iteration count,
     deterministic double arithmetic (contributions aggregated per dst
@@ -32,64 +36,97 @@ def pagerank(
     dangling mass) is a 1-row aggregate cross-joined into the plan
     (Catalyst broadcasts it), so the whole ``iters``-deep recursion is
     ONE plan with ONE action at the end — no per-iteration ``.first()``
-    round-trips. Locally that removed ~1s of action overhead per
-    iteration; on a cluster it removes ``iters`` driver barriers.
-    Intermediates are persisted lazily: each contribs/ranks DF is
-    referenced twice downstream, and without the persist the recompute
-    chain would double per iteration.
-    """
+    round-trips, and (since r15) no eager localCheckpoint either: the
+    caller's own action executes the plan exactly once, and the cached
+    intermediates are released by the lazy_persist protocol at the next
+    registered query instead of an extra materialize-then-replay job.
+
+    Physical shape per iteration (guide §2.4): out-degree rides INSIDE
+    the rank frame — (node, deg, rank) — so the per-source contribution
+    is a row-local projection, not the out_deg-join the previous shape
+    paid per iteration (one fewer join + broadcast future x iters); the
+    only per-iteration exchange is the groupBy(dst) of (dst, c) pairs.
+    ``partitions`` defaults to the session's parallelism (the r14
+    verdict flagged the hardcoded 32).
+
+    ``symmetric=True`` asserts every edge's reverse is also present (the
+    caller built an undirected/bidirectional edge list). Then every node
+    occurs as a src and none is dangling, so the node spine IS the
+    co-partitioned out-degree aggregate — the union-distinct over both
+    endpoint columns and the left join attaching degrees (two exchanges
+    plus their broadcast futures) disappear. Rank values are identical:
+    same node set, same degrees, same per-dst sums; the dangling term is
+    computed from the same contribs aggregate either way."""
+    if partitions is None:
+        partitions = default_parallelism(edges.sparkSession)
     # ONE shuffle for edge prep: after repartition on src, every (src,
     # dst) duplicate is already co-located, so Catalyst satisfies the
     # dropDuplicates clustering requirement without a second exchange
     # (verified: plan has a single Exchange). distinct-then-repartition
     # was two full edge shuffles.
-    edges = (
+    edges = lazy_persist(
         edges.select("src", "dst")
         .repartition(partitions, "src")
         .dropDuplicates(["src", "dst"])
-        .persist()
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    if symmetric:
+        # node spine directly from the co-partitioned degree aggregate:
+        # zero exchanges past the edge prep (hash(src) satisfies the
+        # groupBy clustering) and deg is never NULL
+        nd = lazy_persist(
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col("src").alias("node"), "deg")
+        )
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # node spine: (node, deg) — deg NULL for dangling nodes (no
+        # out-edges). nodes and out_deg each have exactly one consumer
+        # (this join), so only the joined spine is persisted.
+        nd = lazy_persist(
+            nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
+                "node", "deg"
+            )
+        )
     # scalar spine: n as a broadcast 1-row frame (same IEEE double ops as
-    # the former driver-side literals, so ranks are bit-identical)
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    cached = [edges, nodes, out_deg]
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    # the former driver-side literals, so ranks are bit-identical); nd
+    # has exactly one row per node, so counting it counts nodes
+    n_df = nd.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    ranks = nd.crossJoin(F.broadcast(n_df)).select(
+        "node", "deg", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
 
     for _ in range(iters):
-        # rank/deg combine at NODE cardinality first, then one edge-sized
-        # join — the previous shape joined out_deg to the edge table every
-        # iteration, an edge-cardinality join that contributes nothing at
-        # node level. Same addends reach the same per-dst sum, so ranks
-        # are unchanged (verified rank-for-rank at round-off).
-        per_src = out_deg.join(ranks, out_deg.src == ranks.node).select(
-            "src", (F.col("rank") / F.col("deg")).alias("c")
+        # row-local: exactly the rows the old out_deg-inner-join kept
+        # (deg NULL = absent from out_deg), same c values
+        per_src = ranks.filter(F.col("deg").isNotNull()).select(
+            F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("c")
         )
-        contribs = (
+        contribs = lazy_persist(
             edges.join(per_src, "src")
             .select("dst", "c")
             .groupBy("dst")
             .agg(F.sum("c").alias("recv"))
-            .persist()
         )
         # dangling nodes (no out-edges) leak mass; redistribute uniformly
         dang_df = contribs.agg(
             F.coalesce(F.sum("recv"), F.lit(0.0)).alias("__linked")
         )
+        # contribs is persisted (2 downstream refs: dang_df and this
+        # join); ranks is referenced exactly once (next iteration's
+        # per_src), so persisting it would only add a barrier
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nd.join(contribs, nd.node == contribs.dst, "left")
             .crossJoin(F.broadcast(n_df))
             .crossJoin(F.broadcast(dang_df))
             .select(
                 "node",
+                "deg",
                 (
                     (F.lit(1.0) - F.lit(damping)) / F.col("__n")
                     + F.lit(damping)
@@ -100,19 +137,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # contribs is persisted (2 downstream refs); ranks is referenced
-        # exactly once (next iteration's contribs join), so persisting it
-        # would only add a materialization barrier
-        cached.append(contribs)
-    # Materialize the node-sized result once, then RELEASE every cached
-    # intermediate — without this, each pagerank call leaked |edges| +
-    # iters x |nodes| of executor storage for the session's lifetime
-    # (visible as creeping slowdown across a bench run). localCheckpoint
-    # also truncates the iters-deep lineage.
-    result = ranks.localCheckpoint(eager=True)
-    for df_ in cached:
-        df_.unpersist()
-    return result
+    return ranks.select("node", "rank")
 
 
 def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
@@ -188,7 +213,9 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(both).alias("_e"))
         .select("_e.src", "_e.dst")
     )
-    ranks = pagerank(edges, iters=3)
+    # symmetric=True: both orientations of every pair are emitted above,
+    # so the rank loop skips the node-spine union/join (see pagerank)
+    ranks = pagerank(edges, iters=3, symmetric=True)
     return ranks.select(
         F.when(
             F.col("node") % 2 == 0,
