@@ -39,7 +39,29 @@ _TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 
 def _toks() -> Column:
-    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    # single parsed expression: construction is driver-side fixed cost
+    # on every invocation (~2.6 ms per py4j call — the r15 construction
+    # tax); same Catalyst tree as the F.filter/F.split composition
+    return F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+
+
+def _shingles_sql(k: int, toks: str = "toks") -> str:
+    """SQL text of the k-token shingle transform over a `toks` array
+    column — the ONE shared shingle expression (shingle_df,
+    minhash_from_toks, shingle_sets), parsed in a single py4j call.
+    element_at is 1-based, exactly like the Column-API version it
+    replaces."""
+    cat = ", ".join(f"element_at({toks}, i + {j + 1})" for j in range(k))
+    return (
+        f"transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', {cat}))"
+    )
+
+
+def _mh_sql(src: str, i: int) -> str:
+    """SQL text of one minhash column: min over `src` (a shingle array)
+    of the salt-i md5 — array_min(transform(...)), 1 parse."""
+    return f"array_min(transform({src}, s -> md5(concat('s{i} ', s))))"
 
 
 # --------------------------------------------------------------------------
@@ -93,13 +115,7 @@ def shingle_df(
     per shingle position (no CSE inside higher-order functions; 19x
     slower measured). If the input already carries a `toks` column it is
     reused — composition queries tokenize ONCE and share the scan."""
-    toks = F.col("toks")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-        ),
-    )
+    sh = _shingles_sql(k)
     base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
     if distinct:
         # per-doc dedup is a ROW-LOCAL property: array_distinct before
@@ -107,11 +123,11 @@ def shingle_df(
         # `.distinct()` produced — (doc_id, shingle) is unique per doc
         # either way — without shuffling the exploded frame (guide
         # §2.4; the widest exchange of every posting-join consumer)
-        return base.filter(F.size(toks) >= k).select(
-            "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        return base.where(f"size(toks) >= {k}").selectExpr(
+            "doc_id", f"explode(array_distinct({sh})) AS shingle"
         )
-    return base.filter(F.size(toks) >= k).select(
-        "doc_id", F.explode(shingles).alias("shingle")
+    return base.where(f"size(toks) >= {k}").selectExpr(
+        "doc_id", f"explode({sh}) AS shingle"
     )
 
 
@@ -165,26 +181,14 @@ def minhash_from_toks(
     rebuild the array per hash (same hazard shingle_df documents).
     Same doc set as the shingle path: docs with fewer than k tokens
     have no shingles and no signature."""
-    toks = F.col("toks")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-        ),
-    )
     base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
-    return base.filter(F.size(toks) >= k).select(
-        "doc_id", shingles.alias("_sh")
-    ).select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"s{i} "), s))
-                )
-            ).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ],
+    return (
+        base.where(f"size(toks) >= {k}")
+        .selectExpr("doc_id", f"{_shingles_sql(k)} AS _sh")
+        .selectExpr(
+            "doc_id",
+            *[f"{_mh_sql('_sh', i)} AS mh{i}" for i in range(n_hashes)],
+        )
     )
 
 
@@ -214,30 +218,15 @@ def shingle_sets(
     measured hazard); minhash over the distinct set equals minhash
     over the multiset (min ignores repeats), and the doc set matches
     shingle_df's (< k tokens ⇒ no shingles ⇒ no row)."""
-    toks = F.col("toks")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-        ),
-    )
     base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
     return (
-        base.filter(F.size(toks) >= k)
-        .select("doc_id", F.array_distinct(shingles).alias("sh_set"))
-        .select(
+        base.where(f"size(toks) >= {k}")
+        .selectExpr("doc_id", f"array_distinct({_shingles_sql(k)}) AS sh_set")
+        .selectExpr(
             "doc_id",
             "sh_set",
-            F.size("sh_set").alias("n"),
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("sh_set"),
-                        lambda s: F.md5(F.concat(F.lit(f"s{i} "), s)),
-                    )
-                ).alias(f"mh{i}")
-                for i in range(n_hashes)
-            ],
+            "size(sh_set) AS n",
+            *[f"{_mh_sql('sh_set', i)} AS mh{i}" for i in range(n_hashes)],
         )
     )
 
@@ -346,15 +335,16 @@ def band_keys_df(sig: DataFrame) -> DataFrame:
     join-ready LSH posting shape shared by the self-join candidate
     generator (band_candidates) and the persisted signature store
     (dedup/incremental.py)."""
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat(*[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
+    keys = ", ".join(
+        "md5(concat("
+        + ", ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + "))"
+        for b in range(N_HASHES // BAND_SIZE)
     )
-    return sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({keys})")).alias("band_idx", "band_key"),
+    )
 
 
 def signature_groups(sig: DataFrame) -> DataFrame:
@@ -1920,13 +1910,32 @@ ED_HIST_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 def _char_hist(col: str = "text") -> Column:
     """array<int> of per-character counts over ED_HIST_ALPHABET —
     computed ONCE PER DOCUMENT (projected before the pair join, so the
-    cost is O(|A| * len) per doc, never per candidate pair)."""
-    return F.array(
-        *[
-            F.length(col) - F.length(F.replace(F.col(col), F.lit(c), F.lit("")))
-            for c in ED_HIST_ALPHABET
-        ]
+    cost is O(|A| * len) per doc, never per candidate pair). One parsed
+    expression — the unrolled 36-cell Column build was ~220 py4j round
+    trips of pure construction tax per call site."""
+    cells = ", ".join(
+        f"length(`{col}`) - length(replace(`{col}`, '{c}', ''))"
+        for c in ED_HIST_ALPHABET
     )
+    return F.expr(f"array({cells})")
+
+
+# lossless prescreen, shared by dedup_edit_distance and the cap
+# calibration: ed_lb = max(length gap, ceil(L1/2)) lower-bounds the true
+# edit distance, so a pair whose BOUND already breaks either threshold
+# skips levenshtein with the result set provably unchanged. One parsed
+# predicate (the Column build was ~40 py4j calls per call site); the L1
+# fold appears twice textually, exactly as the shared-Column version
+# duplicated its tree.
+_ED_L1_SQL = "aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), 0, (acc, x) -> acc + x)"
+_ED_LB_SQL = (
+    "greatest(cast(abs(length(ta) - length(tb)) as bigint), "
+    f"floor(({_ED_L1_SQL} + 1) / 2))"
+)
+_ED_SCREEN_SQL = (
+    f"({ED_DEN} * {_ED_LB_SQL} <= {ED_NUM} * greatest(length(ta), length(tb)))"
+    f" AND ({_ED_LB_SQL} <= {ED_MAX})"
+)
 
 
 @query(
@@ -1992,32 +2001,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("tb"),
         _char_hist().alias("hb"),
     )
-    la, lb = F.length("ta"), F.length("tb")
-    l1 = F.aggregate(
-        F.zip_with("ha", "hb", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    # every lower bound on the true distance screens both thresholds:
-    # a pair whose BOUND already exceeds ED_MAX or the 40% ratio would
-    # fail the final filter a fortiori — dropping it here is lossless
-    ed_lb = F.greatest(
-        F.abs(la - lb).cast("long"), F.floor((l1 + F.lit(1)) / F.lit(2))
-    )
-    screen_ok = (ED_DEN * ed_lb <= ED_NUM * F.greatest(la, lb)) & (
-        ed_lb <= ED_MAX
-    )
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(screen_ok)
+        .where(_ED_SCREEN_SQL)
         .withColumn("edit_dist", F.levenshtein("ta", "tb", ED_MAX))
-        .filter(
-            (F.col("edit_dist") >= 0)
-            & (
-                ED_DEN * F.col("edit_dist")
-                <= ED_NUM * F.greatest(F.length("ta"), F.length("tb"))
-            )
+        .where(
+            "edit_dist >= 0 AND "
+            f"{ED_DEN} * edit_dist <= {ED_NUM} * greatest(length(ta), length(tb))"
         )
         .select("doc_a", "doc_b", "edit_dist")
     )
@@ -2115,25 +2106,15 @@ def dedup_edit_cap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("tb"),
         _char_hist().alias("hb"),
     )
-    la, lb = F.length("ta"), F.length("tb")
-    l1 = F.aggregate(
-        F.zip_with("ha", "hb", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    ed_lb = F.greatest(
-        F.abs(la - lb).cast("long"), F.floor((l1 + F.lit(1)) / F.lit(2))
-    )
-    screen_ok = (ED_DEN * ed_lb <= ED_NUM * F.greatest(la, lb)) & (
-        ed_lb <= ED_MAX
-    )
-    ed = F.levenshtein("ta", "tb", ED_MAX)
-    # And short-circuits in codegen: screened-out pairs never run the
+    # AND short-circuits in codegen: screened-out pairs never run the
     # banded levenshtein, but still count as candidates (ok = 0)
-    ok = F.when(
-        screen_ok & (ed >= 0) & (ED_DEN * ed <= ED_NUM * F.greatest(la, lb)),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    ok = F.expr(
+        f"CASE WHEN ({_ED_SCREEN_SQL})"
+        f" AND levenshtein(ta, tb, {ED_MAX}) >= 0"
+        f" AND {ED_DEN} * levenshtein(ta, tb, {ED_MAX})"
+        f"     <= {ED_NUM} * greatest(length(ta), length(tb))"
+        " THEN 1 ELSE 0 END"
+    )
     scored = lazy_persist(
         cands.join(ta, "doc_a").join(tb, "doc_b").select("min_cap", ok.alias("ok"))
     )

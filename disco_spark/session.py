@@ -110,6 +110,16 @@ def _normalize_event_ts(df):
 # query, and the driver/bench run dozens per session against one sf_dir.
 _TABLE_CACHE: dict[tuple[str, str], dict] = {}
 
+# Last sf_dir whose views were registered, per live session (weak: dead
+# sessions drop out). Re-registering 10 identical temp views cost ~65 ms
+# of py4j/catalog work on EVERY query call (r15 construction-tax
+# profile); views only need (re-)registration when the session has not
+# seen THIS sf_dir as its latest registration — alternating sf_dirs
+# still re-register every switch.
+import weakref
+
+_LAST_VIEWS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def invalidate_table_cache(sf_dir: str | None = None) -> None:
     """Drop cached table plans — call after rewriting parquet under an
@@ -221,8 +231,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         # must not inherit them — its catalog is separate, and temp views
         # would land in the wrong session. Rebuild for that session.
         if all(df.sparkSession is spark for df in cached.values()):
-            for name, df in cached.items():
-                df.createOrReplaceTempView(name)
+            if _LAST_VIEWS.get(spark) != key[1]:
+                for name, df in cached.items():
+                    df.createOrReplaceTempView(name)
+                _LAST_VIEWS[spark] = key[1]
             return dict(cached)
         _TABLE_CACHE.pop(key, None)
     out = {}
@@ -240,4 +252,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
             f"(expected <table>.parquet for {', '.join(TABLES)})"
         )
     _TABLE_CACHE[key] = dict(out)
+    _LAST_VIEWS[spark] = key[1]
     return out

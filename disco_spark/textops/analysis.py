@@ -21,7 +21,13 @@ from disco_spark.session import load_tables
 # identical semantics in Spark (split + filter) and DuckDB
 # (regexp_split_to_array + list_filter), verified in tests.
 def _toks(col: str = "text") -> Column:
-    return F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit(""))
+    # one parsed SQL expression instead of per-operator py4j round trips:
+    # Column construction is driver-side fixed cost paid on EVERY query
+    # invocation, measured at ~2.6 ms per py4j call on the bench host
+    # (OPTIMIZATION_r15.md "construction tax"). Same Catalyst expression
+    # as F.filter(F.split(col, r"\s+"), x -> x != ""), verified
+    # result-identical.
+    return F.expr(f"filter(split(`{col}`, '\\\\s+'), x -> x != '')")
 
 
 def with_toks(df: DataFrame, col: str = "text") -> DataFrame:
