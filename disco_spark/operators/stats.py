@@ -857,9 +857,17 @@ def regr_qty_vs_discount_by_brand(
     ("which brands actually move on promotion"). Reuses the shared
     exact-moment regr_by_group construction over a broadcast-dim join;
     grouping by a joined attribute is the shape the ungrouped
-    regr_price_vs_qty can't show."""
+    regr_price_vs_qty can't show. The pruned fact projection is fanned
+    out before the broadcast join for the same reason as
+    stats_corr_matrix: the six decimal sums inherit the scan's
+    partitioning, and an under-split scan serializes them through one
+    task (measured-size no-op at real scale)."""
+    from disco_spark.operators.classic import DiscoJob
+
     t = load_tables(spark, sf_dir)
-    x = t["lineitem"].join(
+    x = DiscoJob._fan_out(
+        t["lineitem"].select("l_partkey", "l_discount", "l_quantity")
+    ).join(
         F.broadcast(t["part"].select("p_partkey", "p_brand")),
         F.col("p_partkey") == F.col("l_partkey"),
     ).select(
@@ -1395,10 +1403,20 @@ def simpson_slope_reversal_audit(
     Plan: one broadcast part join, TWO constant-size moment
     aggregates (pooled 1 row, per-brand |brands| rows), a broadcast
     cross of the 1-row pooled slope, and a bounded fold."""
+    from disco_spark.operators.classic import DiscoJob
     from disco_spark.session import lazy_persist
 
     t = load_tables(spark, sf_dir)
-    x = t["lineitem"].join(
+    # fan out the pruned fact projection before the broadcast join:
+    # BOTH moment aggregations below inherit the scan's partitioning
+    # through the broadcast join and the cache, and an under-split scan
+    # serializes their decimal casts through one task (the
+    # stats_corr_matrix lesson; _fan_out is a measured-size no-op at
+    # real scale, and decimal sums are partitioning-independent)
+    li = DiscoJob._fan_out(
+        t["lineitem"].select("l_partkey", "l_discount", "l_quantity")
+    )
+    x = li.join(
         F.broadcast(t["part"].select("p_partkey", "p_brand")),
         F.col("p_partkey") == F.col("l_partkey"),
     ).select(

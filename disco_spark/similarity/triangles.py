@@ -118,8 +118,19 @@ def coorder_strengths_from_sets(
         "flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
     )
+    # Round-robin spread BEFORE the C(k,2) expansion (the
+    # spread_verify_pairs pattern): the sets rows are bytes-TINY but
+    # each expands k²/2-fold and pays the groupBy(u,v) partial
+    # aggregation, so AQE's byte-based coalescing packs the whole
+    # expansion onto a handful of tasks (measured 4 tasks x ~0.4 s at
+    # sf0.1 while 28 cores idled). AQE never coalesces a user
+    # repartition; the extra exchange moves only the |orders|-bounded
+    # array rows — always the small side of the expansion.
+    from disco_spark.session import default_parallelism
+
     return (
-        sets.select(F.explode(pair_structs).alias("e"))
+        sets.repartition(default_parallelism(sets.sparkSession))
+        .select(F.explode(pair_structs).alias("e"))
         .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("strength"))
