@@ -101,6 +101,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_K = 3
 
 
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Fan an under-split documents input across cores BEFORE the
+    in-row shingle/signature compute (guide §2.5 — compute-heavy tiny
+    rows). The map-only rewrites made signatures a property of the
+    scan, which also means they inherit the SCAN's task count: at
+    bench SF the documents table is one parquet row group, so the
+    whole tokenize + k-shingle + N_HASHES x md5 pass ran on ONE task
+    while the other cores idled (measured 1.26 -> 0.44 s for
+    shingle_sets, 1.21 -> 0.29 s for minhash_from_toks at sf0.1).
+    `DiscoJob._fan_out` is measured-size-guarded: on any input that
+    already scans as >= half the cores' worth of splits (every real
+    corpus) it is a no-op, so no shuffle is added at scale. Streaming
+    frames pass through untouched (their plans are micro-batch-sized
+    and a repartition would reshape every batch)."""
+    if docs.isStreaming:
+        return docs
+    from disco_spark.operators.classic import DiscoJob
+
+    return DiscoJob._fan_out(docs)
+
+
 def shingle_df(
     docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True
 ) -> DataFrame:
@@ -116,6 +137,7 @@ def shingle_df(
     slower measured). If the input already carries a `toks` column it is
     reused — composition queries tokenize ONCE and share the scan."""
     sh = _shingles_sql(k)
+    docs = _spread_docs(docs)
     base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
     if distinct:
         # per-doc dedup is a ROW-LOCAL property: array_distinct before
@@ -181,6 +203,7 @@ def minhash_from_toks(
     rebuild the array per hash (same hazard shingle_df documents).
     Same doc set as the shingle path: docs with fewer than k tokens
     have no shingles and no signature."""
+    docs = _spread_docs(docs)
     base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
     return (
         base.where(f"size(toks) >= {k}")
@@ -218,6 +241,7 @@ def shingle_sets(
     measured hazard); minhash over the distinct set equals minhash
     over the multiset (min ignores repeats), and the doc set matches
     shingle_df's (< k tokens ⇒ no shingles ⇒ no row)."""
+    docs = _spread_docs(docs)
     base = docs if "toks" in docs.columns else docs.withColumn("toks", _toks())
     return (
         base.where(f"size(toks) >= {k}")

@@ -497,14 +497,21 @@ def embedding_quantization_error(
     addition is exact, so the fold's left-to-right order reproduces
     SUM bit-for-bit); one grouped aggregate folds vectors to |labels|
     rows. Zero shuffles before the label fold at any scale."""
+    from disco_spark.operators.classic import DiscoJob
+
     t = load_tables(spark, sf_dir)
     vec = F.col("embedding")
     absmax = F.aggregate(
         vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     # empty/NULL vectors produced no exploded cells and therefore no
-    # per-vector row — replicate that doc set exactly
-    s = t["embeddings"].filter(F.size(vec) > 0).select(
+    # per-vector row — replicate that doc set exactly. The in-row folds
+    # inherit the SCAN's task count (guide §2.5 — the corr_matrix
+    # lesson): fan the under-split embeddings scan across cores first
+    # (measured-size no-op at scale); the four decimal folds are
+    # row-local and the label fold is exact decimal addition, so the
+    # result is partitioning-independent.
+    s = DiscoJob._fan_out(t["embeddings"]).filter(F.size(vec) > 0).select(
         "vec_id",
         "label",
         vec.alias("v"),
