@@ -99,6 +99,32 @@ ADJUDICATIONS: dict[str, tuple[str, str]] = {
     "contamination_test_vs_train": _VOL,
     "dedup_lsh_band_stats": _VOL,
     "dedup_exact_substring": _VOL,
+    "langid_confusion_matrix": (
+        "volume-linear-contract",
+        "per-token stopword lang-ID scan (the text_lang_id contract) "
+        "plus a |langs|^2 groupBy; the salted artifact is 17.2x chars "
+        "for 10x docs, so a wall tracking chars IS linear (r14 read "
+        "6.52x; the r15 crossing is a rep-1 host spike — rep 2 of the "
+        "same run read 8.3x on identical plans)",
+    ),
+    "join_skew_salted": (
+        "volume-linear-contract",
+        "salted join + two-phase agg over exactly-10x lineitem rows "
+        "(replica key offsets keep every order key's multiplicity "
+        "unchanged, so NO key gets hotter at 10x) — ~10x IS linear; "
+        "an r14 straddler (hi 11.75), and the r15 crossing is rep "
+        "dispersion at the line (61.4 vs 19.8 s back-to-back reps on "
+        "code untouched since r13)",
+    ),
+    "graph_triangle_count": (
+        "volume-linear-contract",
+        "the per-replica part/order key offsets make the 10x corpus "
+        "10 DISJOINT co-order graph replicas: edges, strengths and "
+        "triangles all grow exactly 10x — linear by construction; "
+        "prior recorded 2.95x (r14) / 4.15x (r15 rep 2), the r15 "
+        "rep-1 crossing is the same host spike that read pagerank at "
+        "2.6x its rep-2 wall in that leg",
+    ),
     "phrase_search_bigram": (
         "volume-linear-contract",
         "bigram-postings phrase search, the r8 text-volume family "
@@ -144,6 +170,14 @@ ADJUDICATIONS: dict[str, tuple[str, str]] = {
         "posting inflation it exists to profile",
     ),
     # --- replica-clique candidate inflation ---
+    "dedup_lsh_jaccard": (
+        "replica-clique-artifact",
+        "same candidate generation as dedup_edit_distance: LSH "
+        "candidates grow 51.6x (measured) from the artifact's "
+        "gray-zone sibling cliques while the per-candidate in-row "
+        "verify is sub-linear (r14 read 8.26x, r15 rep 2 7.31x; the "
+        "rep-1 crossing is the leg's host spike)",
+    ),
     "dedup_edit_distance": (
         "replica-clique-artifact",
         "LSH candidates grow 51.6x (measured) from gray-zone sibling "
